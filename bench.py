@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized through the ``noop`` sink (compute
+everything, collect nothing) so the number is engine time, not
+driver-transfer time. One warm-up action runs first so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_reduce_showcase_spark.plans import REGISTRY
+from map_reduce_showcase_spark.plans.registry import _load_all
+from map_reduce_showcase_spark.session import get_spark
+
+#: Headline set: reference-app parity + the heavy relational /
+#: window / dedup / similarity representatives.
+HEADLINE = [
+    "wc_word_count",
+    "grep_docs",
+    "vertex_degree_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "join_brand_revenue",
+    "join_outer_order_counts",
+    "window_rank_orders",
+    "topk_orders",
+    "events_tumbling_1h",
+    "events_session_10m",
+    "events_asof_purchase_click",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    _load_all()
+    spark = get_spark(app_name="mrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].builder
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

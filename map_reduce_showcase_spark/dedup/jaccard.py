@@ -1,0 +1,68 @@
+"""Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+The scalable exact algorithm (and the verification stage behind
+MinHash): explode each document into its distinct word-n-gram
+shingles, self-join the inverted index on the shingle, count shared
+shingles per pair, then Jaccard = |∩| / (|A|+|B|−|∩|).
+
+Scale: the self-join shuffles on the shingle — high-frequency
+shingles (boilerplate) are the skew risk; drop shingles with
+document-frequency above a cap first (standard practice — a shingle
+shared by millions of docs carries no dedup signal but creates a
+quadratic bucket). ``max_shingle_df`` implements that cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import word_shingles
+
+
+def shingle_rows(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold:
+    ``(d1, d2, jaccard)``, d1 < d2, jaccard rounded to 6 places."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = sh.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,116 @@
+"""MinHash + LSH banding near-dup detection (shingle → minhash →
+band → bucket-join → exact-Jaccard verify).
+
+The 100 TB near-dup pipeline, per the classic Broder construction:
+
+1. shingle each doc (distinct word n-grams),
+2. k independent minhashes per doc — here ``min(h_i(shingle))`` with
+   ``h_i(s) = portable_hash60(s + '#' + i)`` so the DuckDB oracle can
+   replay signatures bit-for-bit (production would use xxhash64,
+   same structure, ~3× faster),
+3. band the signature into b bands of r rows; docs agreeing on any
+   whole band become candidates — the ONLY join is an equi-join on
+   (band, band_key), so candidate generation is linear-ish, never
+   pairwise,
+4. verify candidates with exact Jaccard (``jaccard.py``).
+
+Tuning: P(candidate) = 1 − (1 − J^r)^b — with b=6, r=2 the curve
+passes ~0.5 at J≈0.4, so J≥0.7 pairs are caught with P>0.995 while
+J≤0.1 pairs mostly never collide. Skew note: identical boilerplate
+docs all share every band — the bucket-join inherits the same
+high-DF-cap defense as the shingle index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60
+from .jaccard import ngram_jaccard_pairs, shingle_rows
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """Wide signature frame: (doc_id, mh0..mh{k-1}) from
+    (doc_id, shingle) rows. One hash-aggregate; k mins computed
+    map-side, so the shuffle carries k longs per (doc, partition)."""
+    aggs = [
+        F.min(
+            portable_hash60(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct candidate (d1, d2) pairs sharing ≥1 full band."""
+    n_bands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: LSH candidates → exact-Jaccard verify ≥
+    threshold, where the verify stage only ever touches candidate
+    pairs (never all pairs — that is the entire point at 100 TB).
+    Output ``(d1, d2, jaccard)``; identical columns to
+    :func:`ngram_jaccard_pairs` (its exhaustive twin) so tests can
+    diff them for recall."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    e2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(e1, "d1")
+        .join(e2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,99 @@
+"""SimHash fingerprinting + banded near-pair search.
+
+Charikar SimHash over the document's distinct-token set: each token
+hashes to ``SIMHASH_BITS`` bits (portable 60-bit md5 hash so the
+DuckDB oracle can replay it); bit j of the fingerprint is 1 iff more
+tokens set bit j than clear it (strict majority — ties → 0).
+
+Near-pair search uses the pigeonhole banding trick, NOT a cross
+join: split the fingerprint into ``n_bands`` chunks; any pair with
+Hamming distance ≤ n_bands−1 must agree exactly on ≥1 chunk, so an
+equi-join on (band, chunk_value) finds all candidates, then the
+exact ``bit_count(xor)`` filter keeps real ones. At 100 TB the
+cross join is impossible; the band join is linear-ish in docs per
+bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60, tokens
+
+#: 32 bits: at 16 bits, same-domain corpora (shared vocabulary)
+#: collapse — nearly all pairs land within Hamming 3; 32 bits keeps
+#: only genuine near-duplicates there.
+SIMHASH_BITS = 32
+
+
+def simhash_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) with a ``SIMHASH_BITS``-bit fingerprint."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+    )
+    h = portable_hash60(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(d1, d2, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Requires ``max_hamming <= n_bands - 1`` for the pigeonhole
+    guarantee (results then equal the exhaustive cross join)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("pigeonhole guarantee needs max_hamming <= n_bands - 1")
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash_docs(docs, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sh.select("doc_id", "simhash", F.explode(chunks).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

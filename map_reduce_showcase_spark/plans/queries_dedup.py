@@ -1,0 +1,206 @@
+"""Dedup queries over ``documents`` / ``embeddings`` — exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine. Each oracle replays
+the full algorithm (including minhash signatures and simhash bits,
+via the portable md5-based hash) so the driver hash-checks the whole
+pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup import (
+    exact_dup_groups,
+    exact_dup_stats,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+    simhash_near_pairs,
+)
+from ..dedup.simhash import SIMHASH_BITS
+from ..similarity.brute_force import cosine_pairs
+from .queries_text import _TOKENS_SQL
+from .registry import register, t
+
+_NORM_SQL = f"array_to_string({_TOKENS_SQL}, ' ')"
+
+# word-2-gram shingles of the token array (1-based inclusive slices)
+_SHINGLES_SQL = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKENS_SQL}) - 1, 0)),
+    i -> array_to_string(({_TOKENS_SQL})[i:i+1], ' ')))
+"""
+
+_HASH60 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS n_dupes
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-dup summary on normalized fingerprints."""
+    return exact_dup_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (fingerprint, keeper=min id, copies)."""
+    return exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+_JACCARD_TAIL_SQL = f"""
+  sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+  e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+  sz AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_TAIL_SQL},
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz s1 ON inter.d1 = s1.doc_id
+    JOIN sz s2 ON inter.d2 = s2.doc_id
+    WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.7
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive word-bigram Jaccard near-dup pairs (J ≥ 0.7) via
+    the inverted shingle index — the exact twin MinHash is verified
+    against."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=2, threshold=0.7)
+
+
+def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
+    h = _HASH60.format(expr="shingle || '#' || CAST(i AS VARCHAR)")
+    return f"""
+    WITH {_JACCARD_TAIL_SQL},
+    mh AS (
+      SELECT doc_id, hi.i AS i, MIN({h}) AS m
+      FROM e, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) hi
+      GROUP BY doc_id, hi.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {rows_per_band} AS band,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM mh GROUP BY doc_id, i // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS inter
+      FROM cand c
+      JOIN e e1 ON e1.doc_id = c.d1
+      JOIN e e2 ON e2.doc_id = c.d2 AND e2.shingle = e1.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz s1 ON inter.d1 = s1.doc_id
+    JOIN sz s2 ON inter.d2 = s2.doc_id
+    WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.7
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql(), tags=("dedup", "minhash"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 hashes) + LSH(6 bands × 2) near-dup pairs, exact-
+    Jaccard-verified at J ≥ 0.7. The oracle replays signatures,
+    banding, candidates and verification bit-for-bit."""
+    return minhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=2, threshold=0.7
+    )
+
+
+def _simhash_sql() -> str:
+    h = _HASH60.format(expr="word")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+    ),
+    h AS (SELECT doc_id, {h} AS hv FROM tok),
+    b AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM b
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (portable md5 token
+    hashes; strict-majority bits)."""
+    return simhash_docs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (Hamming ≤ 3) found via pigeonhole banding
+    (4 bands × 4 bits) — never a cross join. The oracle brute-forces
+    all pairs; the pigeonhole guarantee makes the results equal."""
+    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3, n_bands=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicates: cosine ≥ 0.45 pairs,
+    brute-force at verification scale (the LSH-bucketed variant is
+    the 100 TB path — see ``sim_topk_lsh``)."""
+    return cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)

@@ -1,0 +1,246 @@
+"""Event-time queries: tumbling/sliding/session windows, analytic
+windows, JSON extraction, as-of matching.
+
+The reference has no streaming and no event-time concepts at all
+(SURVEY.md §2.4). These queries are written in their *batch* form so
+the DuckDB oracle can check them; ``streaming/demo.py`` runs the same
+window aggregations through Structured Streaming with a watermark
+(tested in ``tests/test_streaming.py``), which is the deployment mode
+at scale — identical code modulo ``readStream``/``writeStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, t
+
+
+def dec6(c):
+    return F.col(c).cast("decimal(18,6)")
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — ``F.window`` grouping, the
+    batch twin of the streaming tumbling aggregation. One shuffle on
+    (window, type); with a watermark in streaming mode state is
+    bounded by the lateness horizon."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec6("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n_events
+    FROM events, (VALUES (0), (1)) AS o(off)
+    GROUP BY 1
+    """,
+    tags=("events", "window-agg"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in
+    2 windows. Spark's ``window()`` expands rows by length/slide —
+    shuffle volume scales with that factor; keep slide ≥ length/4 at
+    100 TB or pre-aggregate to the slide granularity first."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "events_session_10m",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session-window"),
+)
+def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute inactivity gap) per user via
+    ``F.session_window`` — Spark's native session operator (merges
+    overlapping intervals in one pass). The oracle is the classic
+    gaps-and-islands SQL. In streaming mode the same grouping runs
+    stateful with watermark-based state eviction."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON ``props`` column: extract → typed agg.
+    ``get_json_object`` is a codegen'd JVM expression (Jackson), no
+    Python; for repeated multi-key extraction prefer ``from_json``
+    with an explicit schema so the parse happens once."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("events", "window"),
+)
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic: per-user purchase-to-purchase value delta.
+    Deterministic ordering via (ts, event_id). The subtraction is a
+    single IEEE op on the same doubles in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            "ts",
+        )
+        .select("user_id", "event_id", "value", "delta")
+    )
+
+
+@register(
+    "events_moving_sum_4",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+    FROM events
+    """,
+    tags=("events", "window"),
+)
+def events_moving_sum_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 4-row sum per user. Decimal-exact inside the frame so
+    the value is accumulation-order independent."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(dec6("value")).over(w).cast("double").alias("moving_sum"),
+    )
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts,
+           CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    WHERE event_type = 'purchase'
+    """,
+    tags=("events", "asof"),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click
+    at-or-before it — implemented as a union-scan + running MAX over
+    one window, NOT a range join. This is the scalable as-of pattern:
+    one shuffle on user_id, zero row explosion (a naive
+    ``p.ts >= c.ts`` join is quadratic per user). The reference has
+    no joins at all (SURVEY.md §2.4)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    return (
+        ev.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )

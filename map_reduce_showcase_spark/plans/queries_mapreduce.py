@@ -1,0 +1,121 @@
+"""Reference-app parity queries over the standard catalog.
+
+The three reference applications (SURVEY.md §2.2) run here against
+the ``documents`` / ``lineitem`` tables so the DuckDB oracle can
+verify them; the golden-text tests in ``tests/test_parity_apps.py``
+additionally run them on the reference's own ``data/`` fixtures with
+the reference's exact output formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mapreduce import grep_lines, vertex_degree, word_count
+from .registry import register, t
+
+GREP_TERM = "spark"
+
+
+@register(
+    "wc_word_count",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("parity", "aggregation"),
+)
+def wc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count (reference ``wc``, ``src/app/wc.rs``) over documents.
+
+    Scan → explode(split) → hash-agg with map-side partial combine.
+    The reference shuffled one KV per token (``src/app/wc.rs:25``);
+    this plan shuffles one row per (partition, distinct word)."""
+    return word_count(t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "grep_docs",
+    oracle=f"""
+    SELECT doc_id, source, text AS line,
+           CAST(len(string_split(text, '{GREP_TERM}')) - 1 AS BIGINT) AS n_matches
+    FROM documents
+    WHERE contains(text, '{GREP_TERM}')
+    """,
+    tags=("parity", "filter"),
+)
+def grep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep (reference ``src/app/grep.rs``): substring filter (not
+    regex) with per-line match counts. Documents are single-line, so
+    doc granularity == line granularity here; the multi-line path is
+    exercised on the reference's gutenberg fixtures in tests.
+
+    The ``contains`` predicate is pushed into the parquet scan —
+    the reference read 100% of every file before filtering."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains(GREP_TERM)).select(
+        "doc_id",
+        "source",
+        F.col("text").alias("line"),
+        (F.size(F.split(F.col("text"), GREP_TERM, -1)) - 1).cast("long").alias("n_matches"),
+    )
+
+
+@register(
+    "vertex_degree_lineitem",
+    oracle="""
+    SELECT vertex, count(*) AS degree
+    FROM (
+      SELECT l_partkey AS vertex FROM lineitem
+      UNION ALL
+      SELECT l_suppkey AS vertex FROM lineitem
+    )
+    GROUP BY vertex
+    """,
+    tags=("parity", "aggregation"),
+)
+def vertex_degree_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vertex-degree (``src/app/vertex_degree.rs``) on the lineitem
+    part↔supplier edge list: explode both endpoints, count per vertex
+    (self-loop/duplicate semantics identical to the reference)."""
+    return vertex_degree(t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey")
+
+
+@register(
+    "grep_docs_lines",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), e AS (
+      SELECT doc_id,
+             unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM s
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos, token
+    FROM e
+    WHERE contains(token, '{GREP_TERM}')
+    """,
+    tags=("parity", "explode"),
+)
+def grep_docs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep's positional form: posexplode to (unit, 1-based position)
+    then substring-filter — the exact shape of the reference's
+    ``lines().enumerate().filter(contains)`` map fn
+    (``src/app/grep.rs:37-46``), using tokens as the line unit since
+    catalog documents are single-line."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos0", "token"),
+        )
+        .filter(F.col("token").contains(GREP_TERM))
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+    )

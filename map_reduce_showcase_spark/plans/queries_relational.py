@@ -1,0 +1,527 @@
+"""General relational surface: joins, aggregations, windows, set ops.
+
+The reference has *none* of these (SURVEY.md §2.4 — no joins, one
+aggregation strategy, no windows, no set ops); they are required by
+the "same query capabilities" north star and come from Spark
+built-ins, so every plan below is pure Catalyst-optimizable
+DataFrame code — no UDFs anywhere.
+
+Determinism: all money aggregates go through exact DECIMAL sums and
+a final CAST to DOUBLE (see ``registry.py`` module docstring).
+
+Scale notes (100 TB):
+* fact-fact joins (orders⋈lineitem) shuffle on the join key —
+  bucketing both tables on the key at write time removes the shuffle
+  entirely; AQE handles skewed keys by splitting.
+* dim joins (nation/region/part/supplier) are broadcast — O(0)
+  shuffle. We hint explicitly where the dim is guaranteed small.
+* top-k uses orderBy().limit(k) which Spark plans as
+  TakeOrderedAndProject: per-partition heaps + driver merge, never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, t
+
+# -- decimal helpers (exact, engine-portable aggregation) -----------------
+
+def dec2(c):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def disc_price():
+    """l_extendedprice * (1 - l_discount), exact DECIMAL(18,4)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return (dec2("l_extendedprice") * (one - dec2("l_discount"))).cast("decimal(18,4)")
+
+
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+
+# -- TPC-H-style aggregation --------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST({_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) adapted to the catalog schema.
+
+    One scan, one shuffle; partial aggregation happens map-side so
+    shuffled rows = groups × partitions (groups here: ≤ 9). The
+    shipdate predicate pushes to parquet row-group stats."""
+    one = F.lit(1).cast("decimal(18,2)")
+    charge = (disc_price() * (one + dec2("l_tax"))).cast("decimal(18,6)")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec2("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-k.
+
+    customer is small relative to the facts → broadcast into orders;
+    orders⋈lineitem shuffles on orderkey (bucket both on orderkey at
+    write time to eliminate it at 100 TB). The final top-10 is
+    TakeOrderedAndProject — no global sort."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "aggregation"),
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue rollup: fact ⋈ three broadcast dims.
+
+    supplier/nation/region are all dimension-sized at any SF → all
+    three joins broadcast; the plan has exactly one shuffle (the
+    final groupBy), and partial aggregation reduces it to ~25 rows
+    per partition."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join showcase: part is the dim side (hinted); the
+    fact side never shuffles for the join, only for the tiny final
+    brand rollup."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order.
+    Semi joins ship no payload from the probe side and stop at first
+    match; at scale the orders side is pre-filtered before the
+    shuffle so only qualifying keys move."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer"),
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + grouped count (zero-order customers kept).
+    At scale: pre-aggregate orders by custkey *before* the join
+    (shuffle carries one row per customer, not per order) — which is
+    exactly what this plan does."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec2("o_totalprice")).alias("_spend"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "rollup"),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total).
+    Spark expands rollup into a single expand+hash-agg — one shuffle
+    for all grouping sets."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregation", "cube"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all 4 grouping sets)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "distinct_customers_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation", "distinct"),
+)
+def distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — Spark plans a two-phase expand/agg; for
+    100 TB cardinality estimation use approx_count_distinct (see
+    ``approx_distinct_users``, rows-only checked)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register("approx_distinct_users", oracle=None, tags=("aggregation", "approx"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type. No SQL
+    oracle: HLL estimates are engine-specific (driver records the
+    rows-only check); the exact-distinct twin above is the
+    correctness anchor. At 100 TB this is THE way to count users —
+    constant memory per group vs an expand shuffle."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("topk",),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 by price — TakeOrderedAndProject (per-partition
+    heap + driver merge of 25×partitions rows; no global sort, no
+    single-reducer bottleneck at any scale). Unique-key tie-break
+    keeps it deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "setops_nation_presence",
+    oracle="""
+    SELECT n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    EXCEPT
+    SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    """,
+    tags=("setops",),
+)
+def setops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT: nations having both customers and
+    suppliers, minus region-0 nations. Set ops compile to
+    aggregate/anti-join under AQE."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    r0 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    return c.distinct().intersect(s.distinct()).exceptAll(r0)
+
+
+@register(
+    "union_all_parties",
+    oracle="""
+    SELECT party, COUNT(*) AS n
+    FROM (
+      SELECT 'customer' AS party FROM customer
+      UNION ALL
+      SELECT 'supplier' AS party FROM supplier
+    )
+    GROUP BY party
+    """,
+    tags=("setops", "union"),
+)
+def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — the reference's implicit multi-file-input union
+    (SURVEY.md F1) made explicit. Union is a no-shuffle metadata op
+    in Spark."""
+    c = t(spark, sf_dir, "customer").select(F.lit("customer").alias("party"))
+    s = t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("party"))
+    return c.unionAll(s).groupBy("party").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             RANK() OVER (PARTITION BY c.c_custkey
+                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rk <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders via RANK. One shuffle on custkey;
+    at 100 TB a rank-filter like this should prefer a pre-limit
+    (groupBy + slice) when partitions are skewed — AQE skew split
+    covers the window shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "range_join_price_tiers",
+    oracle="""
+    SELECT tier, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tier_total
+    FROM orders
+    JOIN (
+      VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 1000000000.0)
+    ) AS tiers(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+    tags=("join", "range"),
+)
+def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a tiny tier table. Spark plans
+    BroadcastNestedLoopJoin — correct choice when one side is rows,
+    not gigabytes; for fact-fact range joins, bin both sides to an
+    equi-key first (see events as-of join for the pattern)."""
+    o = t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e9)],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("tier_total"),
+        )
+    )
+
+
+@register(
+    "scalar_functions_orders",
+    oracle="""
+    SELECT order_year, order_month, priority_code,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(month(o_orderdate) AS INT) AS order_month,
+             upper(substr(o_orderpriority, 1, 1)) AS priority_code,
+             o_totalprice
+      FROM orders
+    )
+    GROUP BY order_year, order_month, priority_code
+    """,
+    tags=("scalar", "dates"),
+)
+def scalar_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/string function surface (year/month/upper/substr)
+    — the reference's entire scalar library was lowercase + split
+    (SURVEY.md §2.4); everything here is a built-in JVM expression
+    inside whole-stage codegen."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("priority_code"),
+        "o_totalprice",
+    )
+    return o.groupBy("order_year", "order_month", "priority_code").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+    )

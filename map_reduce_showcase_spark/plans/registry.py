@@ -1,0 +1,92 @@
+"""The engine's query registry — the driver-contract surface.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables (the
+driver's correctness oracle). This registry plays the role of the
+reference's app registry (``src/app/mod.rs:29-63``): name → query,
+unknown name → KeyError at lookup, except queries here are
+declarative plans instead of (map_fn, reduce_fn) pairs.
+
+Determinism rules (every builder follows them so the driver's
+order-insensitive value-hash matches):
+
+* Alias every computed column identically in Spark and SQL.
+* Money/measure aggregates: cast to DECIMAL first (exact, associative
+  — immune to partition/accumulation order), SUM in decimal, CAST the
+  final sum to DOUBLE. Never sum raw doubles: float addition is
+  non-associative and Spark's partition order differs from DuckDB's.
+* Averages: exact decimal SUM cast to double, then one IEEE division.
+* Ranked/top-k outputs: total tie-break on a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One registered query: Spark builder + optional DuckDB oracle."""
+
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: Iterable[str] = (),
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """``queries()`` payload for ``__spark_entry__``."""
+    _load_all()
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    """``oracle_sql()`` payload — only SQL-expressible queries."""
+    _load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand table loader used by builders."""
+    return load_table(spark, sf_dir, name)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries_mapreduce  # noqa: F401
+    from . import queries_relational  # noqa: F401
+    from . import queries_text  # noqa: F401
+    from . import queries_dedup  # noqa: F401
+    from . import queries_similarity  # noqa: F401
+    from . import queries_events  # noqa: F401
+    from . import queries_multimodal  # noqa: F401
+
+    _LOADED = True

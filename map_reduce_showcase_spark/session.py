@@ -1,0 +1,61 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for
+the 100 TB / 1000-executor deployment story:
+
+* AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and join-strategy switching replace hand-tuned ``n_reduce`` (the
+  reference hard-codes static reduce parallelism per job,
+  ``proto/coordinator.proto:30``).
+* ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. At cluster scale set it to ~2-3x total cores.
+* Arrow enabled: every Python-side exchange (Pandas UDFs,
+  ``mapInPandas``, ``toPandas``) is columnar-batched.
+* Session timezone pinned UTC so timestamp semantics are stable
+  across driver, executors, and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "map-reduce-showcase-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``); on a real cluster, leave it to spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce post-shuffle partitions, split
+        # skewed joins, switch to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read them as raw longs (converted to micros in
+        # sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow for every Python<->JVM columnar exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep driver UI off in tests/CI.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

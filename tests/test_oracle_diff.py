@@ -1,0 +1,89 @@
+"""Differential suite: every registered query's Spark result must
+EXACTLY equal its DuckDB oracle (column names, row count, values) —
+a strictly stronger local version of the driver's order-insensitive
+value-hash gate, so passing here implies passing there.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from map_reduce_showcase_spark.plans import REGISTRY
+from map_reduce_showcase_spark.plans.registry import _load_all
+
+_load_all()
+
+SQL_CHECKED = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by a type-stable repr key (both
+    engines produce identical values → identical keys → identical
+    order), so positional comparison is order-insensitive."""
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        keys = pd.DataFrame(
+            {c: df[c].map(lambda v: repr(_coerce(v))) for c in df.columns}
+        )
+        order = keys.sort_values(by=list(keys.columns), kind="mergesort").index
+        df = df.loc[order]
+    return df.reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is b:
+        return True
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, spark, oracle, sf_dir):
+    spec = REGISTRY[name]
+    got = _normalize(spec.builder(spark, sf_dir).toPandas())
+    want = _normalize(oracle.execute(spec.oracle).fetchdf())
+
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
+    for col in got.columns:
+        gv, wv = got[col].tolist(), want[col].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(gv, wv))
+            if not _values_equal(_coerce(a), _coerce(b))
+        ]
+        assert not bad, f"{name}.{col}: first diffs {bad[:5]}"
+
+
+def _coerce(v):
+    """Fold engine-representation differences that the driver's hash
+    also folds (numpy scalars → python, Decimal → float)."""
+    import decimal
+
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime().replace(tzinfo=None)
+    return v
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Non-SQL-expressible queries must at least run and return a
+    stable schema."""
+    df = REGISTRY[name].builder(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name
