@@ -44,7 +44,7 @@ def read_lines_with_path(spark: SparkSession, paths: list[str] | str) -> DataFra
     if isinstance(paths, str):
         paths = [paths]
     df = (
-        spark.read.text(",".join(paths))
+        spark.read.text(paths)
         .withColumn("path", F.input_file_name())
         .withColumn("_mid", F.monotonically_increasing_id())
     )

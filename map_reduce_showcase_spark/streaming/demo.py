@@ -1,0 +1,68 @@
+"""Structured Streaming demos: the streaming twins of the batch
+event-time queries.
+
+The reference is batch-only (SURVEY.md §2.4 — no watermarks, no
+windows, no stateful ops). Spark's contract is that the same
+declarative plan runs incrementally: ``readStream`` instead of
+``read``, plus a watermark bounding state. These builders take any
+streaming events DataFrame, so tests feed a file-source stream and
+production would feed Kafka — the query code is identical.
+
+Scale notes: streaming aggregation state lives in the state store,
+partitioned by group key — the watermark is what keeps it bounded
+(without it, a 100 TB/day stream grows state forever). Sink is
+checkpointed + idempotent per epoch → exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+EVENTS_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over micros-normalized events parquet (one
+    file per micro-batch — the standard replay/testing source; swap
+    for Kafka in production, schema unchanged)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling 1-hour counts per event type with late-data handling:
+    events later than the watermark are dropped and their windows
+    finalized — identical grouping to the batch ``events_tumbling_1h``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    — ``dropDuplicates`` keeps per-key state; the watermark evicts
+    state older than the horizon, which is what makes dedup feasible
+    on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def materialize_events_for_streaming(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Test helper: write the batch events table (ts already
+    truncated to micros by ``load_table``) as ``n_files`` parquet
+    files so the file source replays them as micro-batches."""
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)

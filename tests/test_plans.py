@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions — the scale story, checked.
+
+Correct results with a wrong plan (no pushdown, accidental cross
+join, global sort for a top-k) pass value tests but die at 100 TB;
+these tests pin the plan properties that matter.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_showcase_spark.plans import REGISTRY
+from map_reduce_showcase_spark.plans.registry import _load_all
+
+_load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim joins must not shuffle the fact table"
+
+
+def test_brand_revenue_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+
+
+def test_grep_filter_pushed_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grep_docs")
+    assert "PushedFilters" in plan
+    assert "StringContains" in plan, "substring predicate should reach the scan"
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # ReadSchema must not include unused columns like l_orderkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_orderkey" not in read_schema[0]
+    assert "l_returnflag" in read_schema[0]
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].builder(spark, sf_dir)
+    df.collect()  # execute so AQE finalizes this dataframe's plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "codegen id" in plan, "q1 must run inside whole-stage codegen"
+
+
+def test_wc_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "wc_word_count")
+    assert plan.count("HashAggregate") >= 2, "wc must combine map-side"
+
+
+def test_no_cartesian_in_minhash(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, "LSH must never go pairwise"
+
+
+@pytest.mark.parametrize(
+    "name", ["events_asof_purchase_click", "dedup_simhash_pairs"]
+)
+def test_scale_sensitive_plans_avoid_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

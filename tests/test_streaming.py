@@ -1,0 +1,126 @@
+"""Structured Streaming end-to-end: file-source micro-batches →
+windowed/stateful queries → memory sink.
+
+Two guarantees under test:
+* streaming-batch equivalence — the streaming tumbling aggregation
+  over the full replayed table equals the batch twin exactly
+  (complete mode so file-arrival order cannot drop windows),
+* watermark late-data semantics — a deterministic two-file sequence
+  where the second file is entirely behind the watermark; its rows
+  must be dropped from append-mode output.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_showcase_spark.sources.tables import load_table
+from map_reduce_showcase_spark.streaming.demo import (
+    EVENTS_SCHEMA,
+    materialize_events_for_streaming,
+    read_events_stream,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/events"
+        materialize_events_for_streaming(spark, sf_dir, out, n_files=4)
+        yield out
+
+
+def _run_available_now(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_available_now(
+        spark, streaming_tumbling_counts(stream), "t_tumbling", "complete"
+    ).select("window_start", "event_type", "n_events")
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    emitted = sorted(tuple(map(str, r)) for r in got.collect())
+    expected = sorted(tuple(map(str, r)) for r in batch.collect())
+    assert emitted == expected
+
+
+def test_streaming_dedup_emits_each_id_once(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    deduped = _run_available_now(spark, streaming_dedup(stream), "t_dedup", "append")
+    n = deduped.count()
+    assert n > 0
+    assert n == deduped.select("event_id").distinct().count()
+
+
+def _mk_events(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
+
+
+def test_watermark_drops_late_file(spark):
+    """File 1 advances the watermark to 11:00−30m; file 2's 08:00
+    event is behind it and must never appear in append output."""
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        _mk_events(
+            spark,
+            [
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),
+            ],
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = streaming_tumbling_counts(stream, watermark="30 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_late")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # late file: 08:00 is far behind watermark (10:30)
+            _mk_events(
+                spark, [(3, "2024-01-01 08:00:00", 1, "click", 1.0, "{}")]
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # one more on-time file to flush finalized windows
+            _mk_events(
+                spark, [(4, "2024-01-01 13:00:00", 1, "click", 1.0, "{}")]
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {str(r["window_start"]) for r in spark.table("t_late").collect()}
+        assert "2024-01-01 08:00:00" not in out, "late row must be dropped"
+        assert "2024-01-01 10:00:00" in out, "on-time window must finalize"
