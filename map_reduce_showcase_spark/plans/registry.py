@@ -83,6 +83,8 @@ def _load_all() -> None:
         return
     from . import queries_mapreduce  # noqa: F401
     from . import queries_relational  # noqa: F401
+    from . import queries_relational2  # noqa: F401
+    from . import queries_vectors  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401

@@ -1,0 +1,47 @@
+"""Connected-components differential test: Spark iterative label
+propagation vs a driver-side union-find on the same edge list."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_showcase_spark.dedup.components import connected_components
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 1), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_components_chain_needs_multiple_rounds(spark):
+    # a 12-node path graph: diameter forces >3 propagation rounds
+    edges = [(i, i + 1) for i in range(100, 112)]
+    pairs = spark.createDataFrame(edges, ["d1", "d2"])
+    got = dict(
+        (r["doc_id"], r["component"]) for r in connected_components(pairs).collect()
+    )
+    assert set(got.values()) == {100}
+    assert len(got) == 13
