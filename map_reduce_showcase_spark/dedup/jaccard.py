@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import word_shingles
+from ..functions.text import tokens, word_shingles
 
 
 def shingle_rows(
@@ -27,10 +27,31 @@ def shingle_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows, distinct per doc."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    """(doc_id, shingle) inverted-index rows, distinct per doc.
+
+    Two-stage plan: tokenize below an exchange, shingle above it.
+    The exchange (a) rebalances small low-partition inputs across
+    all cores — a single parquet file otherwise pins the expensive
+    higher-order shingle expressions to one task — and (b) stops
+    CollapseProject from inlining the tokenize regex into every one
+    of the shingle expression's references to the token array."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # rebalance the raw text FIRST so tokenize itself runs on
+        # all cores (tokenizing below the exchange would serialize
+        # it into the source's partition count)
+        docs = docs.repartition(sc.defaultParallelism)
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    tk = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(tk) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
+    shingles = F.when(F.size(tk) >= n, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+    return toks_df.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

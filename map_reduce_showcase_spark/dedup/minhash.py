@@ -29,17 +29,28 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_hash60
 from .jaccard import ngram_jaccard_pairs, shingle_rows
 
+#: Universal-hash family h_i(x) = (a_i·x + b_i) mod MOD over the
+#: base 60-bit md5 hash reduced mod MOD. One md5 per shingle instead
+#: of k (md5 dominates minhash cost); a_i·x stays < 2^63 so the
+#: arithmetic is portable to any engine with 64-bit integers.
+MOD = 2_147_483_647  # 2^31 − 1 (prime)
+_A_MULT = 2_654_435_761  # Knuth multiplicative constant
+_B_MULT = 40_503
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    return (i * _A_MULT + 1) % MOD, (i * _B_MULT + 7) % MOD
+
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     """Wide signature frame: (doc_id, mh0..mh{k-1}) from
     (doc_id, shingle) rows. One hash-aggregate; k mins computed
     map-side, so the shuffle carries k longs per (doc, partition)."""
-    aggs = [
-        F.min(
-            portable_hash60(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    base = portable_hash60(F.col("shingle")) % F.lit(MOD)
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _hash_params(i)
+        aggs.append(F.min((F.lit(a) * base + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -83,7 +94,7 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     n: int = 2,
     num_hashes: int = 12,
-    rows_per_band: int = 2,
+    rows_per_band: int = 3,
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -94,7 +105,10 @@ def minhash_near_dup_pairs(
     Output ``(d1, d2, jaccard)``; identical columns to
     :func:`ngram_jaccard_pairs` (its exhaustive twin) so tests can
     diff them for recall."""
-    sh = shingle_rows(docs, n, text_col, id_col)
+    # the shingle index feeds three subtrees (signatures, verify e1,
+    # verify e2): materialize it once instead of re-running the
+    # tokenize+shingle expressions per consumer
+    sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")

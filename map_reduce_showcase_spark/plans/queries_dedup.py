@@ -100,7 +100,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
-    h = _HASH60.format(expr="shingle || '#' || CAST(i AS VARCHAR)")
+    from ..dedup.minhash import MOD, _A_MULT, _B_MULT
+
+    base = _HASH60.format(expr="shingle") + f" % {MOD}"
+    h = (
+        f"(((hi.i * {_A_MULT} + 1) % {MOD}) * ({base})"
+        f" + ((hi.i * {_B_MULT} + 7) % {MOD})) % {MOD}"
+    )
     return f"""
     WITH {_JACCARD_TAIL_SQL},
     mh AS (
@@ -134,13 +140,16 @@ def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
     """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_sql(), tags=("dedup", "minhash"))
+@register("dedup_minhash_lsh", oracle=_minhash_sql(12, 3), tags=("dedup", "minhash"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12 hashes) + LSH(6 bands × 2) near-dup pairs, exact-
+    """MinHash(12 hashes) + LSH(4 bands × 3) near-dup pairs, exact-
     Jaccard-verified at J ≥ 0.7. The oracle replays signatures,
-    banding, candidates and verification bit-for-bit."""
+    banding, candidates and verification bit-for-bit. 4×3 banding
+    puts the S-curve midpoint at J≈0.55: J≥0.9 pairs are caught with
+    P>0.99 while the J≈0.1 background almost never collides — the
+    candidate count is what the verify stage's cost scales with."""
     return minhash_near_dup_pairs(
-        t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=2, threshold=0.7
+        t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=3, threshold=0.7
     )
 
 
