@@ -1,0 +1,102 @@
+"""Job-submission façade: the reference's client API, Spark-backed.
+
+The reference's entire query surface is
+``submit(app, files, output_dir, n_reduce, args) → poll → process``
+(``proto/coordinator.proto:26-32``, ``src/client.rs:31-115``). This
+module reproduces that exact contract so a reference user can port
+their scripts 1:1:
+
+* app registry with the same three names (``wc``, ``grep``,
+  ``vertex-degree``) and the same unknown-app error behavior
+  (submit-time validation, ``src/coordinator/mod.rs:198-201``),
+* ``n_reduce`` → number of output files (``mr-out``-equivalent,
+  one per partition — ``src/worker/mod.rs:138-144``),
+* ``args`` → the app's parameters (grep's ``--term``,
+  ``src/app/grep.rs:18-34``),
+* ``process_output`` → the app's exact human-readable format.
+
+Everything in between — scheduling, shuffle, retries, barriers — is
+Spark's driver/executors (SURVEY.md §2.3: C1-C10 map to built-ins).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.text import read_lines_with_path, read_whole_files
+from .mapreduce import (
+    format_grep,
+    format_vertex_degree,
+    format_word_count,
+    grep_lines,
+    parse_edge_lines,
+    vertex_degree,
+    word_count_report,
+)
+
+APPS = ("wc", "grep", "vertex-degree")
+
+
+@dataclass
+class JobResult:
+    """What the reference's poll+process yields: the result rows and
+    the formatted output string."""
+
+    df: DataFrame
+    output: str
+    output_dir: str | None = None
+    n_output_files: int = field(default=0)
+
+
+def submit_job(
+    spark: SparkSession,
+    app: str,
+    files: list[str],
+    output_dir: str | None = None,
+    n_reduce: int = 5,
+    args: list[str] | None = None,
+) -> JobResult:
+    """Run one reference-style job to completion (the Spark action IS
+    submit+poll — blocking, with retries and stage barriers inside).
+
+    Unknown ``app`` raises ValueError at submit time, matching the
+    coordinator's InvalidArgument."""
+    args = args or []
+    if app == "wc":
+        df = word_count_report(read_whole_files(spark, files), "content")
+        fmt = format_word_count
+    elif app == "grep":
+        term = _parse_term(args)
+        df = grep_lines(read_lines_with_path(spark, files), term)
+        fmt = format_grep
+    elif app == "vertex-degree":
+        edges = parse_edge_lines(read_lines_with_path(spark, files).select("line"))
+        bad = edges.filter(~edges.valid)
+        if bad.limit(1).count():
+            # reference: malformed line => fatal task failure => job
+            # failed with recorded errors (src/vertex_degree.rs:26-27)
+            raise ValueError("vertex-degree: malformed edge line")
+        df = vertex_degree(edges, "src", "dst")
+        fmt = format_vertex_degree
+    else:
+        raise ValueError(f"unknown app {app!r}; known: {APPS}")
+
+    n_files = 0
+    if output_dir is not None:
+        from ..sources.sinks import write_n_files
+
+        write_n_files(df, output_dir, n_reduce, by_col=df.columns[0])
+        n_files = n_reduce
+    return JobResult(df=df, output=fmt(df.collect()), output_dir=output_dir, n_output_files=n_files)
+
+
+def _parse_term(args: list[str]) -> str:
+    """grep's clap-style ``--term <t>`` parsing (src/app/grep.rs:25-34)."""
+    for i, a in enumerate(args):
+        if a == "--term" and i + 1 < len(args):
+            return args[i + 1]
+        if a.startswith("--term="):
+            return a.split("=", 1)[1]
+    raise ValueError("grep requires --term <substring>")

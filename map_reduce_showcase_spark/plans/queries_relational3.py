@@ -1,0 +1,188 @@
+"""Third relational batch: string-function surface, percentiles,
+histograms, scalar subqueries, full outer joins, array functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .registry import register, t
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+           levenshtein(p_brand, substr(p_type, 1, 8)) AS lev_to_type,
+           translate(p_type, ' ', '_') AS type_snake,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_type, 'BRASS') AS INT) AS brass_pos,
+           concat(p_brand, ':', lpad(CAST(p_size AS VARCHAR), 3, '0')) AS brand_size
+    FROM part
+    """,
+    tags=("scalar", "strings"),
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp_extract, levenshtein,
+    translate, reverse, instr, lpad/concat — all codegen'd JVM
+    expressions (the reference's string library was lowercase+split,
+    SURVEY.md §2.4)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.levenshtein(F.col("p_brand"), F.substring("p_type", 1, 8)).alias("lev_to_type"),
+        F.translate("p_type", " ", "_").alias("type_snake"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_type"), "BRASS").cast("int").alias("brass_pos"),
+        F.concat(
+            F.col("p_brand"),
+            F.lit(":"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0"),
+        ).alias("brand_size"),
+    )
+
+
+@register(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "percentiles"),
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per priority class.
+    Exact percentile needs the sorted group in memory — fine per
+    group; at 100 TB switch to ``approx_percentile`` (t-digest,
+    mergeable, bounded memory) — the exact/approx pair mirrors the
+    count-distinct story."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "histogram_order_price",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing — one scan, one
+    tiny shuffle; the scalable histogram shape (never collect-and-
+    bin driver-side)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.
+    Expressed as a broadcast of the 1-row aggregate crossed into the
+    scan — exactly how Spark plans an uncorrelated scalar subquery
+    (no driver round-trip, works at any scale)."""
+    o = t(spark, sf_dir, "orders")
+    avg1 = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg1))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "fullouter_nation_parties",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS n_nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    tags=("join", "outer"),
+)
+def fullouter_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides (aggregate before
+    the join so the outer join moves one row per key, not per row)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("n_nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "array_functions_docs",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct({{toks}}))[1:3], '-') AS first3,
+           list_contains({{toks}}, 'spark') AS has_spark,
+           CAST(len({{toks}}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({{toks}})) AS INT) AS n_distinct
+    FROM documents
+    """.replace("{toks}", "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)"),
+    tags=("scalar", "arrays"),
+)
+def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the token column: sort, distinct,
+    slice, join, contains — higher-order-function territory where
+    the reference had raw bytes."""
+    toks = T.tokens(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "-").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+    )

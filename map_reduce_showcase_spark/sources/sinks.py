@@ -1,0 +1,58 @@
+"""Sinks: the write-side of the engine.
+
+The reference's only sink is ``n_reduce`` length-delimited local
+files, one per reduce partition (``src/worker/mod.rs:138-144``).
+Spark's writer subsumes it; the helpers here encode the layouts that
+matter at 100 TB:
+
+* :func:`write_partitioned` — hive-style directory partitioning:
+  readers prune partitions from the path (the single biggest scan
+  saver for time/tenant-sliced data).
+* :func:`write_bucketed` — pre-shuffled, bucket-sorted table layout:
+  joins/aggregations on the bucket key skip their shuffle entirely
+  (this is how the orders⋈lineitem shuffle disappears in
+  production).
+* :func:`write_n_files` — the reference's exact contract (N output
+  files for N reduce partitions), for parity.
+
+All writes are Parquet unless stated; CSV/JSON writers exist for
+interchange and are covered in tests/test_sinks.py round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Hive-partitioned parquet: one directory per partition value.
+    Choose low-cardinality columns (date, tenant, lang); high-
+    cardinality partitioning creates a small-file storm."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Bucketed + sorted managed table (requires a warehouse/catalog
+    — i.e. ``saveAsTable``, not a bare path). Subsequent equi-joins
+    or aggregations on ``bucket_col`` between tables bucketed the
+    same way execute with zero shuffle."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def write_n_files(df: DataFrame, path: str, n: int, by_col: str | None = None) -> None:
+    """Reference-parity sink: exactly ``n`` output files (the
+    reference's ``mr-out-{0..n-1}``). ``by_col`` hash-distributes
+    rows like ``ihash(key) % n_reduce`` (``src/lib.rs:201-208``);
+    without it Spark round-robins."""
+    from pyspark.sql import functions as F
+
+    part = df.repartition(n, F.col(by_col)) if by_col else df.repartition(n)
+    part.write.mode("overwrite").parquet(path)

@@ -1,0 +1,114 @@
+"""Sink layouts + the reference-style job façade, end-to-end."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_showcase_spark.operators.jobs import submit_job
+from map_reduce_showcase_spark.sources.sinks import (
+    write_bucketed,
+    write_n_files,
+    write_partitioned,
+)
+from map_reduce_showcase_spark.sources.tables import load_table
+
+ALPHABET = sorted(glob.glob("/root/reference/data/alphabet2/*.txt"))
+EDGES = sorted(glob.glob("/root/reference/data/graph-edges-medium/*.txt"))
+
+
+def test_write_partitioned_prunes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        write_partitioned(docs, f"{d}/docs", "lang")
+        langs = glob.glob(f"{d}/docs/lang=*")
+        assert len(langs) == docs.select("lang").distinct().count()
+        back = spark.read.parquet(f"{d}/docs").filter(F.col("lang") == "en")
+        # partition pruning: only the lang=en directory is scanned
+        plan = back._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            back._jdf.queryExecution(), "formatted"
+        )
+        assert back.count() == docs.filter(F.col("lang") == "en").count()
+        assert "PartitionFilters" in plan
+
+
+def test_write_n_files_reference_contract(spark, sf_dir):
+    """Reference F7: n_reduce output files, hash-distributed by key."""
+    wc = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_n_files(wc, f"{d}/out", 5, by_col="word")
+        files = glob.glob(f"{d}/out/part-*")
+        assert len(files) == 5
+        assert spark.read.parquet(f"{d}/out").count() == wc.count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucket both join sides on the key → the join plans with zero
+    Exchange operators (the 100 TB fact-fact join strategy)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "t_orders_b", "o_orderkey", 8)
+    write_bucketed(l.select("l_orderkey", "l_quantity"), "t_lineitem_b", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test data is broadcast-sized; disable broadcast so the
+        # planner exercises the bucketed shuffle-free path under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+        assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_json_round_trip(spark, sf_dir):
+    nat = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        nat.write.mode("overwrite").option("header", True).csv(f"{d}/csv")
+        nat.write.mode("overwrite").json(f"{d}/json")
+        csv_back = spark.read.option("header", True).option("inferSchema", True).csv(f"{d}/csv")
+        json_back = spark.read.json(f"{d}/json")
+        assert sorted(r["n_name"] for r in csv_back.collect()) == sorted(
+            r["n_name"] for r in nat.collect()
+        )
+        assert json_back.count() == nat.count()
+
+
+def test_job_facade_wc(spark):
+    res = submit_job(spark, "wc", ALPHABET, n_reduce=3)
+    assert res.output.endswith("\tz\n") or "\ta\n" in res.output
+    assert res.df.columns == ["word", "cnt"]
+
+
+def test_job_facade_grep_args(spark):
+    res = submit_job(spark, "grep", ALPHABET, args=["--term", "a"])
+    assert "letters1.txt:" in res.output
+    with pytest.raises(ValueError, match="--term"):
+        submit_job(spark, "grep", ALPHABET, args=[])
+
+
+def test_job_facade_vertex_degree_with_output(spark):
+    with tempfile.TemporaryDirectory() as d:
+        res = submit_job(
+            spark, "vertex-degree", EDGES, output_dir=f"{d}/out", n_reduce=4
+        )
+        assert res.n_output_files == 4
+        assert len(glob.glob(f"{d}/out/part-*")) == 4
+        assert res.output.splitlines()[0].startswith("0\t")
+
+
+def test_job_facade_unknown_app(spark):
+    with pytest.raises(ValueError, match="unknown app"):
+        submit_job(spark, "nope", ALPHABET)
