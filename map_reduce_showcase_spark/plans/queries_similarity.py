@@ -62,6 +62,11 @@ def _bucket_sql(vec: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_PROBES_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << p})" for p in range(N_PLANES)
+) + "]"
+
+
 @register(
     "sim_topk_lsh",
     oracle=f"""
@@ -71,10 +76,13 @@ def _bucket_sql(vec: str) -> str:
       FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, unnest({_PROBES_SQL}) AS pb FROM q
+    ),
     scored AS (
-      SELECT q.query_id, c.vec_id AS cand_id,
-             list_cosine_similarity(q.qv, c.v) AS cos
-      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+      SELECT p.query_id, c.vec_id AS cand_id,
+             list_cosine_similarity(p.qv, c.v) AS cos
+      FROM probes p JOIN e c ON c.bucket = p.pb AND c.vec_id <> p.query_id
     ),
     ranked AS (
       SELECT query_id, cand_id, cos,
@@ -88,15 +96,80 @@ def _bucket_sql(vec: str) -> str:
     tags=("similarity", "lsh"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-5: {N}-bit deterministic hyperplane
-    buckets, search only the query's bucket. ~2^{N}× less scoring
-    work; recall vs the exact twin is measured in tests. The oracle
+    """Sign-LSH bucketed ANN top-5 with Hamming-1 multiprobe:
+    deterministic hyperplane buckets, search the query's bucket and
+    its N_PLANES neighbor buckets (~(N+1)/2^N of the scoring work).
+    Recall vs the exact twin is measured in tests; the oracle
     replays the identical bucketing from inlined ±1 literals."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return topk_cosine_lsh(queries, emb, k=TOP_K).withColumn(
         "rnk", F.col("rnk").cast("int")
     )
+
+
+_CENTROID_SQL = """
+    ex AS (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             round(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, label AS cell
+      FROM (
+        SELECT e.vec_id, centv.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, centv.cv) DESC, centv.label
+               ) AS rn
+        FROM e, centv
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    q AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, a.cell
+      FROM e JOIN assign a USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT e.vec_id AS cand_id, e.v AS cv2, a.cell
+      FROM e JOIN assign a USING (vec_id)
+    ),
+    ranked AS (
+      SELECT q.query_id, c.cand_id,
+             list_cosine_similarity(q.qv, c.cv2) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, c.cv2) DESC,
+                                         c.cand_id) AS rnk
+      FROM q JOIN c ON c.cell = q.cell AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN top-5: nearest-centroid cells built from
+    the decimal-exact label centroids, search confined to the
+    query's cell (nprobe=1). The data-adaptive complement of the
+    sign-LSH variant; oracle replays centroids, assignment, and
+    ranking exactly."""
+    from ..similarity.ivf import topk_cosine_ivf
+
+    return topk_cosine_ivf(t(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
 
 
 @register("sim_bucket_histogram", oracle=f"""
