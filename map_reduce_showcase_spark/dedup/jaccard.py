@@ -35,12 +35,12 @@ def shingle_rows(
     higher-order shingle expressions to one task — and (b) stops
     CollapseProject from inlining the tokenize regex into every one
     of the shingle expression's references to the token array."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        # rebalance the raw text FIRST so tokenize itself runs on
-        # all cores (tokenizing below the exchange would serialize
-        # it into the source's partition count)
-        docs = docs.repartition(sc.defaultParallelism)
+    from ..functions.util import rebalance
+
+    # rebalance the raw text FIRST so tokenize itself runs on all
+    # cores (tokenizing below the exchange would serialize it into
+    # the source's partition count)
+    docs = rebalance(docs)
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )

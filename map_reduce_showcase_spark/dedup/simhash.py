@@ -31,7 +31,9 @@ def simhash_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, simhash) with a ``SIMHASH_BITS``-bit fingerprint."""
-    tok = docs.select(
+    from ..functions.util import rebalance
+
+    tok = rebalance(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
     )

@@ -47,8 +47,11 @@ def word_count(text_df: DataFrame, text_col: str = "text") -> DataFrame:
     ``src/app/wc.rs:60-66``) is applied by :func:`word_count_report`;
     the aggregate itself is order-free so the optimizer can fuse it.
     """
+    from ..functions.util import rebalance
+
     return (
-        text_df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        rebalance(text_df)
+        .select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -201,6 +201,42 @@ def events_moving_sum_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(ts AS TIMESTAMP) AS last_ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (row_number = 1 over ts desc) —
+    the CDC/snapshot-compaction primitive. One shuffle on the key;
+    at 100 TB this is the pattern that replaces ``dropDuplicates``
+    when "which duplicate survives" matters."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
     "events_asof_purchase_click",
     oracle="""
     SELECT event_id AS purchase_id, user_id,

@@ -1,0 +1,113 @@
+"""UDF-surface queries: the engine's extensibility story.
+
+The reference's ENTIRE extensibility model is user-supplied map/
+reduce/postprocess functions (``src/lib.rs:114-150``). In this
+engine, 60+ queries needed zero Python because built-in expressions
+cover them (the preferred path — SURVEY.md §2.4); this module shows
+the two escape hatches for when they don't, in their fast forms:
+
+* a scalar **Arrow-batched pandas UDF** (vectorized, ~10-100× the
+  row-at-a-time Python UDF the docs warn about),
+* a **grouped-aggregate pandas UDF** (a user-defined aggregate over
+  each group's column as one numpy array).
+
+Both are checked against the DuckDB oracle: the functions are chosen
+so their float behavior is portable (element-wise ops, and
+``math.fsum`` — correctly-rounded summation — against the oracle's
+exact decimal sum).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .registry import register, t
+
+# pandas_udf decorators parse their DDL type against the active
+# session, so the udfs are built lazily inside the query builders.
+
+
+def _clv_score_udf():
+    @pandas_udf("double")
+    def _clv_score(total: pd.Series, n_orders: pd.Series) -> pd.Series:
+        """Toy customer-lifetime-value score: element-wise vectorized
+        arithmetic over Arrow batches (log1p is per-element libm —
+        same doubles the oracle's ln(1+x) produces)."""
+        import numpy as np
+
+        return np.log1p(total) * np.sqrt(n_orders.astype("float64"))
+
+    return _clv_score
+
+
+@register(
+    "udf_scalar_clv",
+    oracle="""
+    SELECT o_custkey,
+           round(ln(1 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
+                 * sqrt(COUNT(*)), 6) AS clv
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def udf_scalar_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over pre-aggregated rows: aggregate
+    natively (decimal-exact), then run the Python scoring function
+    on the 1-row-per-customer result — Python touches thousands of
+    rows, not millions. That ordering (aggregate THEN udf) is the
+    100 TB discipline for any Python scoring stage."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    score = _clv_score_udf()
+    return per_cust.select(
+        "o_custkey",
+        F.round(score(F.col("_total"), F.col("_n")), 6).alias("clv"),
+    )
+
+
+def _geo_mean_udf():
+    @pandas_udf("double")
+    def _geo_mean(vals: pd.Series) -> float:
+        """Grouped-agg pandas UDF: geometric mean via fsum of logs.
+        ``math.fsum`` is correctly rounded, so the sum equals the
+        oracle's exact decimal sum of the same rounded logs."""
+        logs = [round(math.log(v), 9) for v in vals if v > 0]
+        if not logs:
+            return float("nan")
+        return math.exp(math.fsum(logs) / len(logs))
+
+    return _geo_mean
+
+
+@register(
+    "udf_grouped_geomean_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(CAST(SUM(CAST(round(ln(l_quantity), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*)), 6) AS geo_mean_qty
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def udf_grouped_geomean_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate (grouped-agg pandas UDF): geometric
+    mean of quantities per return flag — the reference's reduce_fn
+    concept, Arrow-batched. Each group's column arrives as one numpy
+    array; Spark still does the shuffle/grouping natively."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    geo_mean = _geo_mean_udf()
+    return li.groupBy("l_returnflag").agg(
+        F.round(geo_mean(F.col("l_quantity")), 6).alias("geo_mean_qty")
+    )

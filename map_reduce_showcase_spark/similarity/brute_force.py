@@ -21,10 +21,12 @@ from ..functions.vectors import cosine_similarity
 
 
 def _scored(queries: DataFrame, candidates: DataFrame) -> DataFrame:
+    from ..functions.util import rebalance
+
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = candidates.select(
+    c = rebalance(candidates).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     return (

@@ -45,9 +45,13 @@ def centroid_vectors(vectors: DataFrame) -> DataFrame:
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment, broadcast
     scoring, deterministic (score desc, label asc) argmax."""
-    scored = vectors.select(
-        "vec_id", F.col("embedding").alias("_emb")
-    ).crossJoin(F.broadcast(centroids))
+    from ..functions.util import rebalance
+
+    scored = (
+        rebalance(vectors)
+        .select("vec_id", F.col("embedding").alias("_emb"))
+        .crossJoin(F.broadcast(centroids))
+    )
     w = Window.partitionBy("vec_id").orderBy(
         cosine_similarity(F.col("_emb"), F.col("centvec")).desc(), F.col("label")
     )

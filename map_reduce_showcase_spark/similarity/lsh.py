@@ -85,7 +85,9 @@ def topk_cosine_lsh(
         F.col("embedding").alias("q_emb"),
         F.explode(F.array(*probe_list)).alias("bucket"),
     )
-    c = candidates.select(
+    from ..functions.util import rebalance
+
+    c = rebalance(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         bucket.alias("bucket"),
