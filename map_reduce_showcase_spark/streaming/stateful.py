@@ -1,0 +1,57 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+When built-in windowed aggregation can't express the semantics
+(custom eviction, cross-event logic, ML feature state), Spark's
+escape hatch is arbitrary per-key state + Arrow-batched Python:
+``groupBy(key).applyInPandasWithState(...)``. The reference has no
+stateful anything (SURVEY.md §2.4); this is the Spark-native way to
+write the "custom stateful operator" a 100 TB event pipeline
+eventually needs.
+
+Scale notes: state lives in the state store partitioned by key (one
+shuffle); each micro-batch ships only that batch's rows per key into
+Python as Arrow batches. State must stay O(1) per key — running
+aggregates here, never raw event history. Use timeouts
+(``GroupStateTimeout``) to expire idle keys or state grows with key
+cardinality forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def streaming_user_running_totals(events: DataFrame) -> DataFrame:
+    """Running per-user (event count, value sum) maintained as
+    explicit state across micro-batches; emits the updated running
+    totals for each user seen in the batch."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -65,6 +65,93 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
     assert emitted == expected
 
 
+def test_streaming_session_window_stateful(spark, sf_dir):
+    """session_window runs stateful in streaming: replay the events
+    table in chronological micro-batches (watermark advances
+    monotonically) and compare finalized sessions to the batch twin."""
+    events = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+    third = len(events) // 3
+    chunks = [events.iloc[:third], events.iloc[third : 2 * third], events.iloc[2 * third :]]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        spark.createDataFrame(chunks[0], schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for chunk in chunks[1:]:
+                spark.createDataFrame(chunk, schema=EVENTS_SCHEMA).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("t_sessions")
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        )
+        emitted = {tuple(map(str, r)) for r in got.collect()}
+        expected = {tuple(map(str, r)) for r in batch.collect()}
+        # append emits only watermark-finalized sessions: every one
+        # must be correct, and most sessions finalize during replay
+        assert emitted <= expected
+        assert len(emitted) >= 0.6 * len(expected)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState: per-user running totals across
+    micro-batches; each user's final update equals the batch
+    aggregate."""
+    from map_reduce_showcase_spark.streaming.stateful import (
+        streaming_user_running_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r["user_id"], r["n_events"]) for r in final.collect()}
+    want = {(r["user_id"], r["n_events"]) for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_dedup_emits_each_id_once(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     deduped = _run_available_now(spark, streaming_dedup(stream), "t_dedup", "append")
