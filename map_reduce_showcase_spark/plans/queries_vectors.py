@@ -33,14 +33,45 @@ def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(t(spark, sf_dir, "embeddings"), "label")
 
 
-@register("dedup_connected_components", oracle=None, tags=("dedup", "iterative"))
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure over the exact same MinHash
+    near-dup edges the Spark side uses: component = min reachable
+    doc_id. DuckDB's WITH RECURSIVE plays the role of the Spark
+    side's iterative label propagation."""
+    from .queries_dedup import _minhash_sql
+
+    minhash_pairs = _minhash_sql(12, 3)
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, MIN(comp) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_components_oracle(),
+    tags=("dedup", "iterative"),
+)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: connected components (iterative min-label
-    propagation) over the MinHash near-dup pair graph; component =
-    min doc_id. Iterative → no single SQL oracle (driver records the
-    rows-only check); exactness is pinned by a union-find differential
-    test in tests/test_components.py."""
+    propagation, ``dedup/components.py``) over the MinHash near-dup
+    pair graph; component = min doc_id reachable. The oracle computes
+    the same fixpoint as a recursive-CTE transitive closure over the
+    identical edge set; a union-find differential test additionally
+    pins the Spark side in tests/test_components.py."""
     pairs = minhash_near_dup_pairs(
-        t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=2, threshold=0.7
+        t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=3, threshold=0.7
     )
     return connected_components(pairs)

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): the engine's core text
+operators against independent Python models on adversarial inputs —
+unicode tokenization edge cases no fixture corpus covers, and the
+MinHash ⊆ exact-Jaccard containment invariant.
+
+Example counts are small: each example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from map_reduce_showcase_spark.dedup.jaccard import ngram_jaccard_pairs
+from map_reduce_showcase_spark.dedup.minhash import minhash_near_dup_pairs
+from map_reduce_showcase_spark.operators.mapreduce import word_count
+
+# letters (any script) — the \p{L} class the engine splits on
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _model_tokens(text: str) -> list[str]:
+    """The engine's tokenizer contract: lowercase, then split on
+    every non-letter."""
+    return _WORD_RE.findall(text.lower())
+
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_word_count_matches_python_model(spark, texts):
+    expected = collections.Counter()
+    for s in texts:
+        expected.update(_model_tokens(s))
+    df = spark.createDataFrame([(s,) for s in texts], ["text"])
+    got = {r["word"]: r["cnt"] for r in word_count(df, "text").collect()}
+    assert got == dict(expected)
+
+
+_VOCAB = "alpha beta gamma delta epsilon zeta".split()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=2, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_minhash_pairs_subset_of_exact(spark, docs):
+    """LSH can miss pairs (probabilistic recall) but must never
+    invent one, and every reported jaccard must equal the exact
+    value — the candidate-verify stage guarantees both."""
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    mh = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df, n=2, threshold=0.5).collect()
+    }
+    assert set(mh) <= set(exact)
+    for pair, j in mh.items():
+        assert j == exact[pair]
