@@ -69,5 +69,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the budget); raise max_rounds or "
+            "switch to the large-star/small-star variant"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component")

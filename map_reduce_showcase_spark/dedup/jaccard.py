@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens
 
 
 def shingle_rows(
@@ -55,6 +55,28 @@ def shingle_rows(
     )
 
 
+def jaccard_filter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared verify tail: (d1, d2, inter) + per-doc shingle sizes →
+    pairs with Jaccard ≥ threshold, rounded to 6. Used by both the
+    exhaustive pair scan and the LSH candidate-verify stage so their
+    semantics can never drift apart."""
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def shingle_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -71,19 +93,10 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    jac = F.col("inter") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(jac >= threshold)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_filter(inter, shingle_sizes(sh), threshold)

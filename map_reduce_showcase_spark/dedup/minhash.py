@@ -14,11 +14,15 @@ The 100 TB near-dup pipeline, per the classic Broder construction:
    pairwise,
 4. verify candidates with exact Jaccard (``jaccard.py``).
 
-Tuning: P(candidate) = 1 − (1 − J^r)^b — with b=6, r=2 the curve
-passes ~0.5 at J≈0.4, so J≥0.7 pairs are caught with P>0.995 while
-J≤0.1 pairs mostly never collide. Skew note: identical boilerplate
-docs all share every band — the bucket-join inherits the same
-high-DF-cap defense as the shingle index.
+Tuning: P(candidate) = 1 − (1 − J^r)^b. The default b=4, r=3 puts
+the S-curve midpoint at J≈0.55: J≥0.9 pairs are caught with P>0.99,
+J=0.7 pairs with P≈0.81, and the J≈0.1 background almost never
+collides — candidate count is what the verify stage's cost scales
+with, so the default trades a little recall at the threshold edge
+for a ~25× smaller candidate set; use b=6, r=2 when J≈0.5-0.7
+recall matters more than verify cost. Skew note: identical
+boilerplate docs all share every band — the bucket-join inherits
+the same high-DF-cap defense as the shingle index.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60
-from .jaccard import ngram_jaccard_pairs, shingle_rows
+from .jaccard import jaccard_filter, shingle_rows, shingle_sizes
 
 #: Universal-hash family h_i(x) = (a_i·x + b_i) mod MOD over the
 #: base 60-bit md5 hash reduced mod MOD. One md5 per shingle instead
@@ -55,7 +59,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 2
+    sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
     """Distinct candidate (d1, d2) pairs sharing ≥1 full band."""
     n_bands = num_hashes // rows_per_band
@@ -110,7 +114,6 @@ def minhash_near_dup_pairs(
     # tokenize+shingle expressions per consumer
     sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     e2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -119,12 +122,4 @@ def minhash_near_dup_pairs(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    jac = F.col("inter") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(jac >= threshold)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_filter(inter, shingle_sizes(sh), threshold)

@@ -72,11 +72,15 @@ def submit_job(
         df = grep_lines(read_lines_with_path(spark, files), term)
         fmt = format_grep
     elif app == "vertex-degree":
-        edges = parse_edge_lines(read_lines_with_path(spark, files).select("line"))
-        bad = edges.filter(~edges.valid)
-        if bad.limit(1).count():
+        # persist the parsed edges: the validation pass, the result,
+        # and an optional sink all consume them — one parse, not three
+        edges = parse_edge_lines(
+            read_lines_with_path(spark, files).select("line")
+        ).persist()
+        if edges.filter(~edges.valid).limit(1).count():
             # reference: malformed line => fatal task failure => job
             # failed with recorded errors (src/vertex_degree.rs:26-27)
+            edges.unpersist()
             raise ValueError("vertex-degree: malformed edge line")
         df = vertex_degree(edges, "src", "dst")
         fmt = format_vertex_degree
@@ -87,8 +91,7 @@ def submit_job(
     if output_dir is not None:
         from ..sources.sinks import write_n_files
 
-        write_n_files(df, output_dir, n_reduce, by_col=df.columns[0])
-        n_files = n_reduce
+        n_files = write_n_files(df, output_dir, n_reduce, by_col=df.columns[0])
     return JobResult(df=df, output=fmt(df.collect()), output_dir=output_dir, n_output_files=n_files)
 
 

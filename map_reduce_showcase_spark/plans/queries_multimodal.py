@@ -85,8 +85,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_stats",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
-           CAST(strlen(text) - (ceil(strlen(text) / 64.0) - 1) * 64 AS BIGINT)
+           CAST(greatest(ceil(strlen(text) / 64.0), 1) AS BIGINT) AS n_frames,
+           CAST(strlen(text) - (greatest(ceil(strlen(text) / 64.0), 1) - 1) * 64 AS BIGINT)
              AS min_frame_bytes
     FROM documents
     """,

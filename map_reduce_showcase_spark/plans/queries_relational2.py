@@ -242,15 +242,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
 
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # lazy scalar: the corpus size joins in as a broadcast 1-row
+    # aggregate (an eager .count() here would run a job at plan-build
+    # time — builders must stay lazy plans)
+    nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
     terms = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
     )
     tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+    idf = (F.lit(1.0) + F.col("_nd")) / (F.lit(1.0) + F.col("df"))
     return (
         tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "word",

@@ -174,17 +174,20 @@ def text_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + distinct + count; partial aggregation bounds the
     shuffle by vocabulary size."""
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny scalar, computed once driver-side
+    # corpus size as a broadcast 1-row aggregate, keeping the
+    # builder a lazy plan (no job at build time)
+    nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
     return (
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
         .distinct()
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(nd))
         .select(
             "word",
             "doc_freq",
             F.round(
-                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("doc_freq"))),
+                F.log((F.lit(1.0) + F.col("_nd")) / (F.lit(1.0) + F.col("doc_freq"))),
                 6,
             ).alias("idf"),
         )

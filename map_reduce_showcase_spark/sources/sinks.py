@@ -47,12 +47,20 @@ def write_bucketed(
     )
 
 
-def write_n_files(df: DataFrame, path: str, n: int, by_col: str | None = None) -> None:
-    """Reference-parity sink: exactly ``n`` output files (the
-    reference's ``mr-out-{0..n-1}``). ``by_col`` hash-distributes
-    rows like ``ihash(key) % n_reduce`` (``src/lib.rs:201-208``);
-    without it Spark round-robins."""
+def write_n_files(df: DataFrame, path: str, n: int, by_col: str | None = None) -> int:
+    """Reference-parity sink: ``n`` reduce partitions → up to ``n``
+    output files (the reference's ``mr-out-{0..n-1}``). ``by_col``
+    hash-distributes rows like ``ihash(key) % n_reduce``
+    (``src/lib.rs:201-208``); without it Spark round-robins.
+
+    Returns the number of data files actually written: unlike the
+    reference (whose reduce tasks write even empty files), Spark's
+    writer skips empty partitions, so the count is ≤ n when keys
+    hash unevenly or there are fewer keys than partitions."""
+    import glob
+
     from pyspark.sql import functions as F
 
     part = df.repartition(n, F.col(by_col)) if by_col else df.repartition(n)
     part.write.mode("overwrite").parquet(path)
+    return len(glob.glob(f"{path}/part-*"))
