@@ -201,6 +201,41 @@ def events_moving_sum_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multires_rollup",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket_hour,
+           CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS bucket_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (time_bucket(INTERVAL '1 hour', ts)),
+      (time_bucket(INTERVAL '1 day', ts))
+    )
+    """,
+    tags=("events", "rollup"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: hour
+    and day rollups of the event stream in ONE pass via grouping
+    sets (one expand + one shuffle — never two scans). The batch
+    form of a TimescaleDB continuous aggregate; incremental refresh
+    is the streaming tumbling query."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["bucket_hour"], ["bucket_day"]], "bucket_hour", "bucket_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec6("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "events_latest_per_user",
     oracle="""
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,

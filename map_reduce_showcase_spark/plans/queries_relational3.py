@@ -131,6 +131,38 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlated_above_own_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery", "window"),
+)
+def correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5× above their own
+    customer's average) — decorrelated into a window aggregate over
+    the customer partition, the plan Catalyst itself would target:
+    one shuffle on custkey, no per-row subquery execution ever."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey")
+    avg_own = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("_avg", avg_own)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
     "fullouter_nation_parties",
     oracle="""
     SELECT COALESCE(c.nk, s.nk) AS n_nationkey,
