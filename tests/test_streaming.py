@@ -152,6 +152,22 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir):
     assert got == want
 
 
+def test_foreach_batch_sink_exactly_once_shape(spark, sf_dir, events_dir):
+    """foreachBatch parquet sink: every input row lands exactly once
+    across the replayed micro-batches, tagged with its batch id."""
+    from map_reduce_showcase_spark.streaming.demo import write_stream_foreach_batch
+
+    with tempfile.TemporaryDirectory() as d:
+        stream = read_events_stream(spark, events_dir)
+        q = write_stream_foreach_batch(stream, f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{d}/out")
+        n_in = load_table(spark, sf_dir, "events").count()
+        assert out.count() == n_in
+        assert out.select("event_id").distinct().count() == n_in
+        assert out.select("_batch_id").distinct().count() >= 2, "multiple micro-batches expected"
+
+
 def test_streaming_dedup_emits_each_id_once(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     deduped = _run_available_now(spark, streaming_dedup(stream), "t_dedup", "append")
