@@ -37,14 +37,18 @@ def simhash_docs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
     )
-    h = portable_hash60(F.col("word"))
+    # project the md5-based hash ONCE below the aggregate — the bit
+    # expressions reference it 32 times, and referencing the raw
+    # expression would evaluate 32 md5s per token
+    hashed = tok.select("doc_id", portable_hash60(F.col("word")).alias("hv"))
+    h = F.col("hv")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
