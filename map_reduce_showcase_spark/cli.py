@@ -1,0 +1,68 @@
+"""Command-line client mirroring the reference's ``mr-client``.
+
+Reference CLI (``src/bin/client.rs:24-99``):
+    mr-client submit --app wc --files a.txt b.txt \\
+        --output-dir out --num-reduce 5 [--args ...] --wait
+    mr-client process --app wc --output-dir out
+
+Here submit is synchronous (a Spark action already IS submit+poll)
+and process happens in the same invocation — the formatted output
+prints to stdout exactly as the reference's ``process`` subcommand
+would. Run as::
+
+    python -m map_reduce_showcase_spark.cli submit \\
+        --app grep --files /root/reference/data/gutenberg/*.txt \\
+        --args --term Elizabeth
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .operators.jobs import APPS, submit_job
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mrs-client")
+    sub = p.add_subparsers(dest="command", required=True)
+    s = sub.add_parser("submit", help="run a job and print its formatted output")
+    s.add_argument("--app", required=True, choices=APPS)
+    s.add_argument("--files", nargs="+", required=True)
+    s.add_argument("--output-dir", default=None)
+    s.add_argument("--num-reduce", type=int, default=5)  # reference default
+    s.add_argument(
+        "--args", nargs=argparse.REMAINDER, default=[],
+        help="app args, e.g. --args --term foo",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    ns = build_parser().parse_args(argv)
+    spark = get_spark(app_name=f"mrs-client-{ns.app}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        result = submit_job(
+            spark,
+            app=ns.app,
+            files=ns.files,
+            output_dir=ns.output_dir,
+            n_reduce=ns.num_reduce,
+            args=ns.args,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    sys.stdout.write(result.output)
+    if result.output_dir:
+        print(
+            f"# wrote {result.n_output_files} files to {result.output_dir}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

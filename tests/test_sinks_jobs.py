@@ -112,3 +112,22 @@ def test_job_facade_vertex_degree_with_output(spark):
 def test_job_facade_unknown_app(spark):
     with pytest.raises(ValueError, match="unknown app"):
         submit_job(spark, "nope", ALPHABET)
+
+
+def test_cli_submit_wc(spark, capsys):
+    """mr-client parity: the CLI prints the app's formatted output.
+    (Re-uses the active session via getOrCreate.)"""
+    from map_reduce_showcase_spark.cli import main
+
+    rc = main(["submit", "--app", "wc", "--files", *ALPHABET, "--num-reduce", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0].endswith("\ta") or "\t" in out.splitlines()[0]
+
+
+def test_cli_grep_missing_term_errors(spark, capsys):
+    from map_reduce_showcase_spark.cli import main
+
+    rc = main(["submit", "--app", "grep", "--files", *ALPHABET])
+    assert rc == 2
+    assert "--term" in capsys.readouterr().err
