@@ -131,6 +131,36 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "having_frequent_buyers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+       AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+    """,
+    tags=("aggregation", "having"),
+)
+def having_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicates (order count AND decimal-
+    exact spend threshold) — a filter above the aggregate, pushed
+    nowhere, evaluated on one row per group."""
+    o = t(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            spend.cast("double").alias("total_spend"),
+            spend.alias("_spend_dec"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("_spend_dec") > 1000000))
+        .select("o_custkey", "n_orders", "total_spend")
+    )
+
+
+@register(
     "correlated_above_own_avg",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice

@@ -44,16 +44,22 @@ _SETTINGS = settings(
 )
 
 
+# Version-stable Unicode blocks only: the JVM (Java 17 ≈ Unicode 13)
+# and CPython 3.11 (Unicode 14) disagree about letters assigned
+# between their versions (hypothesis found U+11AB0, a Unicode-14
+# Tangsa letter). These blocks have been stable for decades and
+# still cover the semantics under test: ASCII, Latin-1/Ext-A (case
+# folding incl. İ), combining marks, Greek, Cyrillic, CJK.
+_STABLE_CHARS = st.one_of(
+    st.characters(min_codepoint=0x20, max_codepoint=0x17F),
+    st.characters(min_codepoint=0x300, max_codepoint=0x4FF),
+    st.characters(min_codepoint=0x4E00, max_codepoint=0x9FEF),
+)
+
+
 @given(
     texts=st.lists(
-        st.text(
-            alphabet=st.characters(
-                # no lone surrogates; exclude unassigned code points —
-            # JVM and CPython may sit on different Unicode versions
-            codec="utf-8", exclude_categories=("Cs", "Cn")
-            ),
-            max_size=60,
-        ),
+        st.text(alphabet=_STABLE_CHARS, max_size=60),
         min_size=1,
         max_size=4,
     )
