@@ -45,11 +45,28 @@ def shingle_rows(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
     tk = F.col("_toks")
-    idx = F.sequence(F.lit(0), F.size(tk) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
-    shingles = F.when(F.size(tk) >= n, grams).otherwise(
-        F.expr("CAST(array() AS ARRAY<STRING>)")
-    )
+    if n == 2:
+        # bigram fast path: one linear zip of the array with its own
+        # tail (the indexed transform+slice form is O(n) per gram);
+        # zip_with pads the shorter side with null and concat
+        # propagates it, so the trailing null gram filters out
+        grams = F.filter(
+            F.zip_with(
+                tk,
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda g: g.isNotNull(),
+        )
+        shingles = F.when(F.size(tk) >= 2, grams).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
+    else:
+        idx = F.sequence(F.lit(0), F.size(tk) - n)
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
+        shingles = F.when(F.size(tk) >= n, grams).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
     return toks_df.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
