@@ -86,6 +86,7 @@ def _load_all() -> None:
     from . import queries_relational2  # noqa: F401
     from . import queries_relational3  # noqa: F401
     from . import queries_udf  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
     from . import queries_vectors  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
