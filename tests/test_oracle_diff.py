@@ -55,6 +55,14 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
     )
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
     for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        # int-vs-float dtype crossings hash differently in the
+        # driver (repr '2328' != '2328.0') even when values compare
+        # equal — e.g. DuckDB returns SUM(BIGINT) as HUGEINT→float64
+        assert not ("f" in (gk, wk) and {gk, wk} & {"i", "u"}), (
+            f"{name}.{col}: int/float dtype crossing spark={got[col].dtype} oracle={want[col].dtype}"
+        )
+    for col in got.columns:
         gv, wv = got[col].tolist(), want[col].tolist()
         bad = [
             (i, a, b)
