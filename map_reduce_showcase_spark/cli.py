@@ -32,15 +32,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--files", nargs="+", required=True)
     s.add_argument("--output-dir", default=None)
     s.add_argument("--num-reduce", type=int, default=5)  # reference default
-    s.add_argument(
-        "--args", nargs=argparse.REMAINDER, default=[],
-        help="app args, e.g. --args --term foo",
-    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # everything after a literal --args belongs to the app, verbatim
+    # (argparse.REMAINDER would silently swallow any client flag the
+    # user placed after --args — split explicitly instead)
+    app_args: list[str] = []
+    if "--args" in argv:
+        i = argv.index("--args")
+        app_args = argv[i + 1 :]
+        argv = argv[:i]
     ns = build_parser().parse_args(argv)
+    ns.args = app_args
     spark = get_spark(app_name=f"mrs-client-{ns.app}")
     spark.sparkContext.setLogLevel("ERROR")
     try:

@@ -47,19 +47,17 @@ def shingle_rows(
     tk = F.col("_toks")
     if n == 2:
         # bigram fast path: one linear zip of the array with its own
-        # tail (the indexed transform+slice form is O(n) per gram);
+        # tail (the indexed transform+slice form is O(n) per gram).
         # zip_with pads the shorter side with null and concat
-        # propagates it, so the trailing null gram filters out
-        grams = F.filter(
+        # propagates it, so the trailing (and single-token) null
+        # grams filter out — no size guard needed
+        shingles = F.filter(
             F.zip_with(
                 tk,
                 F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
                 lambda a, b: F.concat(a, F.lit(" "), b),
             ),
             lambda g: g.isNotNull(),
-        )
-        shingles = F.when(F.size(tk) >= 2, grams).otherwise(
-            F.expr("CAST(array() AS ARRAY<STRING>)")
         )
     else:
         idx = F.sequence(F.lit(0), F.size(tk) - n)

@@ -62,14 +62,19 @@ def write_stream_foreach_batch(
 ):
     """Production sink pattern: ``foreachBatch`` hands each
     micro-batch to the full batch writer API (partitioned parquet
-    here; MERGE/upsert targets in general). The checkpoint records
-    the batch id, and batch-id-keyed writes make replays idempotent
-    → end-to-end exactly-once. Returns the started query."""
+    here; MERGE/upsert targets in general). Exactly-once comes from
+    keying the write on the batch id: output is partitioned by
+    ``_batch_id`` and written with dynamic partition overwrite, so
+    a crash between the parquet commit and the checkpoint commit
+    replays the batch into the SAME partition, overwriting rather
+    than duplicating. Returns the started query."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
 

@@ -53,7 +53,11 @@ _SETTINGS = settings(
 _STABLE_CHARS = st.one_of(
     st.characters(min_codepoint=0x20, max_codepoint=0x17F),
     st.characters(min_codepoint=0x300, max_codepoint=0x4FF),
-    st.characters(min_codepoint=0x4E00, max_codepoint=0x9FEF),
+    st.characters(min_codepoint=0x4E00, max_codepoint=0x9FCC),
+    # a supplementary-plane letter block (Gothic, Unicode 3.1):
+    # exercises JVM UTF-16 surrogate-pair regex handling vs Python
+    # code-point semantics
+    st.characters(min_codepoint=0x10330, max_codepoint=0x1034A),
 )
 
 

@@ -115,14 +115,32 @@ def test_job_facade_unknown_app(spark):
 
 
 def test_cli_submit_wc(spark, capsys):
-    """mr-client parity: the CLI prints the app's formatted output.
+    """mr-client parity: the CLI prints the app's formatted output,
+    byte-identical to the golden wc expectation.
     (Re-uses the active session via getOrCreate.)"""
     from map_reduce_showcase_spark.cli import main
+    from tests.test_parity_apps import _expected_wc
 
     rc = main(["submit", "--app", "wc", "--files", *ALPHABET, "--num-reduce", "2"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert out.splitlines()[0].endswith("\ta") or "\t" in out.splitlines()[0]
+    assert out == _expected_wc(ALPHABET)
+
+
+def test_cli_flags_after_args_are_app_args(spark, tmp_path, capsys):
+    """Flags placed after --args belong to the app; client flags
+    before --args still parse (the REMAINDER-swallowing trap)."""
+    from map_reduce_showcase_spark.cli import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        ["submit", "--app", "grep", "--files", *ALPHABET,
+         "--output-dir", out_dir, "--num-reduce", "2",
+         "--args", "--term", "a"]
+    )
+    assert rc == 0
+    assert glob.glob(f"{out_dir}/part-*"), "client --output-dir must be honored"
+    assert "letters1.txt:" in capsys.readouterr().out
 
 
 def test_cli_grep_missing_term_errors(spark, capsys):
