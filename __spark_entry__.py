@@ -13,12 +13,20 @@ engine's analogue of the reference's app registry
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_showcase_spark.operators.mapreduce import word_count
-from map_reduce_showcase_spark.plans import oracle_sql_map, query_map
+# keep the package importable even when this file is loaded by path
+# (importlib spec) rather than as a module inside the repo root
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from map_reduce_showcase_spark.operators.mapreduce import word_count  # noqa: E402
+from map_reduce_showcase_spark.plans import oracle_sql_map, query_map  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
