@@ -201,6 +201,55 @@ def events_moving_sum_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_1h",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'purchase'
+                              AND prev_click_ts IS NOT NULL
+                              AND ts - prev_click_ts <= INTERVAL '1 hour') AS n_converted,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks
+    FROM seq
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: purchases preceded by a click from the
+    same user within 1 hour. Same scalable shape as the as-of join —
+    a running MAX over one union scan, strictly-preceding frame, no
+    pairwise click×purchase join. The canonical sequential-pattern
+    query of event analytics."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    seq = ev.withColumn(
+        "prev_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    converted = (
+        is_purchase
+        & F.col("prev_click_ts").isNotNull()
+        & (F.col("ts") <= F.col("prev_click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return seq.agg(
+        F.count_if(is_purchase).alias("n_purchases"),
+        F.count_if(converted).alias("n_converted"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+    )
+
+
+@register(
     "events_multires_rollup",
     oracle="""
     SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket_hour,
