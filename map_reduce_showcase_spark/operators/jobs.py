@@ -64,35 +64,43 @@ def submit_job(
     Unknown ``app`` raises ValueError at submit time, matching the
     coordinator's InvalidArgument."""
     args = args or []
-    if app == "wc":
-        df = word_count_report(read_whole_files(spark, files), "content")
-        fmt = format_word_count
-    elif app == "grep":
-        term = _parse_term(args)
-        df = grep_lines(read_lines_with_path(spark, files), term)
-        fmt = format_grep
-    elif app == "vertex-degree":
-        # persist the parsed edges: the validation pass, the result,
-        # and an optional sink all consume them — one parse, not three
-        edges = parse_edge_lines(
-            read_lines_with_path(spark, files).select("line")
-        ).persist()
-        if edges.filter(~edges.valid).limit(1).count():
-            # reference: malformed line => fatal task failure => job
-            # failed with recorded errors (src/vertex_degree.rs:26-27)
-            edges.unpersist()
-            raise ValueError("vertex-degree: malformed edge line")
-        df = vertex_degree(edges, "src", "dst")
-        fmt = format_vertex_degree
-    else:
-        raise ValueError(f"unknown app {app!r}; known: {APPS}")
+    cached = None  # unpersisted in the finally below, success or not
+    try:
+        if app == "wc":
+            df = word_count_report(read_whole_files(spark, files), "content")
+            fmt = format_word_count
+        elif app == "grep":
+            term = _parse_term(args)
+            df = grep_lines(read_lines_with_path(spark, files), term)
+            fmt = format_grep
+        elif app == "vertex-degree":
+            # persist the parsed edges: the validation pass, the result,
+            # and an optional sink all consume them — one parse, not three
+            cached = parse_edge_lines(
+                read_lines_with_path(spark, files).select("line")
+            ).persist()
+            if cached.filter(~cached.valid).limit(1).count():
+                # reference: malformed line => fatal task failure => job
+                # failed with recorded errors (src/vertex_degree.rs:26-27)
+                raise ValueError("vertex-degree: malformed edge line")
+            df = vertex_degree(cached, "src", "dst")
+            fmt = format_vertex_degree
+        else:
+            raise ValueError(f"unknown app {app!r}; known: {APPS}")
 
-    n_files = 0
-    if output_dir is not None:
-        from ..sources.sinks import write_n_files
+        n_files = 0
+        if output_dir is not None:
+            from ..sources.sinks import write_n_files
 
-        n_files = write_n_files(df, output_dir, n_reduce, by_col=df.columns[0])
-    return JobResult(df=df, output=fmt(df.collect()), output_dir=output_dir, n_output_files=n_files)
+            n_files = write_n_files(df, output_dir, n_reduce, by_col=df.columns[0])
+        # all actions complete before the finally drops the cache; the
+        # returned df stays valid (recomputes from source if re-used)
+        return JobResult(
+            df=df, output=fmt(df.collect()), output_dir=output_dir, n_output_files=n_files
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def _parse_term(args: list[str]) -> str:

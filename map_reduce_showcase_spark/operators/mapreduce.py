@@ -131,14 +131,19 @@ def parse_edge_lines(lines_df: DataFrame, line_col: str = "line") -> DataFrame:
     ``src/app/vertex_degree.rs:12-27``). The reference fails the
     whole task on a malformed line; we mirror that with a strict
     cast check — callers get an ``(src, dst, valid)`` frame and the
-    golden harness asserts ``valid`` everywhere."""
+    golden harness asserts ``valid`` everywhere.
+
+    Exact parity with the Rust parse: ``split_whitespace().take(2)``
+    ignores any tokens past the first two, and ``parse::<u64>``
+    rejects negatives — so extra trailing tokens are fine but a
+    negative vertex id is malformed."""
     parts = F.split(F.trim(F.col(line_col)), r"\s+")
     src = F.element_at(parts, 1).cast("long")
     dst = F.element_at(parts, 2).cast("long")
     return lines_df.select(
         src.alias("src"),
         dst.alias("dst"),
-        (src.isNotNull() & dst.isNotNull() & (F.size(parts) == 2)).alias("valid"),
+        (src.isNotNull() & dst.isNotNull() & (src >= 0) & (dst >= 0)).alias("valid"),
     )
 
 

@@ -82,7 +82,9 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), flagged AS (
       SELECT user_id, ts,
-             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '10 minutes'
+             -- >= (not >): Spark session windows are end-exclusive, so a
+             -- gap of EXACTLY the duration starts a NEW session
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ), sessions AS (
@@ -362,5 +364,45 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("purchase_ts"),
             "last_click_ts",
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rsd
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "aggregation", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type, BOUNDED
+    against the exact count: HLL sketches are engine-specific so the
+    estimate itself can never hash-match a SQL oracle — instead the
+    query emits the exact count plus ``within_rsd``, true iff the
+    estimate's relative error is ≤ 5× the configured rsd (0.01). A
+    lying sketch flips the boolean and fails the driver's hash gate.
+    At 100 TB the sketch is THE way to count users (constant memory
+    per group, mergeable partials, no expand shuffle); the exact
+    twin here exists only to certify it."""
+    rsd = 0.01
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(5 * rsd)
+            ).alias("within_rsd"),
         )
     )

@@ -392,7 +392,8 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct) — Spark plans a two-phase expand/agg; for
     100 TB cardinality estimation use approx_count_distinct (see
-    ``approx_distinct_users``, rows-only checked)."""
+    ``approx_distinct_users`` in ``queries_events``, which bounds
+    the HLL estimate against the exact count)."""
     return (
         t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
@@ -400,20 +401,6 @@ def distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
             F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
             F.count(F.lit(1)).alias("n_customers"),
         )
-    )
-
-
-@register("approx_distinct_users", oracle=None, tags=("aggregation", "approx"))
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type. No SQL
-    oracle: HLL estimates are engine-specific (driver records the
-    rows-only check); the exact-distinct twin above is the
-    correctness anchor. At 100 TB this is THE way to count users —
-    constant memory per group vs an expand shuffle."""
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
     )
 
 

@@ -81,17 +81,23 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS registry order, and registry order decides which
+    # queries the driver's capped (~50-entry) correctness artifact
+    # verifies. The algorithmically riskiest families — dedup,
+    # similarity, events, multimodal (hash-replayed pipelines) — go
+    # first; the relational tail is conventional SQL with the deepest
+    # local test coverage, so it can absorb any truncation.
     from . import queries_mapreduce  # noqa: F401
-    from . import queries_relational  # noqa: F401
-    from . import queries_relational2  # noqa: F401
-    from . import queries_relational3  # noqa: F401
-    from . import queries_udf  # noqa: F401
-    from . import queries_pipeline  # noqa: F401
-    from . import queries_vectors  # noqa: F401
-    from . import queries_text  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_events  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_vectors  # noqa: F401
+    from . import queries_text  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
+    from . import queries_udf  # noqa: F401
+    from . import queries_relational  # noqa: F401
+    from . import queries_relational2  # noqa: F401
+    from . import queries_relational3  # noqa: F401
 
     _LOADED = True

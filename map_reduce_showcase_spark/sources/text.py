@@ -36,23 +36,26 @@ def read_lines_with_path(spark: SparkSession, paths: list[str] | str) -> DataFra
     """(path, line_no, line) rows; line_no is 1-based within its file.
 
     The 1-based numbering matches grep's ``lines().enumerate()``
-    (``src/app/grep.rs:37-46``). Implemented with a per-file window
-    over a monotonic id — at scale, prefer carrying line numbers in
-    the data itself; this source exists for reference parity on
-    small file corpora.
+    (``src/app/grep.rs:37-46``), including Rust ``lines()`` edge
+    semantics: ``\\r\\n`` counts as one terminator and a trailing
+    newline does not produce a final empty line.
+
+    Numbering is computed per file with ``posexplode`` over a
+    whole-file read — scan-local, NO shuffle and no corpus-wide sort
+    (the naive alternative, a window over a global monotonic id,
+    re-sorts the entire corpus on every read). The trade-off is the
+    reference's own F1 input model: one row per file, so a single
+    file must fit in memory. For line numbers over huge splittable
+    files, carry them in the data or derive from split offsets.
     """
     if isinstance(paths, str):
         paths = [paths]
-    df = (
-        spark.read.text(paths)
-        .withColumn("path", F.input_file_name())
-        .withColumn("_mid", F.monotonically_increasing_id())
+    content = spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("path").orderBy("_mid")
-    return df.select(
-        "path",
-        F.row_number().over(w).alias("line_no"),
-        F.col("value").alias("line"),
+    lines = F.split(F.regexp_replace(F.col("value"), r"\r?\n$", ""), r"\r?\n")
+    return (
+        content.filter(F.length("value") > 0)  # empty file → zero lines
+        .select("path", F.posexplode(lines).alias("pos", "line"))
+        .select("path", (F.col("pos") + 1).cast("int").alias("line_no"), "line")
     )
