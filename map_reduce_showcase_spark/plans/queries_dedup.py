@@ -19,7 +19,7 @@ from ..dedup import (
     simhash_near_pairs,
 )
 from ..dedup.simhash import SIMHASH_BITS
-from ..similarity.brute_force import cosine_pairs
+from ..similarity.lsh import cosine_pairs_lsh, hyperplane_signs
 from .queries_text import _TOKENS_SQL
 from .registry import register, t
 
@@ -197,19 +197,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3, n_bands=4)
 
 
+_EMB_ROWS_PER_BAND = 2
+_EMB_N_BANDS = 8
+
+
+def _band_keys_sql(vec: str) -> str:
+    """DuckDB replay of :func:`banded_band_keys`: one int key per
+    band from the same md5-derived ±1 hyperplanes, inlined as
+    literals (``list_dot_product`` folds sequentially like Spark's
+    ``F.aggregate``, so the sign bits agree bit-for-bit)."""
+    planes = hyperplane_signs(n_planes=_EMB_ROWS_PER_BAND * _EMB_N_BANDS)
+    keys = []
+    for b in range(_EMB_N_BANDS):
+        terms = []
+        for j in range(_EMB_ROWS_PER_BAND):
+            lit = "[" + ", ".join(
+                f"{v:.1f}" for v in planes[b * _EMB_ROWS_PER_BAND + j]
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        keys.append(
+            f"({b * (1 << _EMB_ROWS_PER_BAND)} + " + " + ".join(terms) + ")"
+        )
+    return "[" + ", ".join(keys) + "]"
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, unnest({_band_keys_sql("v")}) AS bkey FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+      FROM b a JOIN b b2 ON a.bkey = b2.bkey AND a.vec_id < b2.vec_id
+    )
+    SELECT cand.v1, cand.v2,
+           round(list_cosine_similarity(e1.v, e2.v), 6) AS cosine
+    FROM cand
+    JOIN e e1 ON e1.vec_id = cand.v1
+    JOIN e e2 ON e2.vec_id = cand.v2
+    WHERE list_cosine_similarity(e1.v, e2.v) >= 0.45
     """,
-    tags=("dedup", "embedding"),
+    tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicates: cosine ≥ 0.45 pairs,
-    brute-force at verification scale (the LSH-bucketed variant is
-    the 100 TB path — see ``sim_topk_lsh``)."""
-    return cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
+    """Embedding-space near-duplicates (cosine ≥ 0.45) via banded
+    sign-LSH — bucket, band equi-join for candidates, exact-cosine
+    verify on candidates only; NO cross join at any stage, so the
+    plan survives 100 TB (the brute-force twin in
+    ``similarity/brute_force.py`` is demoted to the differential
+    recall test in ``tests/test_similarity.py``). The oracle replays
+    bucketing, candidate generation, and verification exactly; 2×8
+    banding puts candidate recall at ≈0.99 for this threshold."""
+    return cosine_pairs_lsh(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        rows_per_band=_EMB_ROWS_PER_BAND,
+        n_bands=_EMB_N_BANDS,
+    )

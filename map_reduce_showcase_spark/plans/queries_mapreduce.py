@@ -119,3 +119,48 @@ def grep_docs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token").contains(GREP_TERM))
         .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
     )
+
+
+@register(
+    "grep_docs_packed",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           to_json(list(struct_pack(line_no := doc_id, line := text)
+                        ORDER BY doc_id)) AS matches_json
+    FROM documents
+    WHERE contains(text, '{GREP_TERM}')
+    GROUP BY source
+    """,
+    tags=("parity", "nested-agg"),
+)
+def grep_docs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep G4's packed per-file aggregation
+    (``src/app/grep.rs:64-78``: per-file sort + list packing): group
+    matches by file (``source``), pack an ORDERED array of
+    (line_no, line) structs — the per-key ordered-event-list shape.
+    The ArrayType(Struct) aggregate is real
+    (``sort_array(collect_list(struct(...)))``, map-side partial);
+    it is serialized with ``to_json`` only for the oracle's value
+    hash, which Spark and DuckDB render byte-identically (verified
+    incl. escapes/unicode). Scale: one shuffle on the group key;
+    per-group arrays are bounded by per-file match counts — for
+    pathological hot files, cap with slice() or spill to a sorted
+    sink instead of one giant row."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains(GREP_TERM))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("line_no"),
+                        F.col("text").alias("line"),
+                    )
+                )
+            ).alias("matches"),
+        )
+        .select("source", "n_matches", F.to_json("matches").alias("matches_json"))
+    )

@@ -104,3 +104,56 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min == the last frame's size (== 64 on exact multiples)
         F.min(F.length(F.col("frame_bytes"))).cast("long").alias("min_frame_bytes"),
     )
+
+
+def _binary_fixture_oracle() -> str:
+    """Expected decode metadata for the checked-in REAL binary
+    fixtures (a valid 4×4 PNG and a valid 8-sample WAV, generated
+    with pure struct/zlib — no media libs), computed independently
+    with hashlib/zlib at oracle-build time. If a fixture changes,
+    the oracle changes with it; if the Spark binaryFile read or the
+    decode stage corrupts a byte, the md5 mismatches."""
+    import hashlib
+    import zlib
+    from pathlib import Path
+
+    media_dir = Path(__file__).resolve().parent.parent / "fixtures" / "media"
+    rows = []
+    for p in sorted(media_dir.iterdir()):
+        data = p.read_bytes()
+        mid = zlib.crc32(p.name.encode())
+        mtype = "image" if p.suffix == ".png" else "audio"
+        n = len(data)
+        n_frames = 1 if mtype == "image" else 1 + (n % 32)
+        rows.append(
+            f"({mid}, '{mtype}', {n}, {64 + n % 577}, {64 + n % 419},"
+            f" {n_frames}, '{hashlib.md5(data).hexdigest()}')"
+        )
+    return f"""
+    SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(n_frames AS INT) AS n_frames, content_md5
+    FROM (VALUES {", ".join(rows)})
+         t(media_id, media_type, n_bytes, width, height, n_frames, content_md5)
+    """
+
+
+@register(
+    "multimodal_binary_files",
+    oracle=_binary_fixture_oracle(),
+    tags=("multimodal", "binary-source"),
+)
+def multimodal_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-binary variant of ``multimodal_decode_meta``: real PNG /
+    WAV payloads read through ``spark.read.format("binaryFile")``
+    (``sources/binary.py``), then the same Arrow-batched mapInPandas
+    decode stage. Unlike the text-backed media queries, this one
+    exercises the actual production entry point for a media lake —
+    whole-file binary rows — end to end (pixel decode itself stays
+    the deterministic stub; PIL/soundfile is a drop-in)."""
+    from pathlib import Path
+
+    from ..sources.binary import read_binary_media
+
+    media_dir = Path(__file__).resolve().parent.parent / "fixtures" / "media"
+    return decode_media_meta(read_binary_media(spark, str(media_dir)))

@@ -84,3 +84,30 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
         (cnt - F.count_distinct(F.col("o_orderkey"))).alias("duplicate_keys"),
     )
+
+
+@register(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("pipeline", "skew"),
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe hot-key counting: ``events.event_type`` has only ~5
+    values, so a plain groupBy concentrates each key's final merge
+    in one task. :func:`~..operators.skew.salted_count_by_key`
+    splits every key into 16 deterministic xxhash64 salts —
+    partial-aggregate per (key, salt), merge 16 rows per key — the
+    answer is IDENTICAL to ``GROUP BY`` (the oracle is the plain
+    form) but no single task ever owns a hot key's raw rows. This is
+    the two-stage pattern for 100 TB skewed aggregations that
+    map-side combine alone can't fix (e.g. collect_list/percentile
+    states that don't pre-reduce)."""
+    from ..operators.skew import salted_count_by_key
+
+    return salted_count_by_key(
+        t(spark, sf_dir, "events"), "event_type", salt_cols=["event_id"], n_salts=16
+    )

@@ -85,3 +85,47 @@ def test_scale_sensitive_plans_avoid_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grep_packed_is_nested_array_struct_agg(spark, sf_dir):
+    """grep G4 parity: the aggregation genuinely builds
+    ArrayType(StructType) (sort_array over collect_list(struct)) —
+    the to_json in the registered output is serialization for the
+    oracle hash, not the aggregate itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructType
+
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = (
+        docs.filter(F.col("text").contains("spark"))
+        .groupBy("source")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("line_no"),
+                        F.col("text").alias("line"),
+                    )
+                )
+            ).alias("matches")
+        )
+    )
+    field = packed.schema["matches"].dataType
+    assert isinstance(field, ArrayType)
+    assert isinstance(field.elementType, StructType)
+    assert isinstance(field.elementType["line_no"].dataType, LongType)
+    assert isinstance(field.elementType["line"].dataType, StringType)
+    row = packed.filter(F.size("matches") > 1).first()
+    if row is not None:
+        nos = [m["line_no"] for m in row["matches"]]
+        assert nos == sorted(nos), "per-file matches must be ordered"
+
+
+def test_salted_counts_two_stage_agg(spark, sf_dir):
+    """The salted registered query must really plan two aggregation
+    stages (partial+final per stage → ≥4 HashAggregates) with an
+    exchange between them."""
+    plan = _plan(spark, sf_dir, "salted_event_counts")
+    assert plan.count("HashAggregate") >= 4, plan

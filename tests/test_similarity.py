@@ -40,3 +40,33 @@ def test_ann_variants_rank_consistently(spark, sf_dir):
             by_q.setdefault(r["query_id"], []).append(r["rnk"])
         for q, rks in by_q.items():
             assert sorted(rks) == list(range(1, len(rks) + 1)), (name, q)
+
+
+def test_lsh_cosine_pairs_vs_bruteforce(spark, sf_dir):
+    """The banded-LSH near-dup pair finder (the registered
+    ``dedup_embedding_cosine``) against its exact brute-force twin:
+    every found pair must be a true pair (verify stage guarantees
+    it) and candidate recall must hold the 2×8-banding S-curve
+    promise (≈0.99 expected at threshold 0.45; the floor guards
+    against degenerate bucketing)."""
+    from map_reduce_showcase_spark.similarity.brute_force import cosine_pairs
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["v1"], r["v2"]) for r in cosine_pairs(emb, 0.45).collect()}
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"banded-LSH recall collapsed: {recall}"
+
+
+def test_lsh_cosine_pairs_plan_has_no_cross_join(spark, sf_dir):
+    """The whole point of the banded variant: no cartesian product
+    anywhere in the physical plan."""
+    df = REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
