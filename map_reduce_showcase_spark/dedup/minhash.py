@@ -111,7 +111,13 @@ def minhash_near_dup_pairs(
     diff them for recall."""
     # the shingle index feeds three subtrees (signatures, verify e1,
     # verify e2): materialize it once instead of re-running the
-    # tokenize+shingle expressions per consumer
+    # tokenize+shingle expressions per consumer.
+    # Measured profile (sf0.1, 5000 docs, local[32]): shingle
+    # materialization ~2.0s, signatures ~0.7s, candidates ~1.5s
+    # (2597 pairs — linear-ish in docs, the S-curve holding),
+    # verify < 0.5s. The stage is SHINGLE-bound at this scale, not
+    # candidate-bound; at 100 TB the balance shifts with corpus dup
+    # rate, and the high-DF cap keeps the bucket join from exploding.
     sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
     e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
