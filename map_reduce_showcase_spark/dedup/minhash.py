@@ -58,10 +58,11 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
-    """Distinct candidate (d1, d2) pairs sharing ≥1 full band."""
+    """(doc_id, band, bkey) rows: the signature split into bands,
+    each band's rows packed into one equi-joinable string key."""
     n_bands = num_hashes // rows_per_band
     band_structs = F.array(
         *[
@@ -78,9 +79,16 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """Distinct candidate (d1, d2) pairs sharing ≥1 full band."""
+    bands = band_rows(sig, num_hashes, rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -120,6 +128,12 @@ def minhash_near_dup_pairs(
     # rate, and the high-DF cap keeps the bucket join from exploding.
     sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
+    return _verify_candidates(cand, sh, threshold)
+
+
+def _verify_candidates(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (d1, d2) pairs against
+    the shingle frame — touches candidates only, never all pairs."""
     e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     e2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -129,3 +143,52 @@ def minhash_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return jaccard_filter(inter, shingle_sizes(sh), threshold)
+
+
+def incremental_minhash_near_dup_pairs(
+    docs: DataFrame,
+    is_new,
+    n: int = 2,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-vs-corpus near-dup detection — the shape a 100 TB
+    pipeline actually runs every day: dedup TODAY'S batch against
+    the whole corpus without ever re-pairing the corpus with itself.
+
+    ``is_new`` is a deterministic Column-predicate factory over the
+    doc id (e.g. a hash bucket or an ingest-date comparison); being
+    a pure function of the id, it filters the band frame directly —
+    no flag column needs carrying through the pipeline. Candidates
+    require a NEW doc on at least one side, so the old×old quadrant
+    — asymptotically ALL of the work as the corpus outgrows the
+    daily batch — is never generated, joined, or verified: per-day
+    cost is O(|batch| × bucket density), not O(|corpus|²). The
+    minhash/band index over the old side is recomputed here for
+    self-containedness; in production it is the persisted artifact
+    this function's band frame models (append-only, since
+    signatures never change).
+
+    Output ``(d1, d2, jaccard)`` with d1 < d2, exactly like
+    :func:`minhash_near_dup_pairs` restricted to pairs touching the
+    batch."""
+    sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    bands = band_rows(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
+    a, b = bands.filter(is_new(F.col("doc_id"))).alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(cand, sh, threshold)

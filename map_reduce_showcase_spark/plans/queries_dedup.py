@@ -99,7 +99,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=2, threshold=0.7)
 
 
-def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
+def _minhash_sql(
+    num_hashes: int = 12, rows_per_band: int = 2, new_pred: str | None = None
+) -> str:
+    """Oracle replay of the full minhash pipeline. With ``new_pred``
+    (a SQL predicate over ``a.doc_id``) the candidate join becomes
+    the incremental batch-vs-corpus form: one side restricted to the
+    new batch, pairs canonicalized with least/greatest."""
     from ..dedup.minhash import MOD, _A_MULT, _B_MULT
 
     base = _HASH60.format(expr="shingle") + f" % {MOD}"
@@ -107,6 +113,20 @@ def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
         f"(((hi.i * {_A_MULT} + 1) % {MOD}) * ({base})"
         f" + ((hi.i * {_B_MULT} + 7) % {MOD})) % {MOD}"
     )
+    if new_pred is None:
+        cand = f"""
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+    else:
+        cand = f"""
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                      greatest(a.doc_id, b.doc_id) AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+      WHERE {new_pred}
+    """
     return f"""
     WITH {_JACCARD_TAIL_SQL},
     mh AS (
@@ -119,11 +139,7 @@ def _minhash_sql(num_hashes: int = 12, rows_per_band: int = 2) -> str:
              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
       FROM mh GROUP BY doc_id, i // {rows_per_band}
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ),
+    cand AS ({cand}),
     inter AS (
       SELECT c.d1, c.d2, COUNT(*) AS inter
       FROM cand c
@@ -256,4 +272,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         rows_per_band=_EMB_ROWS_PER_BAND,
         n_bands=_EMB_N_BANDS,
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_minhash_sql(
+        12,
+        3,
+        new_pred=(
+            "CAST(concat('0x', substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))"
+            " AS BIGINT) % 5 = 0"
+        ),
+    ),
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: TODAY'S batch (a deterministic
+    ~20% hash bucket of doc ids stands in for an ingest-date
+    predicate) against the whole corpus. Same MinHash(12)+LSH(4×3)
+    index and J ≥ 0.7 verify as ``dedup_minhash_lsh``, but the
+    candidate join requires a batch doc on one side — the old×old
+    quadrant, which is asymptotically ALL the work as the corpus
+    outgrows the daily batch, is never generated. This is THE
+    operating mode of dedup at 100 TB (you dedup arrivals, not the
+    lake); the oracle replays the asymmetric candidate join
+    bit-for-bit."""
+    from ..dedup.minhash import incremental_minhash_near_dup_pairs
+    from ..functions.text import portable_hash60
+
+    return incremental_minhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"),
+        is_new=lambda c: portable_hash60(c.cast("string")) % 5 == 0,
+        n=2,
+        num_hashes=12,
+        rows_per_band=3,
+        threshold=0.7,
+    )
+
+
+@register(
+    "decontam_benchmark_overlap",
+    oracle=f"""
+    WITH {_JACCARD_TAIL_SQL},
+    bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, shingle FROM e WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT sizes.doc_id,
+           CAST(sizes.n_sh AS INT) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS INT) AS n_overlap,
+           round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                 / CAST(sizes.n_sh AS DOUBLE), 6) AS overlap_frac,
+           (CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+            / CAST(sizes.n_sh AS DOUBLE) >= 0.5) AS contaminated
+    FROM sizes LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("dedup", "decontamination"),
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (``dedup/decontam.py``): score every
+    corpus document's bigram-shingle overlap against the benchmark
+    set (docs with id < 20 stand in for the eval suite) and flag
+    ≥ 50% overlap. The benchmark's distinct-shingle set broadcasts —
+    the corpus-side probe is a broadcast hash join at scan speed, so
+    the cost at 100 TB is one corpus pass + one per-doc count
+    shuffle; the corpus is never joined with itself."""
+    from ..dedup.decontam import contamination_report
+
+    return contamination_report(
+        t(spark, sf_dir, "documents"),
+        is_benchmark=F.col("doc_id") < 20,
+        n=2,
+        flag_threshold=0.5,
     )

@@ -192,3 +192,132 @@ def text_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+_NDIST_SQL = f"len(list_distinct({_TOKENS_SQL}))"
+_TOPCNT_SQL = (
+    f"list_max(list_transform(list_distinct({_TOKENS_SQL}),"
+    f" x -> len(list_filter({_TOKENS_SQL}, y -> y = x))))"
+)
+_NBIGRAM_DISTINCT_SQL = f"""
+  len(list_distinct(list_transform(
+    generate_series(1, greatest({_NTOK_SQL} - 1, 0)),
+    i -> array_to_string(({_TOKENS_SQL})[i:i+1], ' '))))
+"""
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NTOK_SQL} AS INT) AS n_tokens,
+           round(CAST({_NDIST_SQL} AS DOUBLE)
+                 / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE), 6) AS distinct_ratio,
+           round(CAST({_TOPCNT_SQL} AS DOUBLE)
+                 / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE), 6) AS top_token_frac,
+           round(CASE WHEN {_NTOK_SQL} > 1
+                 THEN 1.0 - CAST({_NBIGRAM_DISTINCT_SQL} AS DOUBLE)
+                            / CAST({_NTOK_SQL} - 1 AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_bigram_frac,
+           (CAST({_NDIST_SQL} AS DOUBLE) / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE) >= 0.2
+            AND CAST({_TOPCNT_SQL} AS DOUBLE)
+                / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE) <= 0.2
+            AND CASE WHEN {_NTOK_SQL} > 1
+                THEN 1.0 - CAST({_NBIGRAM_DISTINCT_SQL} AS DOUBLE)
+                           / CAST({_NTOK_SQL} - 1 AS DOUBLE)
+                ELSE 0.0 END <= 0.75) AS keep
+    FROM documents
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText
+    rules): distinct-token ratio, most-frequent-token fraction, and
+    duplicate-bigram fraction, plus the combined keep/drop verdict —
+    the standard defense against boilerplate and degenerate
+    repetition in web-scale corpora.
+
+    All four signals are scan-local column expressions (zero
+    shuffles): the top-token count folds over the distinct-token
+    array (O(v·n) per doc — vocabulary-bounded text keeps v small;
+    for adversarial v≈n docs, swap in an explode + two-level agg at
+    one shuffle). Thresholds: distinct_ratio ≥ 0.2,
+    top_token_frac ≤ 0.2, dup_bigram_frac ≤ 0.75."""
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    ndist = F.size(F.array_distinct(toks))
+    topcnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    distinct_ratio = ndist.cast("double") / safe_n
+    top_frac = topcnt.cast("double") / safe_n
+    dup_bigram = F.when(
+        n > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        (
+            (distinct_ratio >= 0.2) & (top_frac <= 0.2) & (dup_bigram <= 0.75)
+        ).alias("keep"),
+    )
+
+
+_BPE_PAT = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+_BPE_CNT_SQL = f"len(regexp_extract_all(text, '{_BPE_PAT}'))"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_BPE_CNT_SQL}) AS BIGINT) AS total_tokens,
+           round(CAST(SUM({_BPE_CNT_SQL}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens_per_doc,
+           round(CAST(SUM(n_chars) AS DOUBLE)
+                 / CAST(greatest(SUM({_BPE_CNT_SQL}), 1) AS DOUBLE), 6) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token budgeting: a BPE-style pre-tokenization
+    regex (letter runs | single digits | punctuation, the GPT-2
+    pretokenizer family restricted to portable character classes)
+    counts sub-word-ready units per doc, aggregated per language —
+    the corpus-sizing number ("how many training tokens is this?")
+    every data pipeline reports. Pure regexp column expression at
+    scan speed; integer sums stay exact, one final IEEE division."""
+    cnt = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", cnt.alias("_cnt"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_cnt").cast("long").alias("total_tokens"),
+            F.round(F.sum("_cnt").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_tokens_per_doc"
+            ),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.greatest(F.sum("_cnt"), F.lit(1)).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -95,3 +95,54 @@ def materialize_events_for_streaming(
     load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
         "overwrite"
     ).parquet(out_dir)
+
+
+def streaming_click_purchase_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    ``events_funnel_1h``: every purchase joined to the same user's
+    clicks in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds
+    event-time distance, which is what lets Spark EVICT buffered
+    rows: a click older than (watermark + horizon) can never match a
+    future purchase, so state stays bounded on an unbounded stream —
+    the discipline a 100 TB/day clickstream requires. Without the
+    time bound the state store would grow forever (Spark rejects
+    unbounded stream-stream outer joins outright)."""
+    # both sides derive from ONE source frame, so user_id must be
+    # renamed per side — identically-named refs from shared lineage
+    # resolve to the same attribute and the equality predicate
+    # degenerates to trivially-true (a silent near-cross-join)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
