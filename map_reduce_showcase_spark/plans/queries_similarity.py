@@ -122,18 +122,18 @@ _CENTROID_SQL = """
     ),
     centv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    assign AS (
-      SELECT vec_id, label AS cell
-      FROM (
-        SELECT e.vec_id, centv.label,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, centv.cv) DESC, centv.label
-               ) AS rn
-        FROM e, centv
-      ) WHERE rn = 1
-    )
+    assign_ranked AS (
+      SELECT e.vec_id, centv.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, centv.cv) DESC, centv.label
+             ) AS rn
+      FROM e, centv
+    ),
+    assign AS (SELECT vec_id, label AS cell FROM assign_ranked WHERE rn = 1)
 """
+
+IVF_NPROBE = 2
 
 
 @register(
@@ -141,8 +141,9 @@ _CENTROID_SQL = """
     oracle=f"""
     WITH {_CENTROID_SQL},
     q AS (
-      SELECT e.vec_id AS query_id, e.v AS qv, a.cell
-      FROM e JOIN assign a USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+      SELECT e.vec_id AS query_id, e.v AS qv, ar.label AS cell
+      FROM e JOIN assign_ranked ar USING (vec_id)
+      WHERE ar.rn <= {IVF_NPROBE} AND e.vec_id < {N_QUERIES}
     ),
     c AS (
       SELECT e.vec_id AS cand_id, e.v AS cv2, a.cell
@@ -163,13 +164,16 @@ _CENTROID_SQL = """
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN top-5: nearest-centroid cells built from
-    the decimal-exact label centroids, search confined to the
-    query's cell (nprobe=1). The data-adaptive complement of the
-    sign-LSH variant; oracle replays centroids, assignment, and
-    ranking exactly."""
+    the decimal-exact label centroids, each query searching its
+    nprobe=2 nearest cells (the standard IVF recall dial — cost
+    linear in probed cells, recall → exact as nprobe → n_cells).
+    The data-adaptive complement of the sign-LSH variant; oracle
+    replays centroids, ranked assignment, and probing exactly."""
     from ..similarity.ivf import topk_cosine_ivf
 
-    return topk_cosine_ivf(t(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+    return topk_cosine_ivf(
+        t(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K, nprobe=IVF_NPROBE
+    )
 
 
 @register("sim_bucket_histogram", oracle=f"""

@@ -42,9 +42,15 @@ def centroid_vectors(vectors: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment, broadcast
-    scoring, deterministic (score desc, label asc) argmax."""
+    scoring, deterministic (score desc, label asc) ranking. With
+    ``nprobe`` > 1 each vector maps to its ``nprobe`` nearest cells
+    — the query-side recall dial (index vectors always use
+    nprobe=1: a vector LIVES in one cell, a query SEARCHES several).
+    """
     from ..functions.util import rebalance
 
     scored = (
@@ -57,20 +63,26 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("vec_id", F.col("label").alias("cell"))
     )
 
 
 def topk_cosine_ivf(
-    vectors: DataFrame, n_queries: int = 10, k: int = 5
+    vectors: DataFrame, n_queries: int = 10, k: int = 5, nprobe: int = 1
 ) -> DataFrame:
-    """Approximate top-k neighbors searching only the query's IVF
-    cell. Output ``(query_id, cand_id, rnk, cosine)`` — same shape
-    as the exact and LSH variants for recall diffing."""
-    cells = ivf_assign(vectors, centroid_vectors(vectors))
+    """Approximate top-k neighbors searching the query's ``nprobe``
+    nearest IVF cells (candidates live in exactly one cell, so
+    multi-probe never double-counts a candidate). Output
+    ``(query_id, cand_id, rnk, cosine)`` — same shape as the exact
+    and LSH variants for recall diffing. nprobe is the standard IVF
+    recall/cost dial: cost grows linearly with probed cells, recall
+    approaches exact as nprobe → n_cells."""
+    centroids = centroid_vectors(vectors)
+    cells = ivf_assign(vectors, centroids)
     v = vectors.join(cells, "vec_id")
-    q = v.filter(F.col("vec_id") < n_queries).select(
+    q_src = vectors.filter(F.col("vec_id") < n_queries)
+    q = q_src.join(ivf_assign(q_src, centroids, nprobe), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
     )
     c = v.select(

@@ -21,15 +21,18 @@ from pyspark.sql import functions as F
 def read_whole_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """(path, content) per file — reference F1's exact shape.
 
-    Built on ``wholeTextFiles`` (the one deliberate RDD use in this
-    codebase: whole-file pairing is its native contract). Fine for
-    corpora of many small/medium files; for 100 TB of large files
-    prefer :func:`read_lines_with_path`, which splits.
+    DataFrame-native: ``spark.read.text(..., wholetext=True)`` keeps
+    the whole-file read inside the datasource framework (file
+    listing parallelized, metadata columns, pruning) instead of the
+    legacy RDD ``wholeTextFiles``. Fine for corpora of many
+    small/medium files; for 100 TB of large files prefer
+    :func:`read_lines_with_path`, which splits.
     """
     if isinstance(paths, str):
         paths = [paths]
-    rdd = spark.sparkContext.wholeTextFiles(",".join(paths))
-    return rdd.toDF(["path", "content"])
+    return spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("content")
+    )
 
 
 def read_lines_with_path(spark: SparkSession, paths: list[str] | str) -> DataFrame:

@@ -129,3 +129,18 @@ def test_salted_counts_two_stage_agg(spark, sf_dir):
     exchange between them."""
     plan = _plan(spark, sf_dir, "salted_event_counts")
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_decontam_broadcasts_benchmark_set(spark, sf_dir):
+    """Decontamination must probe the corpus with a BROADCAST join
+    on the benchmark shingle set — the benchmark side is tiny by
+    construction and shuffling the corpus on the shingle would be
+    the scale bug."""
+    plan = _plan(spark, sf_dir, "decontam_benchmark_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_minhash_avoids_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

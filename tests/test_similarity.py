@@ -26,9 +26,10 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     recall_lsh = len(lsh & exact) / len(exact)
     recall_ivf = len(ivf & exact) / len(exact)
     # measured on the sf0.001 gaussian corpus: lsh≈0.5 (4 planes +
-    # Hamming-1 multiprobe), ivf≈0.16 (nprobe=1, 10 cells)
+    # Hamming-1 multiprobe), ivf≈0.4 (nprobe=2 of 10 cells; was 0.16
+    # at nprobe=1)
     assert recall_lsh >= 0.3, f"LSH recall collapsed: {recall_lsh}"
-    assert recall_ivf >= 0.1, f"IVF recall collapsed: {recall_ivf}"
+    assert recall_ivf >= 0.25, f"IVF recall collapsed: {recall_ivf}"
 
 
 def test_ann_variants_rank_consistently(spark, sf_dir):
