@@ -350,3 +350,55 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=2,
         flag_threshold=0.5,
     )
+
+
+@register(
+    "dedup_apply_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp FROM documents
+    ),
+    marked AS (
+      SELECT lang, n_chars,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper
+      FROM fp
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE is_keeper) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT is_keeper) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE is_keeper), 0) AS BIGINT)
+             AS chars_kept
+    FROM marked
+    GROUP BY lang
+    """,
+    tags=("dedup", "exact", "apply"),
+)
+def dedup_apply_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup step actually APPLIED, not just reported: keeper =
+    min doc_id per normalized fingerprint (the deterministic policy
+    from ``dedup_exact_groups``), then per-language corpus
+    accounting of what survives. Shape: one shuffle on the
+    fingerprint (window min), one on lang — at 100 TB the
+    fingerprint window carries md5 hashes, never text, and the same
+    marked frame IS the filtered corpus (``WHERE is_keeper``) that
+    feeds the next pipeline stage."""
+    from ..functions.text import tokens as _tokens
+
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", _tokens(F.col("text"))))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp")
+    marked = (
+        docs.select("doc_id", "lang", "n_chars", fp.alias("fp"))
+        .withColumn("is_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("is_keeper")).alias("n_kept"),
+        F.count_if(~F.col("is_keeper")).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(F.col("is_keeper"), F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
