@@ -9,7 +9,231 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60, portable_hash60_sql
+from .queries_text import (
+    _NBIGRAM_DISTINCT_SQL,
+    _NDIST_SQL,
+    _NTOK_SQL,
+    _PUNCT_SQL,
+    _STOPRATIO_SQL,
+    _TOKENS_SQL,
+    _TOPCNT_SQL,
+    _lang_case_sql,
+    _lang_score_sql,
+)
 from .registry import register, t
+
+# DuckDB twins of the funnel's stage predicates (see
+# pipeline_filter_funnel below) — identical expressions to the
+# text_quality / text_repetition_filter oracles.
+_QUALITY_SQL = f"""
+    round(greatest(least(
+      0.5 * least(CAST({_NTOK_SQL} AS DOUBLE) / 64.0, 1.0)
+      + 0.5 * ({_STOPRATIO_SQL}) - ({_PUNCT_SQL}), 1.0), 0.0), 6)
+"""
+_REP_KEEP_SQL = f"""
+    (CAST({_NDIST_SQL} AS DOUBLE) / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE) >= 0.2
+     AND CAST({_TOPCNT_SQL} AS DOUBLE)
+         / CAST(greatest({_NTOK_SQL}, 1) AS DOUBLE) <= 0.2
+     AND CASE WHEN {_NTOK_SQL} > 1
+         THEN 1.0 - CAST({_NBIGRAM_DISTINCT_SQL} AS DOUBLE)
+                    / CAST({_NTOK_SQL} - 1 AS DOUBLE)
+         ELSE 0.0 END <= 0.75)
+"""
+_FUNNEL_ORACLE = f"""
+    WITH scores AS (
+      SELECT doc_id, text,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ({_lang_case_sql()} != 'und') AS c_lang,
+             ({_QUALITY_SQL} >= 0.25) AS c_quality,
+             {_REP_KEEP_SQL} AS c_rep,
+             md5(array_to_string({_TOKENS_SQL}, ' ')) AS fp
+      FROM scores
+    ),
+    staged AS (
+      SELECT doc_id, fp,
+             c_lang AS s1,
+             (c_lang AND c_quality) AS s2,
+             (c_lang AND c_quality AND c_rep) AS s3
+      FROM feat
+    ),
+    marked AS (
+      SELECT *,
+             (s3 AND doc_id = MIN(CASE WHEN s3 THEN doc_id END)
+                              OVER (PARTITION BY fp)) AS s4
+      FROM staged
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             COUNT(*) FILTER (WHERE s1) AS n1,
+             COUNT(*) FILTER (WHERE s2) AS n2,
+             COUNT(*) FILTER (WHERE s3) AS n3,
+             COUNT(*) FILTER (WHERE s4) AS n4
+      FROM marked
+    )
+    SELECT 0 AS stage_ord, '0_input' AS stage, n0 AS n_docs,
+           round(CAST(n0 AS DOUBLE) / n0, 6) AS pct_of_input FROM agg
+    UNION ALL SELECT 1, '1_lang_id', n1, round(CAST(n1 AS DOUBLE) / n0, 6) FROM agg
+    UNION ALL SELECT 2, '2_quality', n2, round(CAST(n2 AS DOUBLE) / n0, 6) FROM agg
+    UNION ALL SELECT 3, '3_repetition', n3, round(CAST(n3 AS DOUBLE) / n0, 6) FROM agg
+    UNION ALL SELECT 4, '4_exact_dedup', n4, round(CAST(n4 AS DOUBLE) / n0, 6) FROM agg
+"""
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("pipeline", "funnel", "dedup"),
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data pipeline as ONE funnel: input →
+    language-ID known → quality score ≥ 0.25 → Gopher repetition
+    rules → exact-dedup keeper (keeper chosen among the docs that
+    survived filtering, as a real pipeline orders it). Emits one row
+    per cumulative stage with survivor count and fraction of input.
+
+    Shape at 100 TB: stages 0–3 are scan-local column predicates
+    (one pass, zero shuffles); the dedup stage adds exactly one
+    shuffle (window-min over the md5 fingerprint — 16-byte hashes,
+    never text); the final funnel rollup is a single-row aggregate
+    unpivoted driver-side-free via ``stack``."""
+    from ..functions import text as T
+
+    txt = F.col("text")
+    toks = T.tokens(txt)
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    ndist = F.size(F.array_distinct(toks))
+    topcnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    dup_bigram = F.when(
+        n > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    keep_rep = (
+        (ndist.cast("double") / safe_n >= 0.2)
+        & (topcnt.cast("double") / safe_n <= 0.2)
+        & (dup_bigram <= 0.75)
+    )
+
+    s1 = T.language_id(txt) != "und"
+    s2 = s1 & (T.quality_score(txt) >= 0.25)
+    s3 = s2 & keep_rep
+
+    from pyspark.sql.window import Window
+
+    fp = F.md5(F.concat_ws(" ", toks))
+    marked = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    marked = marked.withColumn(
+        "s4",
+        F.col("s3")
+        & (
+            F.min(F.when(F.col("s3"), F.col("doc_id"))).over(w) == F.col("doc_id")
+        ),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if("s1").alias("n1"),
+        F.count_if("s2").alias("n2"),
+        F.count_if("s3").alias("n3"),
+        F.count_if("s4").alias("n4"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+             0, '0_input', n0, round(CAST(n0 AS DOUBLE) / n0, 6),
+             1, '1_lang_id', n1, round(CAST(n1 AS DOUBLE) / n0, 6),
+             2, '2_quality', n2, round(CAST(n2 AS DOUBLE) / n0, 6),
+             3, '3_repetition', n3, round(CAST(n3 AS DOUBLE) / n0, 6),
+             4, '4_exact_dedup', n4, round(CAST(n4 AS DOUBLE) / n0, 6)
+           ) AS (stage_ord, stage, n_docs, pct_of_input)"""
+    )
+
+
+@register(
+    "sample_stratified_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 25
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 25 docs per
+    language, chosen by ranking on the md5 of the stable id — a
+    reproducible 'reservoir' that every engine and every rerun draws
+    identically (``TABLESAMPLE``/``sample()`` re-deal per run and
+    give only approximate strata). One shuffle (the per-lang window);
+    at 100 TB with heavy strata, swap row_number for a bounded
+    per-partition top-k (``sort_array(collect_list)`` capped) — same
+    keys, same answer, no full sort of any stratum."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@register(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("pipeline", "skew"),
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe hot-key counting: ``events.event_type`` has only ~5
+    values, so a plain groupBy concentrates each key's final merge
+    in one task. :func:`~..operators.skew.salted_count_by_key`
+    splits every key into 16 deterministic xxhash64 salts —
+    partial-aggregate per (key, salt), merge 16 rows per key — the
+    answer is IDENTICAL to ``GROUP BY`` (the oracle is the plain
+    form) but no single task ever owns a hot key's raw rows. This is
+    the two-stage pattern for 100 TB skewed aggregations that
+    map-side combine alone can't fix (e.g. collect_list/percentile
+    states that don't pre-reduce)."""
+    from ..operators.skew import salted_count_by_key
+
+    return salted_count_by_key(
+        t(spark, sf_dir, "events"), "event_type", salt_cols=["event_id"], n_salts=16
+    )
 
 
 @register(
@@ -83,31 +307,4 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("out_of_range_date"),
         F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
         (cnt - F.count_distinct(F.col("o_orderkey"))).alias("duplicate_keys"),
-    )
-
-
-@register(
-    "salted_event_counts",
-    oracle="""
-    SELECT event_type, COUNT(*) AS cnt
-    FROM events
-    GROUP BY event_type
-    """,
-    tags=("pipeline", "skew"),
-)
-def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe hot-key counting: ``events.event_type`` has only ~5
-    values, so a plain groupBy concentrates each key's final merge
-    in one task. :func:`~..operators.skew.salted_count_by_key`
-    splits every key into 16 deterministic xxhash64 salts —
-    partial-aggregate per (key, salt), merge 16 rows per key — the
-    answer is IDENTICAL to ``GROUP BY`` (the oracle is the plain
-    form) but no single task ever owns a hot key's raw rows. This is
-    the two-stage pattern for 100 TB skewed aggregations that
-    map-side combine alone can't fix (e.g. collect_list/percentile
-    states that don't pre-reduce)."""
-    from ..operators.skew import salted_count_by_key
-
-    return salted_count_by_key(
-        t(spark, sf_dir, "events"), "event_type", salt_cols=["event_id"], n_salts=16
     )

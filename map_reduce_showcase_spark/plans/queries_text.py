@@ -321,3 +321,119 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# PII scrub: the synthetic corpus contains no PII (word-soup text,
+# zero digits — verified), so both engines deterministically augment
+# each doc with doc_id-derived synthetic PII (email / phone / IPv4 on
+# disjoint doc_id residue classes) and the redaction pass is
+# exercised against known-true counts. On production data the same
+# scrub runs on the raw text column.
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9.]+"
+_PHONE_PAT = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_PAT = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_AUG_SQL = """
+    concat(text,
+      CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
+      CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.', CAST(doc_id % 200 AS VARCHAR), '.', CAST(doc_id % 250 AS VARCHAR), '.', CAST(1 + doc_id % 254 AS VARCHAR)) ELSE '' END)
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT lang, {_AUG_SQL} AS atext FROM documents
+    ),
+    scored AS (
+      SELECT lang, atext,
+             len(regexp_extract_all(atext, '{_EMAIL_PAT}')) AS n_emails,
+             len(regexp_extract_all(atext, '{_PHONE_PAT}')) AS n_phones,
+             len(regexp_extract_all(
+               regexp_replace(atext, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_IP_PAT}')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(
+               atext, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_PHONE_PAT}', '<PHONE>', 'g'),
+               '{_IP_PAT}', '<IP>', 'g') AS clean
+      FROM aug
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n_emails + n_phones + n_ips > 0) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(len(atext) - len(clean)) AS BIGINT) AS chars_redacted
+    FROM scored
+    GROUP BY lang
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a scan-speed pipeline stage: regex-count then
+    regex-replace emails, phone numbers, and IPv4 addresses with
+    typed placeholders, and report per-language redaction accounting.
+    Pure column expressions — at 100 TB this fuses into the scan with
+    zero extra shuffles beyond the final per-lang rollup. Redaction
+    order (email before IP) is load-bearing: the email regex would
+    otherwise claim digit runs that prefix a dotted quad."""
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (doc_id % 200).cast("string"),
+                F.lit("."),
+                (doc_id % 250).cast("string"),
+                F.lit("."),
+                (1 + doc_id % 254).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    no_email = F.regexp_replace(aug, _EMAIL_PAT, "<EMAIL>")
+    clean = F.regexp_replace(
+        F.regexp_replace(no_email, _PHONE_PAT, "<PHONE>"), _IP_PAT, "<IP>"
+    )
+    scored = t(spark, sf_dir, "documents").select(
+        "lang",
+        aug.alias("atext"),
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_PAT), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_PAT), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_IP_PAT), 0)).alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(
+            F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+        ).alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum(F.length("atext") - F.length("clean"))
+        .cast("bigint")
+        .alias("chars_redacted"),
+    )

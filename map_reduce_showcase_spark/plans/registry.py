@@ -88,6 +88,7 @@ def _load_all() -> None:
     # first; the relational tail is conventional SQL with the deepest
     # local test coverage, so it can absorb any truncation.
     from . import queries_mapreduce  # noqa: F401
+    from . import queries_graph  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_events  # noqa: F401

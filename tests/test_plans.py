@@ -144,3 +144,39 @@ def test_incremental_minhash_avoids_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental_minhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["graph_triangle_summary", "dedup_fuzzy_names"]
+)
+def test_blocked_joins_avoid_cartesian(spark, sf_dir, name):
+    """Triangle wedges and the deletion-neighborhood fuzzy join must
+    stay pure equi-joins: any CartesianProduct/NestedLoop means the
+    blocking scheme degenerated to all-pairs."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _n_scans(plan: str) -> int:
+    # formatted explain repeats each node (tree + details); detail
+    # headers are "(N) Scan parquet", exactly one per scan
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE))
+
+
+def test_pii_scrub_is_single_scan(spark, sf_dir):
+    """PII redaction must fuse into the scan: exactly one parquet
+    scan of documents, no join, no extra pass per pattern."""
+    plan = _plan(spark, sf_dir, "text_pii_scrub")
+    assert _n_scans(plan) == 1
+    assert "Join" not in plan
+
+
+def test_funnel_single_scan_one_fingerprint_shuffle(spark, sf_dir):
+    """The filter funnel reads documents ONCE; its only wide ops are
+    the fingerprint window and the trivial 1-row final agg."""
+    plan = _plan(spark, sf_dir, "pipeline_filter_funnel")
+    assert _n_scans(plan) == 1
+    assert "Join" not in plan
