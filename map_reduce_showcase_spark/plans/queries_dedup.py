@@ -19,6 +19,7 @@ from ..dedup import (
     simhash_near_pairs,
 )
 from ..dedup.simhash import SIMHASH_BITS
+from ..functions.text import portable_hash60_sql
 from ..similarity.lsh import cosine_pairs_lsh, hyperplane_signs
 from .queries_text import _TOKENS_SQL
 from .registry import register, t
@@ -458,4 +459,87 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
         )
         .where(F.col("dist") <= 1)
+    )
+
+
+# word 5-gram spans of the token array (1-based inclusive slices),
+# distinct per doc — the passage unit for corpus-level dedup
+_SPANS5_SQL = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKENS_SQL}) - 4, 0)),
+    i -> array_to_string(({_TOKENS_SQL})[i:i+4], ' ')))
+"""
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, {portable_hash60_sql("unnest(" + _SPANS5_SQL + ")")} AS k
+      FROM documents
+    ),
+    sdf AS (SELECT k, COUNT(*) AS df FROM spans GROUP BY k),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(*) FILTER (WHERE df >= 2) AS n_repeated
+      FROM spans s JOIN sdf USING (k)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_repeated, 0) AS BIGINT) AS n_repeated,
+           round(CAST(COALESCE(n_repeated, 0) AS DOUBLE)
+                 / greatest(COALESCE(n_spans, 0), 1), 6) AS repeated_frac,
+           (CAST(COALESCE(n_repeated, 0) AS DOUBLE)
+            / greatest(COALESCE(n_spans, 0), 1) <= 0.5) AS keep
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    tags=("dedup", "passages", "corpus-level"),
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level passage dedup (the C4 / RefinedWeb rule, word
+    5-gram spans standing in for three-sentence spans): a span's
+    document frequency is counted across the WHOLE corpus, and a doc
+    is dropped when more than half its spans also occur elsewhere —
+    catching boilerplate and templated text that document-level
+    near-dup misses. Distinct from doc-level MinHash: the unit is
+    the passage, the index is global.
+
+    Shape at 100 TB: spans shuffle as portable 60-bit hashes (8
+    bytes, never text — the same trick as exact dedup); one shuffle
+    counts span DF, one joins DF back to span rows, one re-groups
+    per doc. Ultra-hot spans (empty boilerplate) are the classic
+    skew keys — cap or salt them as in the inverted shingle index."""
+    from ..dedup.jaccard import shingle_rows
+    from ..functions.text import portable_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    spans = shingle_rows(docs, n=5).select(
+        "doc_id", portable_hash60(F.col("shingle")).alias("k")
+    )
+    sdf = spans.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        spans.join(sdf, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("df") >= 2).alias("n_repeated"),
+        )
+    )
+    frac = F.coalesce(F.col("n_repeated"), F.lit(0)).cast("double") / F.greatest(
+        F.coalesce(F.col("n_spans"), F.lit(0)), F.lit(1)
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_repeated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_repeated"),
+            F.round(frac, 6).alias("repeated_frac"),
+            (frac <= 0.5).alias("keep"),
+        )
     )

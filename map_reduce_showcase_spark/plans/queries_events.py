@@ -406,3 +406,98 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_rsd"),
         )
     )
+
+
+@register(
+    "events_gapfill_1h",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS mn,
+             max(time_bucket(INTERVAL '1 hour', ts)) AS mx
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS h FROM bounds
+    ),
+    full_grid AS (
+      SELECT g.h, ty.event_type
+      FROM grid g, (SELECT DISTINCT event_type FROM events) ty
+    ),
+    joined AS (
+      SELECT fg.h, fg.event_type,
+             COALESCE(n, 0) AS n_events,
+             (n IS NULL) AS is_gap,
+             CASE WHEN n IS NOT NULL THEN sv / n END AS avg_raw
+      FROM full_grid fg LEFT JOIN hourly USING (h, event_type)
+    )
+    SELECT event_type, h AS hour_ts,
+           CAST(n_events AS BIGINT) AS n_events, is_gap,
+           round(last_value(avg_raw IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS avg_value_filled
+    FROM joined
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsample + gap-fill: hourly per-type
+    aggregates re-gridded onto a dense hour axis (``sequence`` +
+    explode), missing buckets flagged and forward-filled with the
+    last observed hourly average (``last(..., ignorenulls)`` over a
+    running frame) — the standard time-series normalization before
+    joining sensor/metric streams.
+
+    Shape at 100 TB: the raw scan reduces to |types| x |hours| rows
+    BEFORE any window work, so the fill's per-type sort is over the
+    tiny grid, not the events table; the grid build is a constant
+    frame. Averages divide an exact decimal sum by the bucket count,
+    so the fill replays bit-identically in the oracle."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec6("value")).cast("double").alias("sv"),
+    ).select(F.col("w.start").alias("h"), "event_type", "n", "sv")
+
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    full_grid = grid.crossJoin(types)  # |hours| x |types| — constant-size frames
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = full_grid.join(hourly, ["h", "event_type"], "left").select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.when(F.col("n").isNotNull(), F.col("sv") / F.col("n")).alias("avg_raw"),
+        F.col("h"),
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "is_gap",
+        F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias(
+            "avg_value_filled"
+        ),
+    )
