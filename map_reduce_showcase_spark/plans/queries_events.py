@@ -501,3 +501,94 @@ def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value_filled"
         ),
     )
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, h, n,
+             COUNT(*) OVER w AS k,
+             SUM(n) OVER w AS s1,
+             SUM(n * n) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS hour_ts, CAST(n AS BIGINT) AS n_events,
+           round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) / 23.0),
+                 6) AS z_score,
+           (abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+                / sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) / 23.0))
+            > 3.0) AS is_anomaly
+    FROM framed
+    WHERE k = 24
+      AND (CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) > 0
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-rate anomaly detection: each hour's event count
+    z-scored against the trailing 24 observed hourly buckets of its
+    type (mean/variance from EXACT integer sums over the frame, so
+    the floating-point math is two divisions and a sqrt — replayed
+    bit-identically by the oracle; a windowed ``stddev_samp`` would
+    accumulate engine-specific float state instead).
+
+    Shape at 100 TB: the raw scan reduces to |types| x |hours| rows
+    before any window work (same aggregate-first trick as gap-fill);
+    the trailing frame is rows-based over that tiny series. The
+    z>3 flag is the standard ops alert for rate spikes/drops."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "event_type", "n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(24.0)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.lit(24.0)
+    ) / F.lit(23.0)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        framed.where(
+            (F.col("k") == 24)
+            & (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.lit(24.0)
+                > 0
+            )
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

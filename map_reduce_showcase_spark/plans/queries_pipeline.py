@@ -274,6 +274,71 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REBAL_U_SQL = (
+    portable_hash60_sql("'rebal#' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+)
+
+
+@register(
+    "sample_rebalance_langs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT MIN(n_docs) AS target FROM counts),
+    flagged AS (
+      SELECT d.lang, c.n_docs, t.target,
+             (({_REBAL_U_SQL}) * c.n_docs < t.target * 1000000) AS keep
+      FROM documents d JOIN counts c USING (lang) CROSS JOIN tgt t
+    )
+    SELECT lang, n_docs, CAST(target AS BIGINT) AS target,
+           COUNT(*) FILTER (WHERE keep) AS n_kept,
+           round(CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) AS kept_frac
+    FROM flagged
+    GROUP BY lang, n_docs, target
+    """,
+    tags=("pipeline", "sampling", "rebalance"),
+)
+def sample_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: downsample every language toward the
+    smallest language's count with a deterministic per-doc Bernoulli
+    draw — rate_l = target / count_l, doc kept iff
+    ``hash(doc) % 1e6 * count_l < target * 1e6``. ALL-INTEGER
+    comparison, so the draw replays exactly on any engine and on any
+    rerun (the reproducibility property RNG-based samplers lack),
+    and each language's expected share lands uniform. The standard
+    move before multilingual pre-training (and the same machinery
+    does temperature sampling: set target_l = total·p_l^(1/T)
+    normalized).
+
+    Shape at 100 TB: one count agg (tiny — |langs| rows, broadcast
+    back), one scan with a scan-local keep predicate, one final agg.
+    The doc table never shuffles at all."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    target = counts.agg(F.min("n_docs").alias("target"))
+    u = portable_hash60(
+        F.concat(F.lit("rebal#"), F.col("doc_id").cast("string"))
+    ) % F.lit(1_000_000)
+    keep = (u * F.col("n_docs")) < (F.col("target") * F.lit(1_000_000))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .join(F.broadcast(target))
+        .groupBy("lang", "n_docs", "target")
+        .agg(F.count_if(keep).alias("n_kept"))
+        .select(
+            "lang",
+            "n_docs",
+            "target",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("kept_frac"),
+        )
+    )
+
+
 @register(
     "quality_profile_orders",
     oracle="""

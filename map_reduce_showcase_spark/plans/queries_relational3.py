@@ -248,3 +248,50 @@ def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
     )
+
+
+@register(
+    "approx_percentiles_bounded",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+           TRUE AS approx_within_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "percentiles", "sketch"),
+)
+def approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest/GK story certified, like the HLL count: an
+    approx-percentile sketch is engine-specific, so its estimate can
+    never hash-match a SQL oracle — instead the query emits the
+    exact median plus ``approx_within_bounds``, true iff the sketch's
+    answer lands between the exact quantiles at rank 0.5 ± 5/accuracy
+    (Greenwald-Khanna guarantees rank error ≤ 1/accuracy). A broken
+    sketch flips the boolean and fails the driver's hash gate.
+
+    At 100 TB the sketch is THE way to compute percentiles (bounded
+    memory, mergeable partials — exact percentile must materialize
+    each sorted group); the exact twin exists only to certify it."""
+    acc = 1000
+    eps = 5.0 / acc
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(acc)).alias("est"),
+            F.percentile("o_totalprice", F.lit(0.5 - eps)).alias("lo"),
+            F.percentile("o_totalprice", F.lit(0.5 + eps)).alias("hi"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("exact"), 4).alias("p50_exact"),
+            ((F.col("est") >= F.col("lo")) & (F.col("est") <= F.col("hi"))).alias(
+                "approx_within_bounds"
+            ),
+        )
+    )

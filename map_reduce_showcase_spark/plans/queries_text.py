@@ -437,3 +437,100 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_redacted"),
     )
+
+
+# all-occurrence bigram strings ("w1 w2"); tokens never contain
+# spaces (split is on non-alphanumerics), so the join key is exact
+_BIGRAMS_ALL_SQL = f"""
+  list_transform(
+    generate_series(1, greatest(len({_TOKENS_SQL}) - 1, 0)),
+    i -> ({_TOKENS_SQL})[i] || ' ' || ({_TOKENS_SQL})[i+1])
+"""
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+    bg AS (
+      SELECT unnest({_BIGRAMS_ALL_SQL}) AS bg FROM documents
+    ),
+    bc AS (SELECT bg, COUNT(*) AS c_xy FROM bg GROUP BY bg),
+    bt AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS b FROM bc)
+    SELECT split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2,
+           c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+                 6) AS pmi
+    FROM bc
+    CROSS JOIN nt CROSS JOIN bt
+    JOIN uc u1 ON u1.w = split_part(bg, ' ', 1)
+    JOIN uc u2 ON u2.w = split_part(bg, ' ', 2)
+    WHERE c_xy >= 5
+    """,
+    tags=("text", "collocations"),
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information
+    of adjacent token pairs, PMI = ln(p(xy) / (p(x)p(y))) over ALL
+    occurrences (not distinct-per-doc) — the classic phrase detector
+    (Mikolov-style word2phrase uses exactly this with a discount).
+    Support floor c_xy >= 5 keeps the tail noise out.
+
+    Shape at 100 TB: token and bigram counting are map-side-combined
+    hash aggs on words (the canonical MapReduce workload); the PMI
+    join shuffles the BIGRAM vocabulary (counts, not occurrences)
+    against the unigram vocabulary — both orders of magnitude
+    smaller than the corpus. Totals N and B ride along as broadcast
+    single-row frames, never a driver collect."""
+    from ..functions import text as T
+
+    toks = T.tokens(F.col("text"))
+    docs = t(spark, sf_dir, "documents").select(toks.alias("toks"))
+    uc = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nt = uc.agg(F.sum("c").cast("bigint").alias("n"))
+    tk = F.col("toks")
+    bigrams = F.filter(
+        F.zip_with(
+            tk,
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    bc_all = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    bc = bc_all.filter(F.col("c_xy") >= 5)
+    # total occurrences from the count frame (sum of counts), so the
+    # bigram explode+agg subtree is shared — AQE reuses its exchange
+    bt_all = bc_all.agg(F.sum("c_xy").cast("bigint").alias("b"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n").cast("double") * F.col("n").cast("double"))
+            / (F.col("b").cast("double") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bc.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(nt))
+        .join(F.broadcast(bt_all))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+    )

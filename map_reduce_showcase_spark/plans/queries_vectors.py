@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..dedup.components import connected_components
 from ..dedup.minhash import minhash_near_dup_pairs
@@ -75,3 +76,82 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=3, threshold=0.7
     )
     return connected_components(pairs)
+
+
+def _apply_near_oracle() -> str:
+    """Near-dedup APPLIED: transitive closure over the MinHash edge
+    set (same recursive CTE as ``dedup_connected_components``), then
+    keep one representative per cluster (min doc_id) plus every
+    unclustered doc, accounted per language."""
+    from .queries_dedup import _minhash_sql
+
+    minhash_pairs = _minhash_sql(12, 3)
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE c.component IS NULL OR c.component = d.doc_id
+           ) AS n_kept,
+           round(CAST(COUNT(*) FILTER (
+                   WHERE c.component IS NULL OR c.component = d.doc_id
+                 ) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@register(
+    "dedup_apply_near",
+    oracle=_apply_near_oracle(),
+    tags=("dedup", "iterative", "applied"),
+)
+def dedup_apply_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup APPLIED end-to-end: MinHash+LSH pairs → connected
+    components → keep the min-doc_id representative per cluster and
+    every unclustered doc — the survivors frame a real pipeline
+    writes out — then per-language accounting of what survived.
+
+    Shape at 100 TB: the pair graph is tiny relative to the corpus
+    (near-dup cliques), components iterate over edges only, and the
+    final left join brings cluster labels back to the corpus on the
+    doc id — one broadcast-able join (the label frame is |clustered
+    docs|, not |corpus|) plus one lang agg."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, n=2, num_hashes=12, rows_per_band=3, threshold=0.7
+    )
+    comp = connected_components(pairs)
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(kept).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("kept_frac"),
+        )
+    )

@@ -71,11 +71,33 @@ _VERIFIED_R1_TAIL_MODULES = (
     "queries_relational3",
 )
 _VERIFIED_R1_TAIL_NAMES = frozenset(
-    {"split_train_val_test", "quality_profile_orders", "grep_docs", "grep_docs_lines"}
+    {
+        "split_train_val_test",
+        "quality_profile_orders",
+        "grep_docs",
+        "grep_docs_lines",
+        # r1-green and builder+oracle untouched since (additions to
+        # their modules don't change them):
+        "wc_word_count",
+        "text_token_stats",
+        "text_quality",
+        "text_language_id",
+        "text_fingerprint",
+        "text_word_doc_freq",
+        "dedup_exact_stats",
+        "dedup_exact_groups",
+    }
 )
 
 
+# New queries living in otherwise-tail modules: export FIRST until a
+# driver artifact shows them green.
+_FRESH_HEAD_NAMES = frozenset({"approx_percentiles_bounded"})
+
+
 def _is_tail(spec: QuerySpec) -> bool:
+    if spec.name in _FRESH_HEAD_NAMES:
+        return False
     mod = spec.builder.__module__.rsplit(".", 1)[-1]
     return mod in _VERIFIED_R1_TAIL_MODULES or spec.name in _VERIFIED_R1_TAIL_NAMES
 

@@ -95,3 +95,27 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = REGISTRY[name].builder(spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+def test_unverified_queries_export_inside_driver_window():
+    """The driver's CORRECTNESS artifact records only the first ~50
+    queries() entries. Every query with no green round-1 driver
+    verdict (new or changed since) must therefore export inside the
+    first 50 slots; the truncation tail may contain ONLY queries the
+    r1 artifact already proved."""
+    import json
+    import pathlib
+
+    from map_reduce_showcase_spark.plans.registry import query_map
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r01.json"
+    r1 = json.loads(art.read_text())
+    green = {
+        n
+        for n, e in r1.items()
+        if e.get("rows_match") and e.get("schema_match") and e.get("hash_match")
+    }
+    order = list(query_map())
+    tail = order[50:]
+    not_proven = [n for n in tail if n not in green]
+    assert not not_proven, f"unverified queries stuck in truncation tail: {not_proven}"

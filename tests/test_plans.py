@@ -180,3 +180,58 @@ def test_funnel_single_scan_one_fingerprint_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_filter_funnel")
     assert _n_scans(plan) == 1
     assert "Join" not in plan
+
+
+def test_rebalance_langs_never_shuffles_corpus(spark, sf_dir):
+    """The keep predicate must evaluate against BROADCAST count
+    frames — a SortMergeJoin would mean the doc table shuffles for
+    what is scan-local integer math."""
+    plan = _plan(spark, sf_dir, "sample_rebalance_langs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_apply_near_label_join_broadcasts(spark, sf_dir):
+    """Cluster labels cover only clustered docs, so the label→corpus
+    join must broadcast the label side, and nothing in the component
+    iteration may degenerate to a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_apply_near")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_pmi_joins_vocab_not_occurrences(spark, sf_dir):
+    """PMI totals ride along as broadcast single-row frames; the
+    only allowed nested-loop joins are those two single-row
+    broadcasts. Count aggs must be partial+final (map-side
+    combined)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_bigram_pmi")
+    assert "CartesianProduct" not in plan
+    n_bnlj = len(
+        re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE)
+    )
+    assert n_bnlj <= 2, f"only the two single-row totals may nested-loop: {n_bnlj}"
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.MULTILINE))
+    assert n_agg >= 4
+
+
+def test_rate_anomaly_aggregates_before_window(spark, sf_dir):
+    """The trailing-24h frame must sort the hourly grid, not raw
+    events: exactly one scan, and the Window's child is the hourly
+    aggregate, never the scan directly."""
+    plan = _plan(spark, sf_dir, "events_rate_anomaly")
+    assert _n_scans(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial+final hourly agg
+    assert "Window" in plan
+
+
+def test_repeated_passages_shuffles_hashes_not_text(spark, sf_dir):
+    """Span rows must carry the 60-bit hash: no 'shingle' string
+    column may survive into an Exchange."""
+    plan = _plan(spark, sf_dir, "dedup_repeated_passages")
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, flags=re.MULTILINE):
+        assert "shingle" not in m.group(0)
