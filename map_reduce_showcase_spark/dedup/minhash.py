@@ -46,11 +46,33 @@ def _hash_params(i: int) -> tuple[int, int]:
     return (i * _A_MULT + 1) % MOD, (i * _B_MULT + 7) % MOD
 
 
+def hashed_shingle_rows(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, k) rows with k = the 60-bit portable hash of the
+    shingle — the frame the whole minhash pipeline runs on. Hashing
+    at the source means (a) the one md5 pass is shared by the
+    signature build AND both verify sides instead of re-hashing
+    strings three times, and (b) every downstream shuffle/checkpoint
+    carries 8-byte longs, never shingle text. Shingles are already
+    distinct per doc, so no extra distinct (= no shuffle) is needed:
+    a 2^-60-improbable hash collision would produce the SAME
+    duplicate rows in the oracle (same hash function), keeping the
+    two engines bit-identical even then."""
+    return shingle_rows(docs, n, text_col, id_col).select(
+        id_col, portable_hash60(F.col("shingle")).alias("k")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     """Wide signature frame: (doc_id, mh0..mh{k-1}) from
-    (doc_id, shingle) rows. One hash-aggregate; k mins computed
-    map-side, so the shuffle carries k longs per (doc, partition)."""
-    base = portable_hash60(F.col("shingle")) % F.lit(MOD)
+    (doc_id, k) hashed-shingle rows. One hash-aggregate; k mins
+    computed map-side, so the shuffle carries k longs per
+    (doc, partition)."""
+    base = F.col("k") % F.lit(MOD)
     aggs = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
@@ -126,19 +148,20 @@ def minhash_near_dup_pairs(
     # verify < 0.5s. The stage is SHINGLE-bound at this scale, not
     # candidate-bound; at 100 TB the balance shifts with corpus dup
     # rate, and the high-DF cap keeps the bucket join from exploding.
-    sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    sh = hashed_shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
     return _verify_candidates(cand, sh, threshold)
 
 
 def _verify_candidates(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (d1, d2) pairs against
-    the shingle frame — touches candidates only, never all pairs."""
-    e1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    e2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    the hashed-shingle frame — touches candidates only, never all
+    pairs, and the intersection join carries 8-byte hashes."""
+    e1 = sh.select(F.col("doc_id").alias("d1"), "k")
+    e2 = sh.select(F.col("doc_id").alias("d2"), "k")
     inter = (
         cand.join(e1, "d1")
-        .join(e2, ["d2", "shingle"])
+        .join(e2, ["d2", "k"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -175,7 +198,7 @@ def incremental_minhash_near_dup_pairs(
     Output ``(d1, d2, jaccard)`` with d1 < d2, exactly like
     :func:`minhash_near_dup_pairs` restricted to pairs touching the
     batch."""
-    sh = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    sh = hashed_shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     bands = band_rows(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
     a, b = bands.filter(is_new(F.col("doc_id"))).alias("a"), bands.alias("b")
     cand = (

@@ -109,9 +109,10 @@ def _minhash_sql(
     new batch, pairs canonicalized with least/greatest."""
     from ..dedup.minhash import MOD, _A_MULT, _B_MULT
 
-    base = _HASH60.format(expr="shingle") + f" % {MOD}"
+    # hash once into eh (the Spark side's hashed_shingle_rows twin);
+    # signatures, intersection join and sizes all reuse k
     h = (
-        f"(((hi.i * {_A_MULT} + 1) % {MOD}) * ({base})"
+        f"(((hi.i * {_A_MULT} + 1) % {MOD}) * (k % {MOD})"
         f" + ((hi.i * {_B_MULT} + 7) % {MOD})) % {MOD}"
     )
     if new_pred is None:
@@ -128,11 +129,14 @@ def _minhash_sql(
       JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
       WHERE {new_pred}
     """
+    eh_hash = _HASH60.format(expr="shingle")
     return f"""
     WITH {_JACCARD_TAIL_SQL},
+    eh AS (SELECT doc_id, {eh_hash} AS k FROM e),
+    szh AS (SELECT doc_id, COUNT(*) AS sz FROM eh GROUP BY doc_id),
     mh AS (
       SELECT doc_id, hi.i AS i, MIN({h}) AS m
-      FROM e, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) hi
+      FROM eh, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) hi
       GROUP BY doc_id, hi.i
     ),
     bands AS (
@@ -144,15 +148,15 @@ def _minhash_sql(
     inter AS (
       SELECT c.d1, c.d2, COUNT(*) AS inter
       FROM cand c
-      JOIN e e1 ON e1.doc_id = c.d1
-      JOIN e e2 ON e2.doc_id = c.d2 AND e2.shingle = e1.shingle
+      JOIN eh e1 ON e1.doc_id = c.d1
+      JOIN eh e2 ON e2.doc_id = c.d2 AND e2.k = e1.k
       GROUP BY c.d1, c.d2
     )
     SELECT d1, d2,
            round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
     FROM inter
-    JOIN sz s1 ON inter.d1 = s1.doc_id
-    JOIN sz s2 ON inter.d2 = s2.doc_id
+    JOIN szh s1 ON inter.d1 = s1.doc_id
+    JOIN szh s2 ON inter.d2 = s2.doc_id
     WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.7
     """
 
