@@ -116,7 +116,13 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w1 = oriented.alias("w1")
     w2 = oriented.alias("w2")
-    closing = oriented.alias("cl")
+    # The closing side is |E| rows but the wedge side is O(sum
+    # outdeg²) — orders of magnitude bigger on dense graphs. A
+    # sort-merge join would SORT the wedge stream (the exact
+    # allocation that dies first in a memory-tight executor);
+    # shuffle_hash builds the hash table on the small edge side and
+    # streams wedges through it, allocating O(|E|/partitions).
+    closing = oriented.hint("shuffle_hash").alias("cl")
     # Wedge u→{v, w} (v != w); closed iff v→w or w→v is an oriented
     # edge. Matching on the unordered far pair via least/greatest
     # keeps it a pure equi-join (no inequality residuals).

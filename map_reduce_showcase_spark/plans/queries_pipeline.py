@@ -373,3 +373,101 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
         (cnt - F.count_distinct(F.col("o_orderkey"))).alias("duplicate_keys"),
     )
+
+
+#: temperature for temperature sampling: rate_l ∝ count_l^(1/T - 1),
+#: the multilingual-pretraining standard (T=1 → natural, T→∞ → uniform)
+_TEMP_T = 2.0
+
+
+@register(
+    "sample_temperature_langs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    -- integer per-lang quota: share ∝ count^(1/T); quotas rounded
+    -- BEFORE any per-doc math so both engines compare pure integers
+    quota AS (
+      SELECT lang, n_docs,
+             CAST(round(
+               pow(CAST(n_docs AS DOUBLE), {1.0 / _TEMP_T})
+               / SUM(pow(CAST(n_docs AS DOUBLE), {1.0 / _TEMP_T})) OVER ()
+               * (SELECT SUM(n_docs) FROM counts) * 0.5
+             ) AS BIGINT) AS n_target
+      FROM counts
+    ),
+    flagged AS (
+      SELECT d.lang, q.n_docs, q.n_target,
+             (({_REBAL_U_SQL.replace("rebal#", "temp#")}) * q.n_docs
+              < least(q.n_target, q.n_docs) * 1000000) AS keep
+      FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT lang, n_docs, n_target,
+           COUNT(*) FILTER (WHERE keep) AS n_kept,
+           round(CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) AS kept_frac
+    FROM flagged
+    GROUP BY lang, n_docs, n_target
+    """,
+    tags=("pipeline", "sampling", "temperature"),
+)
+def sample_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across languages (T=2, half the corpus):
+    each language's share of the output budget is proportional to
+    count^(1/T) — the standard softening between natural (T=1) and
+    uniform (T→∞) used by every multilingual pre-training mix — then
+    docs are drawn by the same deterministic integer Bernoulli as
+    :func:`sample_rebalance_langs`. The float pow() appears ONLY in
+    the per-language quota, which is rounded to an integer before
+    any per-doc comparison, so engine float drift cannot flip a
+    draw (quotas are |langs| numbers, checkable by eye; draws are
+    pure integer math).
+
+    Shape at 100 TB: identical to the rebalance query — quota frame
+    is |langs| rows broadcast back, keep predicate is scan-local,
+    the corpus never shuffles."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    alpha = 1.0 / _TEMP_T
+    w_all = Window.partitionBy()
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    quota = (
+        counts.join(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                / F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).over(
+                    w_all
+                )
+                * F.col("total")
+                * F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("n_target"),
+        )
+    )
+    u = portable_hash60(
+        F.concat(F.lit("temp#"), F.col("doc_id").cast("string"))
+    ) % F.lit(1_000_000)
+    keep = (u * F.col("n_docs")) < (
+        F.least(F.col("n_target"), F.col("n_docs")) * F.lit(1_000_000)
+    )
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .groupBy("lang", "n_docs", "n_target")
+        .agg(F.count_if(keep).alias("n_kept"))
+        .select(
+            "lang",
+            "n_docs",
+            "n_target",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("kept_frac"),
+        )
+    )

@@ -534,3 +534,70 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u2, "w2")
         .select("w1", "w2", "c_xy", pmi.alias("pmi"))
     )
+
+
+@register(
+    "docs_source_profile",
+    oracle="""
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             COUNT(DISTINCT md5(text)) AS n_unique
+      FROM documents GROUP BY 1
+    )
+    SELECT s.source,
+           n_docs,
+           COUNT(*) AS n_langs,
+           round(-SUM((CAST(c AS DOUBLE) / n_docs)
+                      * ln(CAST(c AS DOUBLE) / n_docs)), 6) + 0.0 AS lang_entropy,
+           round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+           round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS exact_dup_rate
+    FROM s JOIN lc USING (source)
+    GROUP BY s.source, n_docs, total_chars, n_unique
+    """,
+    tags=("text", "profile", "corpus-report"),
+)
+def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus report every dataset card needs: doc
+    count, language count + Shannon entropy of the language mix,
+    mean document length, and exact-duplicate rate — one number per
+    knob a curation pass would turn. Entropy and rates derive from
+    EXACT integer counts (the only floats are the final ln/divide,
+    rounded; ``+ 0.0`` normalizes the IEEE −0.0 a single-language
+    source would produce).
+
+    Shape at 100 TB: two hash aggs on (source) and (source, lang) —
+    both map-side combined — plus a distinct-count of 16-byte
+    fingerprints; the join is |sources|×|langs| rows. Nothing
+    touches raw text twice."""
+    docs = t(spark, sf_dir, "documents")
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+    p = F.col("c").cast("double") / F.col("n_docs")
+    return (
+        s.join(lc, "source")
+        .groupBy("source", "n_docs", "total_chars", "n_unique")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("lang_entropy"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "lang_entropy",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_chars"),
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+        )
+    )
