@@ -519,8 +519,13 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import portable_hash60
 
     docs = t(spark, sf_dir, "documents")
-    spans = shingle_rows(docs, n=5).select(
-        "doc_id", portable_hash60(F.col("shingle")).alias("k")
+    # the span frame feeds both the global DF count and the per-doc
+    # join: materialize the tokenize+shingle+hash work once (8-byte
+    # rows), same trick as the minhash shingle checkpoint
+    spans = (
+        shingle_rows(docs, n=5)
+        .select("doc_id", portable_hash60(F.col("shingle")).alias("k"))
+        .localCheckpoint(eager=False)
     )
     sdf = spans.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (

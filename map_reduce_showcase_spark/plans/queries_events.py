@@ -467,14 +467,19 @@ def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec6("value")).cast("double").alias("sv"),
     ).select(F.col("w.start").alias("h"), "event_type", "n", "sv")
 
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("mn"),
-        F.date_trunc("hour", F.max("ts")).alias("mx"),
-    )
+    # bounds and the type dimension both come from the tiny hourly
+    # frame, not the raw table: min/max of the hour buckets equal the
+    # hour-truncated min/max ts, and every event type has ≥1 bucket —
+    # so the raw table is scanned exactly ONCE. The |types|×|hours|
+    # frame is checkpointed because its three consumers build
+    # DIFFERENT aggregates on top (Spark plans distinct partial-agg
+    # exchanges, so exchange reuse can't kick in).
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     grid = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     full_grid = grid.crossJoin(types)  # |hours| x |types| — constant-size frames
 
     from pyspark.sql.window import Window
