@@ -597,3 +597,43 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_range_frame_30m",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "range-frame"),
+)
+def events_range_frame_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based window frame (RANGE, not ROWS): for every event,
+    the count and exact decimal sum of the same user's events in the
+    trailing 30 WALL-CLOCK minutes — the frame a rate limiter or
+    trailing-spend feature actually wants (a ROWS frame counts
+    records, not time). The frame orders by integer epoch
+    microseconds on BOTH engines, so nanosecond-vs-microsecond
+    boundary membership can never diverge; peers with equal ts are
+    all included, per RANGE semantics.
+
+    Shape at 100 TB: one shuffle on user_id, per-user sort by time —
+    the same cost as any per-key window; the frame bound is resolved
+    by a moving pointer over the sorted run, not a self-join (the
+    naive interval self-join shape this query replaces)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
+        F.sum(dec6("value")).over(w).cast("double").alias("sum_30m"),
+    )
