@@ -235,3 +235,23 @@ def test_repeated_passages_shuffles_hashes_not_text(spark, sf_dir):
 
     for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, flags=re.MULTILINE):
         assert "shingle" not in m.group(0)
+
+
+def test_split_estimate_agrees_with_rdd_probe(spark, sf_dir):
+    """The metadata-only split estimate must make the SAME
+    repartition decision as the exact (but plan-materializing) RDD
+    probe for every catalog table — the guard's only contract."""
+    from map_reduce_showcase_spark.functions.util import (
+        _estimated_scan_partitions,
+    )
+    from map_reduce_showcase_spark.sources.tables import TABLE_NAMES, load_table
+
+    par = spark.sparkContext.defaultParallelism
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        est = _estimated_scan_partitions(spark, df.inputFiles())
+        assert est is not None, f"{name}: estimator fell back"
+        actual = df.rdd.getNumPartitions()
+        assert (est < par) == (actual < par), (
+            f"{name}: est={est} actual={actual} par={par} — guard decisions differ"
+        )
