@@ -50,11 +50,19 @@ def hyperplane_signs(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[floa
     ]
 
 
+def _plane_lit(plane: list[float]) -> Column:
+    """The ±1 plane as ONE parsed array literal — building it from
+    64 individual ``F.lit`` calls costs ~64 py4j round trips per
+    plane (seconds per plan build on a py4j-slow driver); the parsed
+    expression is identical."""
+    return F.expr("array(" + ",".join(f"{v:.1f}D" for v in plane) + ")")
+
+
 def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Bucket id column: bit p = (emb · plane_p ≥ 0)."""
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        proj = dot(emb, F.array(*[F.lit(v) for v in plane]))
+        proj = dot(emb, _plane_lit(plane))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -73,7 +81,7 @@ def banded_band_keys(
         bucket = F.lit(0)
         for j in range(rows_per_band):
             plane = planes[b * rows_per_band + j]
-            proj = dot(emb, F.array(*[F.lit(v) for v in plane]))
+            proj = dot(emb, _plane_lit(plane))
             bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         keys.append((F.lit(b * (1 << rows_per_band)) + bucket).cast("int"))
     return keys
