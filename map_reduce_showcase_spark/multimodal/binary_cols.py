@@ -71,30 +71,34 @@ def to_media_frame(docs: DataFrame, media_type: str = "image") -> DataFrame:
     )
 
 
-def _decode_payload(media_id: int, media_type: str, payload: bytes) -> dict:
-    """STUB decode — deterministic fake, no media libs in container.
-
-    Real implementation: PIL.Image.open / soundfile / pyav over
-    ``payload``. The fake derives plausible metadata purely from the
-    payload so results are reproducible and oracle-checkable:
-    width/height/frames are simple functions of byte length."""
-    import hashlib
-
-    n = len(payload)
-    return {
-        "media_id": media_id,
-        "media_type": media_type,
-        "n_bytes": n,
-        "width": 64 + (n % 577),
-        "height": 64 + (n % 419),
-        "n_frames": 1 if media_type == "image" else 1 + (n % 32),
-        "content_md5": hashlib.md5(payload).hexdigest(),
-    }
-
-
 def decode_media_meta(media: DataFrame) -> DataFrame:
     """Decode stage: Arrow-batched ``mapInPandas`` over the payload
-    column producing :data:`MEDIA_META_SCHEMA` rows (1:1)."""
+    column producing :data:`MEDIA_META_SCHEMA` rows (1:1).
+
+    Everything worker-side is defined inside this builder so
+    cloudpickle serializes it BY VALUE — executors never need this
+    package importable (the driver may run from any cwd without
+    shipping the repo via addPyFile)."""
+
+    def _decode_payload(media_id: int, media_type: str, payload: bytes) -> dict:
+        """STUB decode — deterministic fake, no media libs in container.
+
+        Real implementation: PIL.Image.open / soundfile / pyav over
+        ``payload``. The fake derives plausible metadata purely from the
+        payload so results are reproducible and oracle-checkable:
+        width/height/frames are simple functions of byte length."""
+        import hashlib
+
+        n = len(payload)
+        return {
+            "media_id": media_id,
+            "media_type": media_type,
+            "n_bytes": n,
+            "width": 64 + (n % 577),
+            "height": 64 + (n % 419),
+            "n_frames": 1 if media_type == "image" else 1 + (n % 32),
+            "content_md5": hashlib.md5(payload).hexdigest(),
+        }
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
