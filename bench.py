@@ -68,25 +68,33 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Failure-isolated: one broken query must never destroy the whole
+    # artifact (round 2 lost all 18 numbers to a single loader bug).
+    # Failures land in "errors"; the JSON line always prints.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].builder
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            fn = REGISTRY[name].builder
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:300]
+            print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

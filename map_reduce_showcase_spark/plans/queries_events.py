@@ -628,7 +628,11 @@ def events_range_frame_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive interval self-join shape this query replaces)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        # cast first: the loader yields TIMESTAMP_NTZ for natively
+        # micro-encoded data and unix_micros rejects NTZ; under the
+        # UTC-pinned session the cast preserves the wall-time epoch
+        # DuckDB's epoch_ns computes
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-1_800_000_000, 0)
     )
     return t(spark, sf_dir, "events").select(

@@ -57,55 +57,108 @@ def register(
 
 
 # The driver's CORRECTNESS artifact records only the first ~50
-# queries() entries. These names were all verified green by the
-# round-1 driver artifact (CORRECTNESS_r01.json) and none of their
-# builders or oracles changed since, so they are exported LAST and
-# absorb the truncation; every query whose verdict the artifact does
-# not yet show (new or changed this round) exports first. The local
-# differential suite (tests/test_oracle_diff.py) still checks ALL
-# queries regardless of order.
-_VERIFIED_R1_TAIL_MODULES = (
-    "queries_udf",
-    "queries_relational",
-    "queries_relational2",
-    "queries_relational3",
+# queries() entries, so export order IS evidence policy. Round-3
+# rotation (per VERDICT r02 item 5):
+#
+#   band 0 — sentinels: a few r02-green canaries that stay at the
+#            head every round so a cross-round regression is caught
+#            inside the window (pivot_event_types_daily regressed
+#            while hidden in the tail — exactly this risk);
+#   band 1 — never-driver-green: the 15 r02 `err` rows (all fixed by
+#            the events-loader dispatch) + pivot_event_types_daily
+#            (r1-green, regressed r2, fixed) + anything new this
+#            round;
+#   band 2 — evidence-is-stale: green only in CORRECTNESS_r01;
+#   band 3 — freshest evidence: green in CORRECTNESS_r02 — absorbs
+#            the truncation.
+#
+# The local differential suite (tests/test_oracle_diff.py) still
+# checks ALL queries regardless of order.
+_SENTINELS = (
+    "vertex_degree_lineitem",
+    "grep_docs_packed",
+    "dedup_minhash_lsh",
 )
-_VERIFIED_R1_TAIL_NAMES = frozenset(
+_NEVER_GREEN_R3 = (
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_session_10m",
+    "events_json_props",
+    "events_lag_delta",
+    "events_moving_sum_4",
+    "events_funnel_1h",
+    "events_multires_rollup",
+    "events_latest_per_user",
+    "events_asof_purchase_click",
+    "approx_distinct_users",
+    "events_gapfill_1h",
+    "events_rate_anomaly",
+    "events_range_frame_30m",
+    "salted_event_counts",
+    "pivot_event_types_daily",
+    # new this round — needs first driver evidence:
+    "streaming_tumbling_counts",
+)
+#: green in CORRECTNESS_r02.json (minus the sentinel picks)
+_R2_GREEN = frozenset(
     {
-        "split_train_val_test",
-        "quality_profile_orders",
-        "grep_docs",
-        "grep_docs_lines",
-        # r1-green and builder+oracle untouched since (additions to
-        # their modules don't change them):
-        "wc_word_count",
-        "text_token_stats",
-        "text_quality",
-        "text_language_id",
-        "text_fingerprint",
-        "text_word_doc_freq",
-        "dedup_exact_stats",
-        "dedup_exact_groups",
+        "graph_triangle_summary",
+        "graph_top_copurchase",
+        "text_repetition_filter",
+        "text_bpe_token_estimate",
+        "text_pii_scrub",
+        "text_bigram_pmi",
+        "docs_source_profile",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+        "dedup_incremental_minhash",
+        "decontam_benchmark_overlap",
+        "dedup_apply_exact",
+        "dedup_fuzzy_names",
+        "dedup_repeated_passages",
+        "sim_topk_bruteforce",
+        "sim_topk_lsh",
+        "sim_topk_ivf",
+        "sim_bucket_histogram",
+        "multimodal_embed_topk",
+        "multimodal_decode_meta",
+        "multimodal_frame_stats",
+        "multimodal_binary_files",
+        "vector_label_centroids",
+        "dedup_connected_components",
+        "dedup_apply_near",
+        "pipeline_filter_funnel",
+        "sample_stratified_docs",
+        "sample_rebalance_langs",
+        "sample_temperature_langs",
+        "approx_percentiles_bounded",
     }
 )
 
 
-# New queries living in otherwise-tail modules: export FIRST until a
-# driver artifact shows them green.
-_FRESH_HEAD_NAMES = frozenset({"approx_percentiles_bounded"})
-
-
-def _is_tail(spec: QuerySpec) -> bool:
-    if spec.name in _FRESH_HEAD_NAMES:
-        return False
-    mod = spec.builder.__module__.rsplit(".", 1)[-1]
-    return mod in _VERIFIED_R1_TAIL_MODULES or spec.name in _VERIFIED_R1_TAIL_NAMES
+def _band(spec: QuerySpec) -> int:
+    if spec.name in _SENTINELS:
+        return 0
+    if spec.name in _NEVER_GREEN_R3:
+        return 1
+    if spec.name in _R2_GREEN:
+        return 3
+    return 2  # r1-only evidence, or brand new this round
 
 
 def _export_ordered() -> list[QuerySpec]:
     _load_all()
     specs = list(REGISTRY.values())
-    return [s for s in specs if not _is_tail(s)] + [s for s in specs if _is_tail(s)]
+    head = {n: i for i, n in enumerate(_SENTINELS + _NEVER_GREEN_R3)}
+    # stable sort: within a band, head-listed names first in listed
+    # order, everything else in registration order
+    indexed = sorted(
+        enumerate(specs),
+        key=lambda p: (_band(p[1]), head.get(p[1].name, len(head) + p[0])),
+    )
+    return [s for _, s in indexed]
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -144,6 +197,7 @@ def _load_all() -> None:
     from . import queries_dedup  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_events  # noqa: F401
+    from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_vectors  # noqa: F401
     from . import queries_text  # noqa: F401

@@ -48,9 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
-        # type, so read them as raw longs (converted to micros in
-        # sources/tables.py).
+        # Parquet TIMESTAMP(NANOS) has no Spark type; load such
+        # columns as raw longs instead of failing. sources/tables.py
+        # dispatches on the loaded dtype, so any physical encoding of
+        # events.ts (micros/nanos/raw int64) yields the same rows.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every Python<->JVM columnar exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -99,22 +99,24 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 
 def test_unverified_queries_export_inside_driver_window():
     """The driver's CORRECTNESS artifact records only the first ~50
-    queries() entries. Every query with no green round-1 driver
-    verdict (new or changed since) must therefore export inside the
-    first 50 slots; the truncation tail may contain ONLY queries the
-    r1 artifact already proved."""
+    queries() entries. Every query with no green driver verdict from
+    ANY past round (new or changed since) must therefore export
+    inside the first 50 slots; the truncation tail may contain ONLY
+    queries some round's artifact already proved."""
     import json
     import pathlib
 
     from map_reduce_showcase_spark.plans.registry import query_map
 
-    art = pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r01.json"
-    r1 = json.loads(art.read_text())
-    green = {
-        n
-        for n, e in r1.items()
-        if e.get("rows_match") and e.get("schema_match") and e.get("hash_match")
-    }
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    green: set[str] = set()
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for n, e in json.loads(art.read_text()).items():
+            if e.get("rows_match") and e.get("schema_match") and e.get("hash_match"):
+                green.add(n)
+    # regressed while hidden in the tail in round 2; fixed this round
+    # but needs fresh driver evidence before it may ride the tail
+    green.discard("pivot_event_types_daily")
     order = list(query_map())
     tail = order[50:]
     not_proven = [n for n in tail if n not in green]
