@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60
-from .jaccard import jaccard_filter, shingle_rows, shingle_sizes
+from .jaccard import jaccard_filter, shingle_rows
 
 #: Universal-hash family h_i(x) = (a_i·x + b_i) mod MOD over the
 #: base 60-bit md5 hash reduced mod MOD. One md5 per shingle instead
@@ -68,15 +68,23 @@ def hashed_shingle_rows(
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """Wide signature frame: (doc_id, mh0..mh{k-1}) from
+    """Wide signature frame: (doc_id, mh0..mh{k-1}, sz) from
     (doc_id, k) hashed-shingle rows. One hash-aggregate; k mins
     computed map-side, so the shuffle carries k longs per
-    (doc, partition)."""
+    (doc, partition).
+
+    ``sz`` (the doc's distinct-shingle count, needed by the Jaccard
+    verify tail) rides the SAME aggregate: computing it separately
+    via ``shingle_sizes`` would re-scan and re-shuffle the whole
+    shingle frame — partial aggregation sits below the exchange, so
+    Spark cannot reuse the signature groupBy's shuffle for a second
+    aggregation over the same key."""
     base = F.col("k") % F.lit(MOD)
     aggs = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
         aggs.append(F.min((F.lit(a) * base + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}"))
+    aggs.append(F.count(F.lit(1)).alias("sz"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -149,14 +157,18 @@ def minhash_near_dup_pairs(
     # candidate-bound; at 100 TB the balance shifts with corpus dup
     # rate, and the high-DF cap keeps the bucket join from exploding.
     sh = hashed_shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
-    return _verify_candidates(cand, sh, threshold)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, rows_per_band)
+    return _verify_candidates(cand, sh, sig.select("doc_id", "sz"), threshold)
 
 
-def _verify_candidates(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _verify_candidates(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (d1, d2) pairs against
     the hashed-shingle frame — touches candidates only, never all
-    pairs, and the intersection join carries 8-byte hashes."""
+    pairs, and the intersection join carries 8-byte hashes. ``sizes``
+    is (doc_id, sz) — produced for free by the signature aggregate."""
     e1 = sh.select(F.col("doc_id").alias("d1"), "k")
     e2 = sh.select(F.col("doc_id").alias("d2"), "k")
     inter = (
@@ -165,7 +177,7 @@ def _verify_candidates(cand: DataFrame, sh: DataFrame, threshold: float) -> Data
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return jaccard_filter(inter, shingle_sizes(sh), threshold)
+    return jaccard_filter(inter, sizes, threshold)
 
 
 def incremental_minhash_near_dup_pairs(
@@ -199,7 +211,8 @@ def incremental_minhash_near_dup_pairs(
     :func:`minhash_near_dup_pairs` restricted to pairs touching the
     batch."""
     sh = hashed_shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
-    bands = band_rows(minhash_signatures(sh, num_hashes), num_hashes, rows_per_band)
+    sig = minhash_signatures(sh, num_hashes)
+    bands = band_rows(sig, num_hashes, rows_per_band)
     a, b = bands.filter(is_new(F.col("doc_id"))).alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -214,4 +227,4 @@ def incremental_minhash_near_dup_pairs(
         )
         .distinct()
     )
-    return _verify_candidates(cand, sh, threshold)
+    return _verify_candidates(cand, sh, sig.select("doc_id", "sz"), threshold)

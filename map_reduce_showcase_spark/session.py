@@ -41,6 +41,22 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode every executor thread shares the driver JVM,
+        # whose default heap is 1g — with local[32] that starves the
+        # shuffle/agg hash maps into GC-lock retries (measured: the
+        # shingle self-join crashes outright under a loaded JVM).
+        # 4g measured fastest on this box: it stops the crashes and
+        # halves the inverted-index join, while a huge heap (24g)
+        # was 3-10x SLOWER on the same queries (G1 with a
+        # many-gigabyte young gen thrashes page-zeroing instead of
+        # collecting a small nursery). Only effective before the JVM
+        # launches; getOrCreate against a live session ignores it.
+        # On a real cluster this knob is irrelevant: spark-submit
+        # sets executor/driver memory explicitly.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: coalesce post-shuffle partitions, split

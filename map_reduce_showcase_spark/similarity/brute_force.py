@@ -17,17 +17,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, l2_norm
 
 
 def _scored(queries: DataFrame, candidates: DataFrame) -> DataFrame:
     from ..functions.util import rebalance
 
+    # norms are pair-invariant: fold them once per row here, not once
+    # per (query × candidate) pair in the scoring select (3× fewer
+    # element ops in the O(|Q|·|C|) stage; bit-identical arithmetic)
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = rebalance(candidates).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -35,7 +42,9 @@ def _scored(queries: DataFrame, candidates: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos"),
         )
     )
 
@@ -56,9 +65,17 @@ def cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
     """All (v1, v2, cosine) pairs with cosine ≥ threshold — the
     embedding-space near-duplicate detector. O(n²): correct at
     verification scale; the LSH variant is the 100 TB path."""
-    a = vectors.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = vectors.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = cosine_similarity(F.col("e1"), F.col("e2"))
+    a = vectors.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        l2_norm(F.col("embedding")).alias("n1"),
+    )
+    b = vectors.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        l2_norm(F.col("embedding")).alias("n2"),
+    )
+    cos = cosine_from_norms(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
     return (
         a.crossJoin(b)
         .filter(F.col("v1") < F.col("v2"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, l2_norm
 from .analytics import label_centroids
 
 
@@ -53,13 +53,22 @@ def ivf_assign(
     """
     from ..functions.util import rebalance
 
+    # fold each norm once per row (vector side) / once per centroid
+    # (broadcast side) instead of once per (vector × centroid) pair
     scored = (
         rebalance(vectors)
-        .select("vec_id", F.col("embedding").alias("_emb"))
-        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("_emb"),
+            l2_norm(F.col("embedding")).alias("_norm"),
+        )
+        .crossJoin(F.broadcast(centroids.withColumn("_cnorm", l2_norm(F.col("centvec")))))
     )
     w = Window.partitionBy("vec_id").orderBy(
-        cosine_similarity(F.col("_emb"), F.col("centvec")).desc(), F.col("label")
+        cosine_from_norms(
+            F.col("_emb"), F.col("centvec"), F.col("_norm"), F.col("_cnorm")
+        ).desc(),
+        F.col("label"),
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -83,10 +92,16 @@ def topk_cosine_ivf(
     v = vectors.join(cells, "vec_id")
     q_src = vectors.filter(F.col("vec_id") < n_queries)
     q = q_src.join(ivf_assign(q_src, centroids, nprobe), "vec_id").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        "cell",
     )
     c = v.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        "cell",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -95,7 +110,9 @@ def topk_cosine_ivf(
         .select(
             "query_id",
             "cand_id",
-            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

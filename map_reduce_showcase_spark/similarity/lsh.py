@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_from_norms, dot, l2_norm
 
 DIM = 64
 #: 4 planes → 16 cells. For weakly-correlated vectors P(two vectors
@@ -122,9 +122,18 @@ def cosine_pairs_lsh(
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
         .distinct()
     )
-    e1 = v.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    e2 = v.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = cosine_similarity(F.col("e1"), F.col("e2"))
+    # norms folded once per vector, not once per candidate pair
+    e1 = v.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        l2_norm(F.col("embedding")).alias("n1"),
+    )
+    e2 = v.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        l2_norm(F.col("embedding")).alias("n2"),
+    )
+    cos = cosine_from_norms(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
@@ -157,6 +166,7 @@ def topk_cosine_lsh(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
         F.explode(F.array(*probe_list)).alias("bucket"),
     )
     from ..functions.util import rebalance
@@ -164,6 +174,7 @@ def topk_cosine_lsh(
     c = rebalance(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
         bucket.alias("bucket"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
@@ -173,7 +184,9 @@ def topk_cosine_lsh(
         .select(
             "query_id",
             "cand_id",
-            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
