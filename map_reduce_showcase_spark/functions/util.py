@@ -98,6 +98,10 @@ def rebalance(df: DataFrame) -> DataFrame:
                 _SPLIT_CACHE[key] = est
         if est is not None:
             return df.repartition(par) if est < par else df
+    if df.isStreaming:
+        # a streaming DataFrame has no .rdd and its parallelism is the
+        # source's to decide — never probe, never repartition here
+        return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

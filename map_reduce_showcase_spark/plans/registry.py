@@ -98,6 +98,9 @@ _NEVER_GREEN_R3 = (
     "pivot_event_types_daily",
     # new this round — needs first driver evidence:
     "streaming_tumbling_counts",
+    "pack_sequences_greedy",
+    "pack_chunk_spans",
+    "mixture_lang_weights",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
@@ -202,6 +205,7 @@ def _load_all() -> None:
     from . import queries_vectors  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_pipeline  # noqa: F401
+    from . import queries_packing  # noqa: F401
     from . import queries_udf  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_relational2  # noqa: F401

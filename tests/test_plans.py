@@ -255,3 +255,32 @@ def test_split_estimate_agrees_with_rdd_probe(spark, sf_dir):
         assert (est < par) == (actual < par), (
             f"{name}: est={est} actual={actual} par={par} — guard decisions differ"
         )
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Packing must be shard-local: exactly ONE exchange (hash on
+    shard), the window partitioned by shard (never a global/empty
+    partition spec = single-reducer sort), and the per-pack aggregate
+    reusing the shard partitioning instead of re-shuffling."""
+    plan = _plan(spark, sf_dir, "pack_sequences_greedy")
+    assert plan.count("(Exchange") + plan.count(") Exchange") <= 2  # header + node
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(exchanges) == 1, f"expected one shuffle, got: {exchanges}"
+    assert "shard" in exchanges[0]
+    window = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert window and "shard" in window[0], "window must partition by shard"
+
+
+def test_chunk_spans_no_shuffle(spark, sf_dir):
+    """Chunking is embarrassingly parallel: scan → project → explode,
+    zero exchanges."""
+    plan = _plan(spark, sf_dir, "pack_chunk_spans")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_mixture_weights_aggregate_before_broadcast(spark, sf_dir):
+    """The total-tokens frame must be broadcast into the tiny
+    per-lang frame — never a window over the raw corpus."""
+    plan = _plan(spark, sf_dir, "mixture_lang_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
