@@ -73,7 +73,13 @@ def main() -> None:
     # Failures land in "errors"; the JSON line always prints.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
     for name in HEADLINE:
+        # Earlier queries' localCheckpoint blocks are only released
+        # when the ContextCleaner runs, which is JVM-GC-driven; nudge
+        # it so query N isn't measured under query N-1's cached
+        # partitions squeezing the (shared local) heap.
+        jvm_gc()
         t0 = time.time()
         try:
             fn = REGISTRY[name].builder
