@@ -114,13 +114,33 @@ def cosine_pairs_lsh(
 
     v = rebalance(vectors).select("vec_id", "embedding")
     keys = banded_band_keys(F.col("embedding"), planes, rows_per_band)
-    bucketed = v.select("vec_id", F.explode(F.array(*keys)).alias("bkey"))
+    # Each row keeps its FULL band-key vector alongside the exploded
+    # key so a colliding pair can check, in place, whether an EARLIER
+    # band already matched ("emit from first colliding band"). That
+    # filter replaces a distinct() — i.e. a full shuffle of the raw
+    # candidate stream, the largest intermediate in the query — with
+    # a per-row check over ≤ n_bands ints. Band keys encode the band
+    # number (band * 2^r + bucket), so bkey equality implies same
+    # band and the zip below compares aligned prefixes.
+    bucketed = v.select(
+        "vec_id",
+        F.array(*keys).alias("bkeys"),
+        F.posexplode(F.array(*keys)).alias("band", "bkey"),
+    )
+    first_match = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("a.bkeys"), 1, F.col("a.band")),
+            F.slice(F.col("b.bkeys"), 1, F.col("b.band")),
+            lambda x, y: x == y,
+        ),
+        lambda hit: hit,
+    )
     cand = (
         bucketed.alias("a")
         .join(bucketed.alias("b"), "bkey")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(first_match)
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
-        .distinct()
     )
     # norms folded once per vector, not once per candidate pair
     e1 = v.select(
