@@ -91,33 +91,50 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
 def band_rows(
     sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
-    """(doc_id, band, bkey) rows: the signature split into bands,
-    each band's rows packed into one equi-joinable string key."""
+    """(doc_id, bkeys, band, bkey) rows: the signature split into
+    bands, each band's rows packed into one equi-joinable string key.
+    ``bkeys`` carries the FULL per-band key vector alongside the
+    exploded key so a colliding pair can check in place whether an
+    earlier band already matched — candidate joins then emit each
+    pair exactly once instead of distinct()-ing (a full shuffle of
+    the raw candidate stream)."""
     n_bands = num_hashes // rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(n_bands)
-        ]
+    key_cols = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.array(*key_cols).alias("bkeys"),
+        F.posexplode(F.array(*key_cols)).alias("band", "bkey"),
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+
+
+def _first_band_match() -> "F.Column":
+    """True iff no band BEFORE the joined one also matched — the
+    exactly-once emission filter for banded candidate joins."""
+    return ~F.exists(
+        F.zip_with(
+            F.slice(F.col("a.bkeys"), 1, F.col("a.band")),
+            F.slice(F.col("b.bkeys"), 1, F.col("b.band")),
+            lambda x, y: x == y,
+        ),
+        lambda hit: hit,
     )
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
 ) -> DataFrame:
-    """Distinct candidate (d1, d2) pairs sharing ≥1 full band."""
+    """Distinct candidate (d1, d2) pairs sharing ≥1 full band —
+    emitted exactly once via the first-colliding-band filter, no
+    distinct shuffle."""
     bands = band_rows(sig, num_hashes, rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -127,8 +144,8 @@ def lsh_candidate_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(_first_band_match())
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
 
 
@@ -214,6 +231,11 @@ def incremental_minhash_near_dup_pairs(
     sig = minhash_signatures(sh, num_hashes)
     bands = band_rows(sig, num_hashes, rows_per_band)
     a, b = bands.filter(is_new(F.col("doc_id"))).alias("a"), bands.alias("b")
+    # exactly-once emission without a distinct: the first-band filter
+    # dedups across bands; the ordering term dedups the new×new
+    # quadrant (seen from both sides) while keeping new×old rows,
+    # whose old side never appears on the filtered ``a`` side.
+    once = (F.col("a.doc_id") < F.col("b.doc_id")) | ~is_new(F.col("b.doc_id"))
     cand = (
         a.join(
             b,
@@ -221,10 +243,11 @@ def incremental_minhash_near_dup_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
+        .filter(once)
+        .filter(_first_band_match())
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
         )
-        .distinct()
     )
     return _verify_candidates(cand, sh, sig.select("doc_id", "sz"), threshold)

@@ -92,6 +92,17 @@ def simhash_near_pairs(
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # "emit from first colliding band": both fingerprints are present
+    # in the joined row, so whether any EARLIER band also matched is
+    # a per-row bit computation — each qualifying pair is emitted
+    # exactly once and the distinct() (a full shuffle of the raw
+    # candidate stream) disappears.
+    first_band = F.expr(
+        f"a.band = 0 OR NOT exists("
+        f"  sequence(0, a.band - 1),"
+        f"  j -> (shiftright(a.simhash, j * {band_bits}) & {mask})"
+        f"     = (shiftright(b.simhash, j * {band_bits}) & {mask}))"
+    )
     return (
         a.join(
             b,
@@ -100,10 +111,10 @@ def simhash_near_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(ham <= max_hamming)
+        .filter(first_band)
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
             ham.cast("int").alias("hamming"),
         )
-        .distinct()
     )
