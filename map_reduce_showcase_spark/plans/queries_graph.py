@@ -208,3 +208,104 @@ def graph_top_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("degree").desc(), F.col("partkey").asc())
         .limit(20)
     )
+
+
+_PR_ITER_SQL = """
+    c{i} AS (
+      SELECT bi.dst AS vertex,
+             CAST(SUM(CAST(r{p}.r / r{p}.od AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM bi JOIN r{p} ON bi.src = r{p}.vertex
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT c{i}.vertex, deg.od,
+             0.15 / (SELECT n FROM nn) + 0.85 * c{i}.s AS r
+      FROM c{i} JOIN deg ON deg.vertex = c{i}.vertex
+    )
+"""
+
+PAGERANK_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=(
+        """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS vertex, COUNT(*) AS od FROM bi GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT vertex, od, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    """
+        + ",\n".join(
+            _PR_ITER_SQL.format(i=i, p=i - 1) for i in range(1, PAGERANK_ITERS + 1)
+        )
+        + f"""
+    SELECT vertex, round(r, 9) AS rank
+    FROM r{PAGERANK_ITERS}
+    ORDER BY r DESC, vertex ASC
+    LIMIT 20
+    """
+    ),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, PAGERANK_ITERS (=3) fixed power iterations over the
+    (bidirectional) co-purchase graph — the engine's iterative-
+    algorithm representative alongside connected components, with a
+    full value oracle (the DuckDB twin unrolls the same three
+    iterations).
+
+    Engine-portable determinism: per-edge contributions r/od are
+    identical IEEE doubles in both engines; each iteration's SUM runs
+    in DECIMAL(38,18) (exact, order-independent) and returns to
+    double for the damping arithmetic — so the ranks are bit-equal
+    across engines and partitionings, iteration after iteration.
+
+    Scale shape: per iteration, one shuffle join (edges × ranks on
+    src — both sides partition by vertex id) and one hash aggregate
+    on dst; the vertex-count normalizer is a broadcast 1-row frame,
+    never a driver-side collect. The bidirectional graph has no
+    dangling vertices (every vertex has in-edges), so no dangling-
+    mass correction term is needed. Iteration count is fixed — at
+    100 TB you run it to a tolerance with the same per-round plan and
+    localCheckpoint every few rounds to truncate lineage (same
+    discipline as dedup/components.py)."""
+    edges = copurchase_edges(spark, sf_dir)
+    bi = (
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = bi.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("od"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    state = deg.crossJoin(F.broadcast(nn)).select(
+        "vertex", "od", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = bi.join(state, bi.src == state.vertex).select(
+            F.col("dst"),
+            (F.col("r") / F.col("od")).cast("decimal(38,18)").alias("c"),
+        )
+        sums = contrib.groupBy(F.col("dst").alias("vertex")).agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        state = (
+            sums.join(deg, "vertex")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "vertex",
+                "od",
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+        )
+    return (
+        state.orderBy(F.col("r").desc(), F.col("vertex").asc())
+        .limit(20)
+        .select("vertex", F.round(F.col("r"), 9).alias("rank"))
+    )

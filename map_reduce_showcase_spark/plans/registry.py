@@ -101,6 +101,7 @@ _NEVER_GREEN_R3 = (
     "pack_sequences_greedy",
     "pack_chunk_spans",
     "mixture_lang_weights",
+    "graph_pagerank",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
