@@ -471,3 +471,51 @@ def sample_temperature_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=f"""
+    WITH sc AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS q,
+             ({portable_hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, q AS quality
+    FROM sc
+    ORDER BY ln(u) / (q + 0.01) DESC, doc_id ASC
+    LIMIT 100
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each doc draws a deterministic uniform u from
+    the md5 of its stable id and is ranked by ln(u)/w with weight
+    w = quality + 0.01 (the epsilon keeps zero-quality docs drawable);
+    the top-k by that key IS a weighted sample without replacement.
+    Ordering by ln(u)/w is the standard monotone-equivalent of
+    u^(1/w) that avoids pow().
+
+    The workhorse for "sample 10M docs favoring high quality" —
+    reproducible across engines and reruns (no RNG state), unlike
+    rand()-based sampling.
+
+    Scale: scan-local key computation + TakeOrderedAndProject
+    (per-partition top-k heaps, tiny final merge) — no shuffle of
+    the corpus, no global sort; at 100 TB this runs at scan speed."""
+    from ..functions.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    u = (portable_hash60(F.col("doc_id").cast("string")) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / (q + F.lit(0.01))
+    return (
+        docs.select("doc_id", "lang", q.alias("quality"), key.alias("_k"))
+        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .drop("_k")
+    )

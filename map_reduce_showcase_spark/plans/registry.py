@@ -102,6 +102,7 @@ _NEVER_GREEN_R3 = (
     "pack_chunk_spans",
     "mixture_lang_weights",
     "graph_pagerank",
+    "sample_weighted_quality",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(

@@ -284,3 +284,11 @@ def test_mixture_weights_aggregate_before_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mixture_lang_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-Res weighted sampling must be per-partition top-k heaps +
+    tiny merge, never a global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "sample_weighted_quality")
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
