@@ -103,6 +103,7 @@ _NEVER_GREEN_R3 = (
     "mixture_lang_weights",
     "graph_pagerank",
     "sample_weighted_quality",
+    "q7_volume_shipping",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
