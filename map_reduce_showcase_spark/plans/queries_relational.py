@@ -636,3 +636,60 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
+
+
+#: Morton interleave of the low 16 bits of two BIGINT keys — bit j of
+#: each key lands at position 2j / 2j+1. Same generated expression
+#: text runs in Spark and DuckDB (integer ops only, no UDF).
+_ZBITS = 16
+
+
+def _morton_sql(ka: str, kb: str) -> str:
+    terms = [
+        f"((({ka} >> {j}) & 1) << {2 * j}) + ((({kb} >> {j}) & 1) << {2 * j + 1})"
+        for j in range(_ZBITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "layout_zorder_clustering",
+    oracle=f"""
+    SELECT CAST({_morton_sql("l_partkey", "l_suppkey")} >> {2 * _ZBITS - 6} AS BIGINT)
+             AS zbucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("layout", "zorder"),
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-code) clustering diagnostic: interleave the low
+    16 bits of (l_partkey, l_suppkey), bucket by the top 6 Morton
+    bits, and report each bucket's row count and per-dimension
+    min/max envelope. Tight envelopes mean a file written per bucket
+    would be prunable by BOTH predicates — the layout trick behind
+    Delta/Iceberg Z-ordering, expressed as pure integer column math.
+
+    At 100 TB the same expression feeds
+    ``df.repartitionByRange(n, zvalue).sortWithinPartitions(zvalue)``
+    before the parquet write: multi-dimensional locality from a
+    one-dimensional sort, so row-group min/max stats prune scans on
+    either key. This query is the diagnostic that VALIDATES such a
+    layout (envelope width ≈ pruning power); one scan, one shuffle."""
+    z = F.expr(_morton_sql("l_partkey", "l_suppkey"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.shiftright(z, 2 * _ZBITS - 6).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("part_min"),
+            F.max("l_partkey").cast("bigint").alias("part_max"),
+            F.min("l_suppkey").cast("bigint").alias("supp_min"),
+            F.max("l_suppkey").cast("bigint").alias("supp_max"),
+        )
+    )

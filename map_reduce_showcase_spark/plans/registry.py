@@ -104,6 +104,7 @@ _NEVER_GREEN_R3 = (
     "graph_pagerank",
     "sample_weighted_quality",
     "q7_volume_shipping",
+    "layout_zorder_clustering",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
