@@ -601,3 +601,60 @@ def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS c FROM occ GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+    SELECT occ.doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(-ln(vocab.c / tot.n) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+    FROM occ JOIN vocab USING (word), tot
+    GROUP BY occ.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-likelihood per document — the shape of a
+    CCNet/KenLM-style perplexity filter with the n-gram LM replaced
+    by the corpus's own unigram distribution (no external model in
+    this container; swapping in real LM scores changes one join
+    input, not the plan). Low avg_neg_logprob = common-word prose;
+    high = rare-token soup — the standard pretraining quality signal.
+
+    Determinism: per-occurrence -ln(p) terms are identical IEEE
+    doubles in both engines (c/n division then ln); the per-doc SUM
+    runs in DECIMAL(28,12), so partition order cannot move the
+    result; one final IEEE division by the token count.
+
+    Scale: token occurrences join the vocabulary on the word — the
+    inverted-index shape again; the vocabulary is Zipf-compact
+    (orders of magnitude smaller than occurrences) and the corpus
+    total broadcasts as a 1-row frame. Two shuffles total (vocab
+    count, per-doc agg); the occurrence stream is never sorted."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+    )
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    neg_lp = -F.log(F.col("c") / F.col("n"))
+    return (
+        occ.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(neg_lp.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -105,6 +105,7 @@ _NEVER_GREEN_R3 = (
     "sample_weighted_quality",
     "q7_volume_shipping",
     "layout_zorder_clustering",
+    "text_unigram_logprob",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
