@@ -693,3 +693,66 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("supp_max"),
         )
     )
+
+
+@register(
+    "topk_orders_per_segment_bounded",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+             ) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("aggregation", "topk", "bounded-state"),
+)
+def topk_orders_per_segment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment WITHOUT a window
+    function: two-stage salted top-k. Stage 1 groups by (segment,
+    salt) and keeps ``slice(array_sort(collect_list))`` top-3 per
+    salted subgroup; stage 2 merges the ≤ 16×3 survivors per
+    segment. The result is identical to the rank-window form (the
+    oracle) because a group's true top-3 survives every salted
+    subgroup cut.
+
+    Why it matters at 100 TB: a rank window — and equally a single
+    unsalted collect_list aggregate — must materialize EVERY row of
+    the hottest key in one task before ranking. Here no task ever
+    merges more than salts×K entries for a key, whatever its skew;
+    the hot key's raw rows stay spread across 16 salted subgroups.
+    (array_sort ascending over (-price, orderkey) structs gives the
+    (price DESC, orderkey ASC) ranking deterministically.)"""
+    k, n_salts = 3, 16
+    topk_agg = F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("top")
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(n_salts)).alias("_salt"),
+            F.struct(
+                (-F.col("o_totalprice")).alias("neg_price"),
+                F.col("o_orderkey").alias("okey"),
+            ).alias("entry"),
+        )
+    )
+    stage1 = (
+        j.groupBy("c_mktsegment", "_salt")
+        .agg(topk_agg)
+        .select("c_mktsegment", F.explode("top").alias("entry"))
+    )
+    stage2 = stage1.groupBy("c_mktsegment").agg(topk_agg)
+    return stage2.select(
+        "c_mktsegment", F.posexplode("top").alias("pos", "e")
+    ).select(
+        "c_mktsegment",
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+        F.col("e.okey").alias("o_orderkey"),
+        F.round(-F.col("e.neg_price"), 2).alias("o_totalprice"),
+    )

@@ -106,6 +106,7 @@ _NEVER_GREEN_R3 = (
     "q7_volume_shipping",
     "layout_zorder_clustering",
     "text_unigram_logprob",
+    "topk_orders_per_segment_bounded",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(

@@ -292,3 +292,12 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_weighted_quality")
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_bounded_topk_has_no_window(spark, sf_dir):
+    """Grouped top-k via bounded aggregation: partial+final agg with
+    K-entry state, never a rank window (which would sort the hottest
+    group in one task)."""
+    plan = _plan(spark, sf_dir, "topk_orders_per_segment_bounded")
+    assert "windowspecdefinition" not in plan
+    assert "partial_" in plan, "map-side partial aggregation expected"
