@@ -519,3 +519,54 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_k")
     )
+
+
+@register(
+    "shuffle_train_order",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, h,
+             CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT)
+             AS pos
+    FROM sharded
+    """,
+    tags=("pipeline", "shuffle", "training-order"),
+)
+def shuffle_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch-0
+    data loader needs the corpus in a random but REPRODUCIBLE order.
+    Key each doc by the md5 of its stable id (a seeded permutation —
+    change the seed by salting the hashed string), route it to
+    shard = first hex nibble, and number within the shard by hash
+    order.
+
+    The scale point is what this query avoids: a naive global
+    ROW_NUMBER() OVER (ORDER BY h) is a single-partition window — one
+    task sorts the corpus. Sharding first makes the window
+    PARTITIONED (hash-distributed, each shard sorted independently),
+    and (shard, pos) is still a total training order: readers consume
+    shards in index order. 16 shards here; at 100 TB the shard count
+    is O(cluster cores) via more nibbles — the plan shape is
+    unchanged. The draw replays identically in any engine (pinned by
+    the DuckDB oracle) and any partitioning."""
+    from pyspark.sql.window import Window
+
+    keyed = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    )
+    sharded = keyed.withColumn(
+        "shard", F.expr("CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

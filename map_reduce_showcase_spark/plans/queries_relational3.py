@@ -295,3 +295,132 @@ def approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q21_single_late_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "exists", "not-exists", "tpch"),
+)
+def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest decorrelation pattern in the suite — EXISTS and NOT
+    EXISTS over the same fact table, correlated to the outer join.
+
+    The oracle runs the literal double-correlated form; this plan
+    runs the aggregate-first rewrite a 100 TB engine wants instead
+    of two extra lineitem self-joins:
+
+    * join lineitem⋈orders once (shuffle on orderkey),
+    * per (order, supplier): any-late + late-line count — the
+      groupBy keys extend the join key, so HashPartitioning(orderkey)
+      already satisfies the distribution: NO extra exchange,
+    * per order: supplier count, late-supplier count, the (unique)
+      late supplier — again orderkey-clustered, no exchange,
+    * EXISTS      ⇔ n_supp >= 2,
+      NOT EXISTS  ⇔ n_late_supp == 1 (l1 itself is the only one),
+    * numwait = late lines of that lone supplier, summed per
+      supplier (a |suppliers|-sized agg), broadcast-joined to the
+      supplier dim for names, top-20 via TakeOrderedAndProject.
+
+    One fact shuffle total vs the literal form's three."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"),
+        F.sum("late").alias("supp_late_lines"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+        F.min(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("supp_late_lines").alias("n_late_lines"),
+    )
+    qual = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    counts = qual.groupBy("late_supp").agg(F.sum("n_late_lines").alias("numwait"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        counts.join(F.broadcast(s), counts.late_supp == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "argmin_cheapest_supplier",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_extendedprice, l_suppkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_suppkey) AS rn
+      FROM lineitem
+    )
+    SELECT r.l_partkey AS partkey, p.p_brand AS brand,
+           r.l_extendedprice AS min_price, r.l_suppkey AS cheapest_supp
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE rn = 1 AND p.p_size <= 15
+    """,
+    tags=("aggregation", "argmin", "tpch"),
+)
+def argmin_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part) as a windowless
+    argmin: MIN over a (price, suppkey) struct — lexicographic struct
+    comparison makes one hash aggregate return the minimum price AND
+    its supplier (suppkey breaks price ties), where the oracle needs
+    a ROW_NUMBER window.
+
+    At 100 TB the difference is structural: the window form sorts
+    every partition of the fact table; the struct-min form is a
+    map-side-combining hash agg — shuffled rows = |parts| ×
+    partitions, never |lineitem|. The part dim filters (p_size)
+    BEFORE the agg via a broadcast join, so pruned parts never enter
+    the aggregate."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey", "p_brand")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.min(F.struct("l_extendedprice", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("b.l_extendedprice").alias("min_price"),
+            F.col("b.l_suppkey").alias("cheapest_supp"),
+        )
+    )

@@ -111,3 +111,92 @@ def udf_grouped_geomean_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(geo_mean(F.col("l_quantity")), 6).alias("geo_mean_qty")
     )
+
+
+def _overlap_chunks_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx int, start_tok int, n_toks int, chunk string"
+        ),
+        useArrow=True,
+    )
+    class OverlapChunks:
+        """Overlapping token windows (size 64, stride 48): the
+        embedding/pretraining chunker where context must straddle
+        chunk boundaries. Emits while advancing by stride and stops
+        once a chunk reaches the end of the doc (no redundant
+        tail slivers)."""
+
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            words = text.split(" ")
+            n = len(words)
+            s = 0
+            i = 0
+            while True:
+                end = min(s + 64, n)
+                yield doc_id, i, s, end - s, " ".join(words[s:end])
+                if s + 64 >= n:
+                    break
+                s += 48
+                i += 1
+
+    return OverlapChunks
+
+
+@register(
+    "udtf_overlap_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS parts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, parts, n,
+             CAST(unnest(range(
+               0,
+               greatest(CAST(ceil((n - 64) / 48.0) AS INT) * 48, 0) + 1,
+               48)) AS INT) AS start_tok
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start_tok / 48 AS INT) AS chunk_idx,
+           start_tok,
+           CAST(least(start_tok + 64, n) - start_tok AS INT) AS n_toks,
+           array_to_string(
+             list_slice(parts, start_tok + 1, least(start_tok + 64, n)), ' ')
+             AS chunk
+    FROM s
+    """,
+    tags=("udf", "udtf", "chunking"),
+)
+def udtf_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 user-defined TABLE function) — the
+    third and last user-code shape after scalar and grouped-agg
+    pandas UDFs, and the closest analogue of the reference's
+    user-supplied flatMap ``map_fn`` (``src/lib.rs:114-127``): one
+    input row → many output rows, schema declared by the function.
+
+    The op itself is overlapping-window chunking (size 64 tokens,
+    stride 48) for embedding/pretraining pipelines — genuinely
+    awkward natively (posexplode over a sequence() of starts carries
+    the full token array through the explode; the UDTF streams it).
+    Arrow-batched via ``useArrow=True``; each doc is chunked
+    scan-locally, zero shuffles in the whole plan. The
+    non-overlapping native twin is ``pack_chunk_spans``."""
+    cls = _overlap_chunks_udtf()
+    spark.udtf.register("mrs_overlap_chunks", cls)
+    t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "mrs_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.start_tok, c.n_toks, c.chunk
+        FROM mrs_udtf_docs d,
+             LATERAL mrs_overlap_chunks(d.doc_id, d.text) c
+        """
+    )

@@ -107,6 +107,10 @@ _NEVER_GREEN_R3 = (
     "layout_zorder_clustering",
     "text_unigram_logprob",
     "topk_orders_per_segment_bounded",
+    "q21_single_late_supplier",
+    "argmin_cheapest_supplier",
+    "shuffle_train_order",
+    "udtf_overlap_chunks",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
