@@ -301,3 +301,46 @@ def test_bounded_topk_has_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_orders_per_segment_bounded")
     assert "windowspecdefinition" not in plan
     assert "partial_" in plan, "map-side partial aggregation expected"
+
+
+def test_q21_one_fact_shuffle(spark, sf_dir):
+    """The Q21 rewrite must do its per-order work on ONE lineitem
+    shuffle: the (order, supplier) and per-order aggregates both
+    cluster on l_orderkey, so the join's hashpartitioning satisfies
+    them with no further exchange; the supplier-name join broadcasts.
+    The literal EXISTS/NOT-EXISTS form (three fact shuffles) lives
+    only in the oracle."""
+    plan = _plan(spark, sf_dir, "q21_single_late_supplier")
+    fact_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning" in l and ("l_orderkey" in l or "l_suppkey" in l)
+    ]
+    assert len(fact_exchanges) <= 2, f"fact should shuffle once: {fact_exchanges}"
+    assert "BroadcastHashJoin" in plan, "supplier dim must broadcast"
+
+
+def test_argmin_has_no_window(spark, sf_dir):
+    """The struct-min argmin must plan as a partial+final hash agg —
+    no window, no sort of the fact table."""
+    plan = _plan(spark, sf_dir, "argmin_cheapest_supplier")
+    assert "windowspecdefinition" not in plan
+    assert "partial_min" in plan, "map-side partial min expected"
+    assert "BroadcastHashJoin" in plan, "part dim must broadcast"
+
+
+def test_shuffle_train_order_window_is_sharded(spark, sf_dir):
+    """The training-order window must partition by shard (a
+    hash-distributed sort), never an empty partition spec — a global
+    ORDER BY row_number is a single task sorting the corpus."""
+    plan = _plan(spark, sf_dir, "shuffle_train_order")
+    window = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert window and "shard" in window[0]
+    assert "rangepartitioning" not in plan, "no global sort"
+
+
+def test_udtf_chunks_no_shuffle(spark, sf_dir):
+    """UDTF chunking is scan-local: the lateral join with the UDTF
+    must add zero exchanges."""
+    plan = _plan(spark, sf_dir, "udtf_overlap_chunks")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
