@@ -193,3 +193,81 @@ def sim_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+          FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neg_id, c.label AS neg_label,
+             list_cosine_similarity(q.qv, c.v) AS cos
+      FROM q JOIN e c ON c.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neg_id, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neg_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neg_id, neg_label, CAST(rnk AS INT) AS rnk,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "hard-negatives", "training"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query, the top-k most SIMILAR vectors with a DIFFERENT
+    label — the negatives that actually teach the model (random
+    negatives are trivially far; these sit right at the decision
+    boundary).
+
+    Same broadcast-scored shape as ``sim_topk_bruteforce`` with the
+    anti-predicate (``label <>``) applied BEFORE ranking, so excluded
+    same-class candidates never occupy top-k slots. At 100 TB: the
+    query batch broadcasts, candidates score in place (native
+    fold, no Python), per-query rank window over the scored stream;
+    swap the scoring stage for the LSH/IVF bucketed variant when the
+    query batch itself is huge. The label filter rides the probe
+    (scan-time), so mining cost equals plain ANN cost."""
+    from ..functions.vectors import cosine_from_norms, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        F.col("label").alias("neg_label"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "neg_id",
+            "neg_label",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neg_id", "neg_label", "rnk",
+            F.round(F.col("cos"), 6).alias("cosine"),
+        )
+    )

@@ -111,6 +111,7 @@ _NEVER_GREEN_R3 = (
     "argmin_cheapest_supplier",
     "shuffle_train_order",
     "udtf_overlap_chunks",
+    "sim_hard_negatives",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
