@@ -641,3 +641,59 @@ def events_range_frame_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
         F.sum(dec6("value")).over(w).cast("double").alias("sum_30m"),
     )
+
+
+@register(
+    "events_sessionize_ids",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id, ts,
+             CASE
+               WHEN LAG(ts) OVER w IS NULL THEN 1
+               WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+               ELSE 0
+             END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+    FROM gapped
+    """,
+    tags=("events", "window", "sessionize"),
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session-id assignment (the feature-generation twin
+    of ``events_session_10m``'s per-session aggregate): flag a new
+    session when the gap to the previous event exceeds 30 minutes,
+    then a running sum of flags numbers each user's sessions 1..n.
+    The gap test is pure timestamp-interval arithmetic (microsecond
+    integers under the hood, no timezone or float involved) so it
+    replays exactly in any engine — and works on TIMESTAMP_NTZ,
+    which ``unix_micros`` rejects.
+
+    The cumulative-sum-to-segment idiom is THE scalable sessionizer:
+    both windows share one (user_id) partitioning — one shuffle, each
+    user's timeline sorted once, state is O(1) per row (contrast a
+    session_window agg, which can't label the individual events).
+    At 100 TB user_id is the natural partition key and no task ever
+    holds more than one user's timeline slice."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_sess").over(run).cast("int").alias("session_id"),
+        )
+    )

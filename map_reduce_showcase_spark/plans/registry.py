@@ -112,6 +112,7 @@ _NEVER_GREEN_R3 = (
     "shuffle_train_order",
     "udtf_overlap_chunks",
     "sim_hard_negatives",
+    "events_sessionize_ids",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
