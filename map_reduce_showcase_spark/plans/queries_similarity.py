@@ -271,3 +271,88 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos"), 6).alias("cosine"),
         )
     )
+
+
+_KM_ASSIGN_SQL = """
+      SELECT vec_id, v, cid, cos FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM {vecs} e, {cents} c
+      ) WHERE rn = 1
+"""
+
+_KM_UPDATE_SQL = """
+      SELECT cid, list(c ORDER BY dim) AS cv FROM (
+        SELECT cid, dim,
+               round(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM (SELECT cid, unnest(v) AS val,
+                     unnest(generate_series(1, len(v))) AS dim
+              FROM {assign})
+        GROUP BY cid, dim
+      ) GROUP BY cid
+"""
+
+
+@register(
+    "cluster_kmeans_balance",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8
+    ),
+    a1 AS ({_KM_ASSIGN_SQL.format(vecs="e", cents="c0")}),
+    c1 AS ({_KM_UPDATE_SQL.format(assign="a1")}),
+    a2 AS ({_KM_ASSIGN_SQL.format(vecs="e", cents="c1")}),
+    c2 AS ({_KM_UPDATE_SQL.format(assign="a2")}),
+    a3 AS ({_KM_ASSIGN_SQL.format(vecs="e", cents="c2")})
+    SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos
+    FROM a3
+    GROUP BY cid
+    """,
+    tags=("similarity", "clustering", "iterative"),
+)
+def cluster_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration k-means (k=8, cosine) over the embedding
+    corpus, reported as a cluster-balance table (size + mean
+    intra-cluster cosine) — the topic-diversity diagnostic a data-
+    curation pipeline runs before rebalancing a training mix.
+
+    Iterative-ML shape, fully distributed: centroids stay a k-row
+    DataFrame (broadcast into each assignment — the vector side
+    NEVER shuffles), the argmax is a windowless struct-MAX, and the
+    update's per-dimension means are decimal-exact and rounded —
+    every engine and every partitioning rebuilds bit-identical
+    centroids, which is what lets a DuckDB oracle replay the whole
+    2-iteration trajectory. Per iteration: one broadcast + one
+    clusters×dims aggregate; convergence at 100 TB adds iterations,
+    never shuffle volume. Seeding is deterministic (vec_id < k).
+    Lineage-wise, 2 unrolled iterations keep the plan small; deeper
+    loops go through ``localCheckpoint`` like connected components."""
+    from ..similarity.analytics import kmeans_assign, kmeans_update
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(2):
+        assigned = kmeans_assign(emb, cents)
+        cents = kmeans_update(assigned)
+    final = kmeans_assign(emb, cents)
+    n = F.count(F.lit(1))
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        n.alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("cos"), 6).cast("decimal(12,6)")).cast("double") / n, 6
+        ).alias("mean_cos"),
+    )

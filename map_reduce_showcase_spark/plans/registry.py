@@ -113,6 +113,7 @@ _NEVER_GREEN_R3 = (
     "udtf_overlap_chunks",
     "sim_hard_negatives",
     "events_sessionize_ids",
+    "cluster_kmeans_balance",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(

@@ -34,3 +34,52 @@ def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
     )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cid, cos): each vector assigned to its highest-
+    cosine centroid (ties → lowest cid). The argmax is a windowless
+    MAX over a (cos, -cid, v) struct — lexicographic struct
+    comparison resolves (cos, cid) before ever touching v, so v just
+    rides along and no re-join with the vector table is needed.
+    Centroids broadcast (k·d doubles); the vector side never
+    shuffles."""
+    from ..functions.vectors import cosine_from_norms, l2_norm
+
+    v = vectors.withColumn("_vn", l2_norm(F.col("v")))
+    c = centroids.withColumn("_cn", l2_norm(F.col("cv")))
+    best = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn(
+            "cos",
+            cosine_from_norms(F.col("v"), F.col("cv"), F.col("_vn"), F.col("_cn")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cos", (-F.col("cid")).alias("ncid"), "v")).alias("b"))
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.v").alias("v"),
+        (-F.col("b.ncid")).cast("int").alias("cid"),
+        F.col("b.cos").alias("cos"),
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """(cid, cv): new centroids — decimal-exact per-dimension means
+    rounded to 6 places (accumulation-order independent, so every
+    engine and every partitioning rebuilds bit-identical centroids).
+    Shuffle volume is clusters × dims, independent of vector count;
+    the heavy summation happens map-side."""
+    exploded = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+    n = F.count(F.lit(1))
+    per_dim = exploded.groupBy("cid", "dim").agg(
+        F.round(F.sum(F.col("val").cast("decimal(28,9)")).cast("double") / n, 6).alias(
+            "c"
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
