@@ -325,9 +325,10 @@ def cluster_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-cluster cosine) — the topic-diversity diagnostic a data-
     curation pipeline runs before rebalancing a training mix.
 
-    Iterative-ML shape, fully distributed: centroids stay a k-row
-    DataFrame (broadcast into each assignment — the vector side
-    NEVER shuffles), the argmax is a windowless struct-MAX, and the
+    Iterative-ML shape, fully distributed: centroids collapse to a
+    single broadcast row of (cid, centroid, norm) structs, so each
+    assignment is a scan-local per-row ``array_max`` expression —
+    the vector side NEVER shuffles — and the
     update's per-dimension means are decimal-exact and rounded —
     every engine and every partitioning rebuilds bit-identical
     centroids, which is what lets a DuckDB oracle replay the whole

@@ -38,30 +38,44 @@ def label_centroids(vectors: DataFrame, label_col: str = "label") -> DataFrame:
 
 def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, v, cid, cos): each vector assigned to its highest-
-    cosine centroid (ties → lowest cid). The argmax is a windowless
-    MAX over a (cos, -cid, v) struct — lexicographic struct
-    comparison resolves (cos, cid) before ever touching v, so v just
-    rides along and no re-join with the vector table is needed.
-    Centroids broadcast (k·d doubles); the vector side never
-    shuffles."""
-    from ..functions.vectors import cosine_from_norms, l2_norm
+    cosine centroid (ties → lowest cid) with ZERO vector shuffles.
 
-    v = vectors.withColumn("_vn", l2_norm(F.col("v")))
-    c = centroids.withColumn("_cn", l2_norm(F.col("cv")))
-    best = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn(
-            "cos",
-            cosine_from_norms(F.col("v"), F.col("cv"), F.col("_vn"), F.col("_cn")),
+    The k centroids collapse into ONE broadcast row of
+    (cid, cv, norm) structs, so the assignment is a per-row
+    ``array_max`` over a ``transform`` — an expression evaluated at
+    scan: no scored-pair frame, no groupBy, no exchange carrying
+    vectors. (The naive form — crossJoin each centroid row, then
+    groupBy(vec_id) for the argmax — shuffles |V|·k rows WITH the
+    embedded arrays; that exchange is the first casualty at 100 TB.)
+    Struct comparison resolves (cos, -cid) lexicographically, and
+    the result is independent of ``collect_list``'s nondeterministic
+    order because max scans every element."""
+    from ..functions.vectors import dot, l2_norm
+
+    cent_row = centroids.select(
+        F.struct(
+            F.col("cid"), F.col("cv"), l2_norm(F.col("cv")).alias("cn")
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cs"))
+    vn = l2_norm(F.col("v"))
+    best = F.array_max(
+        F.transform(
+            "cs",
+            lambda c: F.struct(
+                (dot(F.col("v"), c["cv"]) / (vn * c["cn"])).alias("cos"),
+                (-c["cid"]).alias("ncid"),
+            ),
         )
-        .groupBy("vec_id")
-        .agg(F.max(F.struct("cos", (-F.col("cid")).alias("ncid"), "v")).alias("b"))
     )
-    return best.select(
-        "vec_id",
-        F.col("b.v").alias("v"),
-        (-F.col("b.ncid")).cast("int").alias("cid"),
-        F.col("b.cos").alias("cos"),
+    return (
+        vectors.crossJoin(F.broadcast(cent_row))
+        .withColumn("b", best)
+        .select(
+            "vec_id",
+            "v",
+            (-F.col("b.ncid")).cast("int").alias("cid"),
+            F.col("b.cos").alias("cos"),
+        )
     )
 
 

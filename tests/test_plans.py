@@ -344,3 +344,26 @@ def test_udtf_chunks_no_shuffle(spark, sf_dir):
     must add zero exchanges."""
     plan = _plan(spark, sf_dir, "udtf_overlap_chunks")
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Gap-flag + running-sum sessionization must reuse ONE user_id
+    partitioning for both windows — a second exchange would mean the
+    timeline is sorted twice."""
+    plan = _plan(spark, sf_dir, "events_sessionize_ids")
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(exchanges) == 1, f"expected one shuffle, got: {exchanges}"
+    assert "user_id" in exchanges[0]
+
+
+def test_kmeans_never_shuffles_vectors(spark, sf_dir):
+    """k-means assignments are scan-local array_max expressions over
+    the broadcast centroid row: no exchange may carry vec_id or the
+    embedding — only the clusters×dims update aggregates shuffle."""
+    plan = _plan(spark, sf_dir, "cluster_kmeans_balance")
+    bad = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning" in l and ("vec_id" in l or "embedding" in l)
+    ]
+    assert not bad, f"vector-side shuffle found: {bad}"
