@@ -262,3 +262,53 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * F.log(idf), 6).alias("tfidf"),
         )
     )
+
+
+@register(
+    "orders_retention_cohorts",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             strftime(MIN(date_trunc('month', o_orderdate)), '%Y-%m')
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           CAST((year(o.o_orderdate) - CAST(substr(f.cohort_month, 1, 4) AS INT)) * 12
+                + (month(o.o_orderdate) - CAST(substr(f.cohort_month, 6, 2) AS INT)) AS INT)
+             AS age_months,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "cohort", "retention"),
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, each
+    order bucketed by whole months since its customer's cohort —
+    the engagement-decay matrix every growth dashboard draws. Month
+    age is integer year/month arithmetic (never float
+    months_between), so the cell keys replay exactly anywhere.
+
+    Plan: min-month per customer (map-side combining agg), join back
+    to orders on custkey — the aggregate side arrives already
+    hash-partitioned on the join key, so only the orders scan
+    shuffles — then a tiny (cohorts × ages) rollup. At 100 TB the
+    customer-keyed frames bucket on custkey at write time and the
+    whole query runs exchange-free except the final rollup."""
+    o = t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_format(F.min(F.trunc("o_orderdate", "month")), "yyyy-MM").alias(
+            "cohort_month"
+        )
+    )
+    joined = o.join(first, "o_custkey")
+    age = (
+        (F.year("o_orderdate") - F.substring("cohort_month", 1, 4).cast("int")) * 12
+        + (F.month("o_orderdate") - F.substring("cohort_month", 6, 2).cast("int"))
+    ).cast("int")
+    return joined.groupBy("cohort_month", age.alias("age_months")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

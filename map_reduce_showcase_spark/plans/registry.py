@@ -114,6 +114,7 @@ _NEVER_GREEN_R3 = (
     "sim_hard_negatives",
     "events_sessionize_ids",
     "cluster_kmeans_balance",
+    "orders_retention_cohorts",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
