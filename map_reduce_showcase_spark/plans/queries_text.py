@@ -658,3 +658,76 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "docs_perplexity_buckets",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS c FROM occ GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+    scores AS (
+      SELECT occ.doc_id,
+             round(CAST(SUM(CAST(-ln(vocab.c / tot.n) AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*), 6) AS s
+      FROM occ JOIN vocab USING (word), tot
+      GROUP BY occ.doc_id
+    ),
+    q AS (
+      SELECT quantile_cont(s, 0.333333) AS p33,
+             quantile_cont(s, 0.666667) AS p66
+      FROM scores
+    )
+    SELECT CASE WHEN s <= p33 THEN 'head'
+                WHEN s <= p66 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           d.lang,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score
+    FROM scores JOIN documents d USING (doc_id), q
+    GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "buckets"),
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket every document by
+    corpus-wide perplexity tertiles (here the unigram-LM score of
+    ``text_unigram_logprob``, whose builder this query composes),
+    reported per (bucket, lang) — the selector that decides which
+    third of a crawl becomes training data.
+
+    The thresholds are ONE tiny (p33, p66) row broadcast into a
+    scan-local CASE — the corpus is never sorted or re-shuffled to
+    be bucketed. Exact interpolated percentiles here (they make the
+    DuckDB oracle exact); at 100 TB swap in ``approx_percentile``'s
+    mergeable t-digest — one expression, same plan otherwise. Doc
+    scores round to 6 places before bucketing so the boundary
+    comparison replays identically in any engine."""
+    scores = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_neg_logprob").alias("s")
+    )
+    q = scores.agg(
+        F.percentile("s", F.lit(0.333333)).alias("p33"),
+        F.percentile("s", F.lit(0.666667)).alias("p66"),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = (
+        F.when(F.col("s") <= F.col("p33"), "head")
+        .when(F.col("s") <= F.col("p66"), "middle")
+        .otherwise("tail")
+    )
+    n = F.count(F.lit(1))
+    return (
+        scores.join(d, "doc_id")
+        .crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"), "lang")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double") / n, 6
+            ).alias("mean_score"),
+        )
+    )

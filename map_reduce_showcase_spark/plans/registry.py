@@ -115,6 +115,7 @@ _NEVER_GREEN_R3 = (
     "events_sessionize_ids",
     "cluster_kmeans_balance",
     "orders_retention_cohorts",
+    "docs_perplexity_buckets",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
