@@ -312,3 +312,46 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N
+    (non-urgent) orders — including the zero bucket, which is why
+    the outer join exists (an inner join silently drops never-
+    ordered customers; COUNT of the null-extended side counts 0).
+
+    Aggregate-first: orders reduce to (custkey, n) BEFORE the outer
+    join — the join matches |customers| rows against |customers|
+    pre-counted rows instead of null-extending the raw order rows
+    and counting after (at 100 TB that's the difference between
+    joining two customer-sized frames and outer-joining the fact
+    table). The final distribution is a tiny second-level agg."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )

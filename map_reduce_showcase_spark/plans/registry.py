@@ -116,6 +116,7 @@ _NEVER_GREEN_R3 = (
     "cluster_kmeans_balance",
     "orders_retention_cohorts",
     "docs_perplexity_buckets",
+    "q13_customer_distribution",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
