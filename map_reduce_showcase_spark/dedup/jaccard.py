@@ -115,3 +115,47 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return jaccard_filter(inter, shingle_sizes(sh), threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with asymmetric shingle CONTAINMENT ≥ threshold in
+    either direction: ``(d1, d2, c1, c2)`` where c1 = |∩|/|A| (the
+    fraction of d1 inside d2) and c2 = |∩|/|B|.
+
+    Containment is the dedup relation Jaccard cannot express: a
+    100-shingle doc quoted whole inside a 10,000-shingle doc has
+    containment 1.0 but Jaccard ≈ 0.01 — every threshold that keeps
+    it also keeps noise. Quote/excerpt detection (Broder's original
+    distinction) therefore tests max(c1, c2), and the same inverted
+    shingle index serves both measures — only the normalizer of the
+    verify arithmetic changes."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingle_sizes(sh)
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    c1 = F.col("inter") * F.lit(1.0) / F.col("sz1")
+    c2 = F.col("inter") * F.lit(1.0) / F.col("sz2")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(F.greatest(c1, c2) >= threshold)
+        .select(
+            "d1", "d2", F.round(c1, 6).alias("c1"), F.round(c2, 6).alias("c2")
+        )
+    )

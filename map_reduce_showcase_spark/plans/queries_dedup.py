@@ -552,3 +552,35 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= 0.5).alias("keep"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_JACCARD_TAIL_SQL},
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / s1.sz, 6) AS c1,
+           round(inter * 1.0 / s2.sz, 6) AS c2
+    FROM inter
+    JOIN sz s1 ON inter.d1 = s1.doc_id
+    JOIN sz s2 ON inter.d2 = s2.doc_id
+    WHERE greatest(inter * 1.0 / s1.sz, inter * 1.0 / s2.sz) >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (quote/excerpt detection): pairs
+    where ≥80% of EITHER doc's shingles appear in the other —
+    Broder's second resemblance measure, and the one that catches a
+    short doc embedded verbatim in a long one (Jaccard dilutes that
+    signal by the union size, so no Jaccard threshold separates it
+    from noise). Same inverted shingle index, same skew defenses as
+    ``dedup_ngram_jaccard``; only the verify normalizer differs."""
+    from ..dedup.jaccard import containment_pairs
+
+    return containment_pairs(t(spark, sf_dir, "documents"), n=2, threshold=0.8)

@@ -117,6 +117,7 @@ _NEVER_GREEN_R3 = (
     "orders_retention_cohorts",
     "docs_perplexity_buckets",
     "q13_customer_distribution",
+    "dedup_containment_pairs",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
