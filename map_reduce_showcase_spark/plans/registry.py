@@ -118,6 +118,7 @@ _NEVER_GREEN_R3 = (
     "docs_perplexity_buckets",
     "q13_customer_distribution",
     "dedup_containment_pairs",
+    "stats_trimmed_mean_price",
 )
 #: green in CORRECTNESS_r02.json (minus the sentinel picks)
 _R2_GREEN = frozenset(
