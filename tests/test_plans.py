@@ -147,12 +147,14 @@ def test_incremental_minhash_avoids_cartesian(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["graph_triangle_summary", "dedup_fuzzy_names"]
+    "name",
+    ["graph_triangle_summary", "dedup_fuzzy_names", "dedup_containment_pairs"],
 )
 def test_blocked_joins_avoid_cartesian(spark, sf_dir, name):
-    """Triangle wedges and the deletion-neighborhood fuzzy join must
-    stay pure equi-joins: any CartesianProduct/NestedLoop means the
-    blocking scheme degenerated to all-pairs."""
+    """Triangle wedges, the deletion-neighborhood fuzzy join, and the
+    containment inverted-index self-join must stay pure equi-joins:
+    any CartesianProduct/NestedLoop means the blocking scheme
+    degenerated to all-pairs."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
