@@ -78,6 +78,12 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
+    # The gc nudge below can reap Python-side accumulators while late
+    # warm-up tasks report in, spamming harmless-but-noisy DAGScheduler
+    # "non-existent accumulator" ERRORs into the artifact tail. Silence
+    # everything below FATAL for the measured loop; failures still
+    # surface via the errors dict and stderr prints.
+    spark.sparkContext.setLogLevel("FATAL")
     for name in HEADLINE:
         # Earlier queries' localCheckpoint blocks are only released
         # when the ContextCleaner runs, which is JVM-GC-driven; nudge
@@ -94,12 +100,19 @@ def main() -> None:
             errors[name] = msg[:300]
             print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
 
+    spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
-        "value": total,
+        # A partial total compares unlike sets across rounds, so when
+        # any query failed the headline value is null — consumers must
+        # look at "queries"/"errors" instead of misreading a partial
+        # sum as a full-run total.
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": times,
+        "n_measured": len(times),
+        "n_expected": len(HEADLINE),
         "sf": sf,
     }
     if errors:

@@ -70,6 +70,21 @@ def shingle_rows(
     )
 
 
+def cap_shingle_df(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles whose corpus document frequency exceeds the cap
+    (boilerplate defense — a shingle shared by millions of docs
+    carries no dedup signal but creates a quadratic join bucket).
+    None = no cap."""
+    if max_shingle_df is None:
+        return sh
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
+    )
+
+
 def jaccard_filter(
     inter: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
@@ -102,12 +117,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold:
     ``(d1, d2, jaccard)``, d1 < d2, jaccard rounded to 6 places."""
-    sh = shingle_rows(docs, n, text_col, id_col)
-    if max_shingle_df is not None:
-        w = Window.partitionBy("shingle")
-        sh = sh.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
-            F.col("_df") <= max_shingle_df
-        ).drop("_df")
+    sh = cap_shingle_df(shingle_rows(docs, n, text_col, id_col), max_shingle_df)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -123,6 +133,7 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs with asymmetric shingle CONTAINMENT ≥ threshold in
     either direction: ``(d1, d2, c1, c2)`` where c1 = |∩|/|A| (the
@@ -134,8 +145,13 @@ def containment_pairs(
     it also keeps noise. Quote/excerpt detection (Broder's original
     distinction) therefore tests max(c1, c2), and the same inverted
     shingle index serves both measures — only the normalizer of the
-    verify arithmetic changes."""
-    sh = shingle_rows(docs, n, text_col, id_col)
+    verify arithmetic changes.
+
+    ``max_shingle_df`` applies the same boilerplate-shingle DF cap as
+    :func:`ngram_jaccard_pairs`, BEFORE both the intersection join
+    and the per-doc sizes (so both containment normalizers see the
+    capped index consistently)."""
+    sh = cap_shingle_df(shingle_rows(docs, n, text_col, id_col), max_shingle_df)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

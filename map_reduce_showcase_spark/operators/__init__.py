@@ -1,4 +1,4 @@
-from .jobs import APPS, JobResult, submit_job
+from .jobs import APPS, JobResult, process_job, submit_job
 from .mapreduce import grep_lines, vertex_degree, word_count
 from .skew import salted_count_by_key, salted_join
 
@@ -7,6 +7,7 @@ __all__ = [
     "grep_lines",
     "vertex_degree",
     "submit_job",
+    "process_job",
     "JobResult",
     "APPS",
     "salted_count_by_key",

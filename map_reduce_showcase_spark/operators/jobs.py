@@ -103,6 +103,33 @@ def submit_job(
             cached.unpersist()
 
 
+def process_job(spark: SparkSession, app: str, output_dir: str) -> JobResult:
+    """The reference's SEPARATE ``process`` invocation: re-read the
+    job's output files from disk in a second client run and format
+    them (``src/client.rs:66-93``, ``src/bin/client.rs:155-162``) —
+    no recomputation, only read-back + format.
+
+    Files are the parquet ``write_n_files`` wrote (the engine's
+    ``mr-out-*`` equivalent; SURVEY.md §1.4 maps F11's
+    length-delimited codec to parquet). Hash-partitioned files carry
+    no global order, so presentation order is (re)applied here, as
+    the reference's process step re-sorts per app
+    (``src/app/wc.rs:60-66``, ``src/app/grep.rs:64-78``)."""
+    if app not in APPS:
+        raise ValueError(f"unknown app {app!r}; known: {APPS}")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(output_dir)
+    if app == "wc":
+        df = df.orderBy(F.col("cnt").asc(), F.col("word").asc())
+        fmt = format_word_count
+    elif app == "grep":
+        fmt = format_grep  # sorts (path, line_no) itself
+    else:
+        fmt = format_vertex_degree  # sorts by vertex itself
+    return JobResult(df=df, output=fmt(df.collect()), output_dir=output_dir)
+
+
 def _parse_term(args: list[str]) -> str:
     """grep's clap-style ``--term <t>`` parsing (src/app/grep.rs:25-34)."""
     for i, a in enumerate(args):

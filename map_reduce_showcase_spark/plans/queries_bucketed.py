@@ -1,0 +1,100 @@
+"""Bucketed-layout join elimination — the reference's static
+``ihash(key) % n_reduce`` partitioning (``src/lib.rs:201-208``) made
+PERSISTENT: write both fact tables bucketed + sorted on the join key
+once, and every subsequent orderkey equi-join or aggregation reads
+co-located buckets and skips its shuffle entirely.
+
+This is the single biggest lever for fact-fact queries at 100 TB:
+the orders ⋈ lineitem exchange in Q3/Q21-shape queries disappears
+from the plan (pinned by ``tests/test_plans.py``'s no-orderkey-
+exchange assertion), leaving only the tiny post-join aggregation
+shuffle. On a real cluster the bucketed write is the one-time ETL
+step; here the builder materializes session-scoped bucketed tables
+from the parquet catalog on first use (Spark's in-memory catalog is
+per-session, so each fresh driver session rewrites them — which also
+makes the query immune to cross-round testdata regeneration).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sinks import write_bucketed
+from .queries_relational import _DISC_PRICE_SQL, disc_price
+from .registry import register, t
+
+#: bucket count for the demo layout — at 100 TB you size this so one
+#: bucket's rows fit an executor's memory (e.g. 4096), and both
+#: tables MUST agree on it or the join shuffles anyway.
+N_BUCKETS = 8
+
+
+def ensure_bucketed(
+    spark: SparkSession, sf_dir: str, table: str, bucket_col: str
+) -> str:
+    """Materialize ``table`` from ``sf_dir`` as a bucketed+sorted
+    managed table (idempotent per session) and return its name.
+
+    The name is keyed by the source dir so sf0.01 and sf0.1 runs in
+    one session never collide; the in-memory catalog scopes it to
+    this session, so a fresh session always rebuilds from the
+    current parquet (no stale-data risk across testdata
+    regenerations)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"mrs_bkt_{table}_{tag}"
+    if not spark.catalog.tableExists(name):
+        # external table under the system temp dir: keeps driver-cwd
+        # warehouse dirs out of the picture, and a leftover directory
+        # from a PREVIOUS session (whose in-memory catalog died with
+        # it) must be cleared or saveAsTable refuses with
+        # LOCATION_ALREADY_EXISTS
+        loc = f"{tempfile.gettempdir()}/mrs_bkt/{name}"
+        shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(t(spark, sf_dir, table), name, bucket_col, N_BUCKETS, path=loc)
+    return name
+
+
+@register(
+    "q3_bucketed_orders",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout"),
+)
+def q3_bucketed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape fact-fact join over BUCKETED tables: orders and
+    lineitem both bucketed+sorted on orderkey, so the join plan has
+    NO exchange on either fact side — the only shuffle left is the
+    5-row priority rollup. Cash-in of the promise at
+    ``q3_top_revenue_orders``: same relational semantics (the oracle
+    reads the plain parquet — layout must never change answers),
+    shuffle-free physical plan.
+
+    The merge hint pins sort-merge so the demonstration doesn't
+    degrade to a broadcast at toy SF; at 100 TB neither side
+    broadcasts and SMJ-over-buckets is the only shuffle-free plan."""
+    o_name = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    l_name = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o = spark.table(o_name).filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = spark.table(l_name).filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

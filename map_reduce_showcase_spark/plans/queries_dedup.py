@@ -554,10 +554,21 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: boilerplate-shingle document-frequency cap for the containment
+#: index — a shingle in more than half the sf0.01 corpus is
+#: boilerplate, not signal (mirrored verbatim in the oracle below)
+_CONTAIN_MAX_DF = 250
+
+
 @register(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH {_JACCARD_TAIL_SQL},
+    WITH
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    e AS (SELECT doc_id, shingle FROM e0
+          QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_CONTAIN_MAX_DF}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -579,8 +590,53 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broder's second resemblance measure, and the one that catches a
     short doc embedded verbatim in a long one (Jaccard dilutes that
     signal by the union size, so no Jaccard threshold separates it
-    from noise). Same inverted shingle index, same skew defenses as
-    ``dedup_ngram_jaccard``; only the verify normalizer differs."""
+    from noise). Same inverted shingle index as ``dedup_ngram_jaccard``
+    with the boilerplate DF cap genuinely applied (shingles in more
+    than ``_CONTAIN_MAX_DF`` docs are dropped before both the
+    intersection and the normalizers — the oracle replays the same
+    cap); only the verify normalizer differs."""
     from ..dedup.jaccard import containment_pairs
 
-    return containment_pairs(t(spark, sf_dir, "documents"), n=2, threshold=0.8)
+    return containment_pairs(
+        t(spark, sf_dir, "documents"),
+        n=2,
+        threshold=0.8,
+        max_shingle_df=_CONTAIN_MAX_DF,
+    )
+
+
+@register(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH
+    w AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 9)) AS pos, tk
+          FROM w WHERE len(tk) >= 10),
+    grams AS (SELECT doc_id, pos,
+                     {portable_hash60_sql("array_to_string(tk[pos:pos+9], ' ')")} AS h
+              FROM g),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM grams WHERE h IN (SELECT h FROM dup))
+    SELECT doc_id, MIN(pos) AS run_start, MAX(pos) + 9 AS run_end,
+           MAX(pos) + 9 - MIN(pos) + 1 AS run_words
+    FROM hits GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "substring", "suffix-array"),
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr,
+    fixed-k k-mer-index formulation): every maximal run of >= 10
+    tokens whose every 10-gram occurs at least twice corpus-wide —
+    the span-granular signal for CLIPPING duplicated text out of
+    training data rather than dropping whole documents. The oracle
+    replays the identical 60-bit gram hashes, duplicated-gram filter,
+    and island merge, so the run boundaries are hash-checked exactly.
+
+    Scale: grams shuffle as 8-byte hashes, the duplicated-position
+    step is a semi equi-join (no cartesian — plan-pinned), and the
+    island-merge window sees only duplicated positions."""
+    from ..dedup.substrings import duplicate_runs
+
+    return duplicate_runs(t(spark, sf_dir, "documents"), k=10)

@@ -164,3 +164,39 @@ def grep_docs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_matches", F.to_json("matches").alias("matches_json"))
     )
+
+
+@register(
+    "process_readback_wc",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("parity", "sink", "readback"),
+)
+def process_readback_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full two-command workflow driven end-to-end:
+    wc over documents → ``write_n_files`` (the ``mr-out-*``
+    equivalent, hash-partitioned on the word like
+    ``ihash(key) % n_reduce``) → a SECOND read of those files off
+    disk (``process``, ``src/client.rs:66-93``) — the returned rows
+    come from the written files, not the in-session DataFrame, so
+    the oracle hash certifies the sink+source round-trip, not just
+    the aggregation."""
+    import tempfile
+
+    from ..sources.sinks import write_n_files
+
+    out_dir = f"{tempfile.gettempdir()}/mrs_readback_wc"
+    write_n_files(
+        word_count(t(spark, sf_dir, "documents"), "text"),
+        out_dir,
+        n=5,  # the reference client's default n_reduce
+        by_col="word",
+    )
+    return spark.read.parquet(out_dir)

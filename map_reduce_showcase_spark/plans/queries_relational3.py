@@ -340,7 +340,12 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       supplier (a |suppliers|-sized agg), broadcast-joined to the
       supplier dim for names, top-20 via TakeOrderedAndProject.
 
-    One fact shuffle total vs the literal form's three."""
+    One fact shuffle total vs the literal form's three — in the
+    sort-merge regime (the only plan at 100 TB). At toy SF the
+    optimizer broadcasts orders instead, which erases the orderkey
+    partitioning the aggregates would reuse, so they add two cheap
+    shuffles of their own — still the right trade there (both plan
+    shapes pinned in tests/test_plans.py)."""
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")

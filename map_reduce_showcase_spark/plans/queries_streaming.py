@@ -2,11 +2,12 @@
 
 The other streaming evidence lives in ``tests/test_streaming.py``
 (stream-vs-batch equivalence, stateful ops, idempotent sinks); this
-module gives the driver a directly-runnable entry: a REAL streaming
-query — file source replayed one file per micro-batch, event-time
-watermark, windowed aggregation, memory sink — whose complete-mode
-output equals the batch group-by, so it carries a full DuckDB oracle
-(not just a rows-only check).
+module gives the driver directly-runnable entries: REAL streaming
+queries — file source replayed one file per micro-batch, memory
+sink — whose final output equals a batch aggregation, so they carry
+full DuckDB oracles (not just rows-only checks). One uses the
+built-in windowed aggregation; one uses the
+``applyInPandasWithState`` custom-stateful escape hatch.
 
 The reference has no streaming at all (SURVEY.md §2.4); this is the
 Spark-native capability a 100 TB/day ingest pipeline would run with
@@ -16,13 +17,32 @@ the file source swapped for Kafka and the memory sink for a
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.demo import read_events_stream, streaming_tumbling_counts
+from ..streaming.stateful import streaming_user_totals_exact
 from .registry import register, t
+
+
+def _stream_dirs(name: str, sf_dir: str) -> tuple[str, str]:
+    """Deterministic, REUSED scratch dirs for a streaming query's
+    (input replay, checkpoint) — keyed by query and source dir so
+    repeated invocations (bench warm-up, plan tests, driver runs)
+    overwrite one location instead of leaking a fresh mkdtemp each
+    call. The checkpoint is wiped before every run: resuming a
+    finished availableNow checkpoint would replay nothing and return
+    an empty table."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/mrs_stream_{name}_{tag}"
+    ckpt = f"{base}/ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return f"{base}/in", ckpt
+
 
 _QUERY_NAME = "mrs_streaming_smoke_sink"
 
@@ -44,14 +64,17 @@ def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     watermark actually advances across micro-batches), aggregate
     tumbling 1-hour counts per event type, and materialize via the
     memory sink. Complete output mode ⇒ the final table equals the
-    batch aggregation, which is what the oracle checks.
+    batch aggregation, which is what the oracle checks. (In complete
+    mode the watermark neither drops late rows nor evicts state —
+    that's what makes the oracle exact here; the bounded-state
+    production shape is the append-mode variant exercised in
+    ``tests/test_streaming.py``.)
 
     Scale shape: identical plan to ``events_tumbling_1h`` run
     incrementally — state is (window × event_type) rows in the state
-    store, bounded by the watermark; swap source for Kafka and sink
-    for foreachBatch and nothing else changes."""
-    tmp = tempfile.mkdtemp(prefix="mrs_stream_smoke_")
-    in_dir = f"{tmp}/events_in"
+    store; swap source for Kafka and sink for foreachBatch and
+    nothing else changes."""
+    in_dir, ckpt = _stream_dirs("tumbling", sf_dir)
     (
         t(spark, sf_dir, "events")
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -67,9 +90,79 @@ def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
         .writeStream.format("memory")
         .queryName(_QUERY_NAME)
         .outputMode("complete")
-        .option("checkpointLocation", f"{tmp}/ckpt")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
     return spark.table(_QUERY_NAME).select("window_start", "event_type", "n_events")
+
+
+_STATEFUL_QUERY_NAME = "mrs_streaming_stateful_sink"
+
+
+@register(
+    "streaming_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming through the registered surface:
+    replay events as a 4-micro-batch file stream and maintain
+    per-user running (count, exact-cents sum) state with
+    ``applyInPandasWithState`` — Spark's arbitrary-state escape
+    hatch (Arrow-batched, one state row per user). Update mode
+    emits a running-total row each time a user appears; the final
+    state per user is the row with the highest running count, and
+    because the state accumulates integers it equals the batch
+    GROUP BY bit-for-bit regardless of how the stream was split —
+    so even this non-SQL operator gets a full value-hash oracle.
+
+    Scale shape: state is O(distinct users) 16-byte rows in the
+    state store behind one shuffle on user_id; micro-batches ship
+    only their own rows to Python. Production adds a
+    ``GroupStateTimeout`` so idle keys expire instead of growing
+    state with key cardinality forever."""
+    in_dir, ckpt = _stream_dirs("stateful", sf_dir)
+    (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    for q in spark.streams.active:
+        if q.name == _STATEFUL_QUERY_NAME:
+            q.stop()
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    query = (
+        streaming_user_totals_exact(stream)
+        .writeStream.format("memory")
+        .queryName(_STATEFUL_QUERY_NAME)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # update mode appended one running-total row per (batch, user);
+    # the final state is the row at each user's maximum n_events
+    # (strictly increasing per appearance, so max_by is unambiguous)
+    return (
+        spark.table(_STATEFUL_QUERY_NAME)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+    )

@@ -57,20 +57,20 @@ def register(
 
 
 # The driver's CORRECTNESS artifact records only the first ~50
-# queries() entries, so export order IS evidence policy. Round-3
-# rotation (per VERDICT r02 item 5):
+# queries() entries, so export order IS evidence policy. Round-4
+# rotation (per VERDICT r03 item 1):
 #
-#   band 0 — sentinels: a few r02-green canaries that stay at the
-#            head every round so a cross-round regression is caught
+#   band 0 — sentinels: r03-green canaries that stay at the head
+#            every round so a cross-round regression is caught
 #            inside the window (pivot_event_types_daily regressed
 #            while hidden in the tail — exactly this risk);
-#   band 1 — never-driver-green: the 15 r02 `err` rows (all fixed by
-#            the events-loader dispatch) + pivot_event_types_daily
-#            (r1-green, regressed r2, fixed) + anything new this
-#            round;
-#   band 2 — evidence-is-stale: green only in CORRECTNESS_r01;
-#   band 3 — freshest evidence: green in CORRECTNESS_r02 — absorbs
-#            the truncation.
+#   band 1 — new this round: queries with no driver evidence yet;
+#   band 2 — evidence-is-stale: the 37 queries whose only driver
+#            green is CORRECTNESS_r01 — two testdata regenerations
+#            old, exactly the drift-failure mode the rotation
+#            scheme exists to catch;
+#   band 3 — freshest evidence: green in r02/r03 — absorbs the
+#            truncation.
 #
 # The local differential suite (tests/test_oracle_diff.py) still
 # checks ALL queries regardless of order.
@@ -79,100 +79,70 @@ _SENTINELS = (
     "grep_docs_packed",
     "dedup_minhash_lsh",
 )
-_NEVER_GREEN_R3 = (
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_session_10m",
-    "events_json_props",
-    "events_lag_delta",
-    "events_moving_sum_4",
-    "events_funnel_1h",
-    "events_multires_rollup",
-    "events_latest_per_user",
-    "events_asof_purchase_click",
-    "approx_distinct_users",
-    "events_gapfill_1h",
-    "events_rate_anomaly",
-    "events_range_frame_30m",
-    "salted_event_counts",
-    "pivot_event_types_daily",
-    # new this round — needs first driver evidence:
-    "streaming_tumbling_counts",
-    "pack_sequences_greedy",
-    "pack_chunk_spans",
-    "mixture_lang_weights",
-    "graph_pagerank",
-    "sample_weighted_quality",
-    "q7_volume_shipping",
-    "layout_zorder_clustering",
-    "text_unigram_logprob",
-    "topk_orders_per_segment_bounded",
-    "q21_single_late_supplier",
-    "argmin_cheapest_supplier",
-    "shuffle_train_order",
-    "udtf_overlap_chunks",
-    "sim_hard_negatives",
-    "events_sessionize_ids",
-    "cluster_kmeans_balance",
-    "orders_retention_cohorts",
-    "docs_perplexity_buckets",
-    "q13_customer_distribution",
-    "dedup_containment_pairs",
-    "stats_trimmed_mean_price",
+#: brand-new this round — need first driver evidence
+_NEW_R4 = (
+    "q3_bucketed_orders",
+    "dedup_substring_runs",
+    "streaming_stateful_counts",
+    "process_readback_wc",
 )
-#: green in CORRECTNESS_r02.json (minus the sentinel picks)
-_R2_GREEN = frozenset(
-    {
-        "graph_triangle_summary",
-        "graph_top_copurchase",
-        "text_repetition_filter",
-        "text_bpe_token_estimate",
-        "text_pii_scrub",
-        "text_bigram_pmi",
-        "docs_source_profile",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_embedding_cosine",
-        "dedup_incremental_minhash",
-        "decontam_benchmark_overlap",
-        "dedup_apply_exact",
-        "dedup_fuzzy_names",
-        "dedup_repeated_passages",
-        "sim_topk_bruteforce",
-        "sim_topk_lsh",
-        "sim_topk_ivf",
-        "sim_bucket_histogram",
-        "multimodal_embed_topk",
-        "multimodal_decode_meta",
-        "multimodal_frame_stats",
-        "multimodal_binary_files",
-        "vector_label_centroids",
-        "dedup_connected_components",
-        "dedup_apply_near",
-        "pipeline_filter_funnel",
-        "sample_stratified_docs",
-        "sample_rebalance_langs",
-        "sample_temperature_langs",
-        "approx_percentiles_bounded",
-    }
+#: only driver green is CORRECTNESS_r01.json (two testdata
+#: generations old) — rotate in per VERDICT r03 item 1
+_STALE_R1_ONLY = (
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_item_customers",
+    "join_brand_revenue",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
+    "fullouter_nation_parties",
+    "selfjoin_repeat_orders_30d",
+    "range_join_price_tiers",
+    "rollup_sales",
+    "cube_order_stats",
+    "grouping_sets_order_volume",
+    "distinct_customers_per_segment",
+    "topk_orders",
+    "setops_nation_presence",
+    "union_all_parties",
+    "window_rank_orders",
+    "window_analytics_orders",
+    "scalar_functions_orders",
+    "scalar_string_functions",
+    "date_arithmetic_orders",
+    "array_functions_docs",
+    "stats_acctbal_by_segment",
+    "percentiles_order_price",
+    "histogram_order_price",
+    "scalar_subquery_above_avg",
+    "having_frequent_buyers",
+    "correlated_above_own_avg",
+    "text_tfidf",
+    "udf_scalar_clv",
+    "udf_grouped_geomean_qty",
+    "dedup_exact_groups",
+    "split_train_val_test",
+    "quality_profile_orders",
 )
 
 
 def _band(spec: QuerySpec) -> int:
     if spec.name in _SENTINELS:
         return 0
-    if spec.name in _NEVER_GREEN_R3:
+    if spec.name in _NEW_R4:
         return 1
-    if spec.name in _R2_GREEN:
-        return 3
-    return 2  # r1-only evidence, or brand new this round
+    if spec.name in _STALE_R1_ONLY:
+        return 2
+    return 3  # r2/r3-green — freshest evidence, absorbs truncation
 
 
 def _export_ordered() -> list[QuerySpec]:
     _load_all()
     specs = list(REGISTRY.values())
-    head = {n: i for i, n in enumerate(_SENTINELS + _NEVER_GREEN_R3)}
+    head = {n: i for i, n in enumerate(_SENTINELS + _NEW_R4 + _STALE_R1_ONLY)}
     # stable sort: within a band, head-listed names first in listed
     # order, everything else in registration order
     indexed = sorted(
@@ -225,6 +195,7 @@ def _load_all() -> None:
     from . import queries_pipeline  # noqa: F401
     from . import queries_packing  # noqa: F401
     from . import queries_udf  # noqa: F401
+    from . import queries_bucketed  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_relational2  # noqa: F401
     from . import queries_relational3  # noqa: F401

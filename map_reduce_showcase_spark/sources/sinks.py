@@ -32,19 +32,27 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
-    """Bucketed + sorted managed table (requires a warehouse/catalog
-    — i.e. ``saveAsTable``, not a bare path). Subsequent equi-joins
-    or aggregations on ``bucket_col`` between tables bucketed the
-    same way execute with zero shuffle."""
-    (
+    """Bucketed + sorted table (requires a catalog entry — i.e.
+    ``saveAsTable``, not a bare path: bucketing metadata lives in the
+    catalog). Subsequent equi-joins or aggregations on ``bucket_col``
+    between tables bucketed the same way execute with zero shuffle.
+    ``path`` makes it an external table at that location instead of
+    a managed table under the warehouse dir."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def write_n_files(df: DataFrame, path: str, n: int, by_col: str | None = None) -> int:

@@ -46,7 +46,13 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 #: Epoch-magnitude thresholds for inferring the unit of a raw INT64
 #: timestamp column. A wall-clock instant between 1973 and ~5000 AD
 #: lands unambiguously in exactly one band: seconds ~1e9,
-#: millis ~1e12, micros ~1e15, nanos ~1e18.
+#: millis ~1e12, micros ~1e15, nanos ~1e18. ASSUMPTION: data is
+#: 1973+ — a pre-1973 epoch in a finer unit is magnitude-identical
+#: to a coarser unit's modern range (e.g. 1972 in millis looks like
+#: 2525 in seconds), so such corpora must carry a unit annotation
+#: instead. As a drift tripwire, the loader cross-checks the band
+#: against a SECOND part file's footer when one exists and refuses
+#: mixed-unit directories (see ``_epoch_long_to_ts_expr``).
 _UNIT_BANDS = (
     (100_000_000_000, "timestamp_seconds(ts)"),
     (100_000_000_000_000, "timestamp_millis(ts)"),
@@ -57,15 +63,26 @@ _UNIT_BANDS = (
 )
 
 
-def _first_parquet_file(path: str) -> str:
-    """A parquet data file under ``path`` (itself, or one part file)."""
+def _parquet_files(path: str, limit: int = 1) -> list[str]:
+    """Up to ``limit`` parquet data files under ``path`` (itself, or
+    part files), in deterministic walk order."""
     if not os.path.isdir(path):
-        return path
+        return [path]
+    out: list[str] = []
     for root, _dirs, files in sorted(os.walk(path)):
         for f in sorted(files):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                return os.path.join(root, f)
-    raise FileNotFoundError(f"no parquet data files under {path}")
+                out.append(os.path.join(root, f))
+                if len(out) >= limit:
+                    return out
+    if not out:
+        raise FileNotFoundError(f"no parquet data files under {path}")
+    return out
+
+
+def _first_parquet_file(path: str) -> str:
+    """A parquet data file under ``path`` (itself, or one part file)."""
+    return _parquet_files(path, 1)[0]
 
 
 def _epoch_long_to_ts_expr(path: str) -> str:
@@ -82,7 +99,8 @@ def _epoch_long_to_ts_expr(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(_first_parquet_file(path))
+    files = _parquet_files(path, 2)
+    pf = pq.ParquetFile(files[0])
     arrow_type = pf.schema_arrow.field("ts").type
     if pa.types.is_timestamp(arrow_type):
         return {
@@ -91,26 +109,43 @@ def _epoch_long_to_ts_expr(path: str) -> str:
             "us": "timestamp_micros(ts)",
             "ns": "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))",
         }[arrow_type.unit]
-    sample = None
-    md = pf.metadata
-    idx = next(
-        i for i in range(len(md.schema)) if md.schema.column(i).name == "ts"
-    )
-    for rg in range(md.num_row_groups):
-        stats = md.row_group(rg).column(idx).statistics
-        if stats is not None and stats.has_min_max:
-            sample = stats.min
-            break
-    if sample is None and md.num_row_groups:
-        col = pf.read_row_group(0, columns=["ts"]).column("ts")
-        if len(col):
-            sample = col[0].as_py()
+
+    def sample_of(pf: pq.ParquetFile) -> int | None:
+        md = pf.metadata
+        idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "ts"
+        )
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.has_min_max:
+                return stats.min
+        if md.num_row_groups:
+            col = pf.read_row_group(0, columns=["ts"]).column("ts")
+            if len(col):
+                return col[0].as_py()
+        return None
+
+    def band_of(sample: int) -> int:
+        for i, (bound, _expr) in enumerate(_UNIT_BANDS):
+            if bound is None or sample < bound:
+                return i
+        raise AssertionError("unreachable")
+
+    sample = sample_of(pf)
     if sample is None:  # empty table: unit is irrelevant, pick micros
         sample = 10**15
-    for bound, expr in _UNIT_BANDS:
-        if bound is None or sample < bound:
-            return expr
-    raise AssertionError("unreachable")
+    band = band_of(sample)
+    # drift tripwire (cost: one extra footer): a second part file in
+    # the same directory must band identically, else the files mix
+    # units and magnitude inference would silently mis-decode some
+    if len(files) > 1:
+        sample2 = sample_of(pq.ParquetFile(files[1]))
+        if sample2 is not None and band_of(sample2) != band:
+            raise ValueError(
+                f"mixed raw-INT64 timestamp units under {path}: "
+                f"row-group minima {sample} vs {sample2} band differently"
+            )
+    return _UNIT_BANDS[band][1]
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -27,6 +27,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 STATE_SCHEMA = "n BIGINT, total DOUBLE"
 
+EXACT_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
+EXACT_STATE_SCHEMA = "n BIGINT, cents BIGINT"
+
 
 def streaming_user_running_totals(events: DataFrame) -> DataFrame:
     """Running per-user (event count, value sum) maintained as
@@ -54,4 +57,40 @@ def streaming_user_running_totals(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Running per-user (event count, value sum in integer cents)
+    state — the hash-checkable twin of
+    :func:`streaming_user_running_totals`.
+
+    Accumulating ``floor(value*100)`` as int64 instead of raw
+    doubles makes the running total ASSOCIATIVE and exact, so the
+    final state is bit-identical no matter how the stream is split
+    into micro-batches — which is what lets a batch SQL oracle
+    certify a stateful streaming query (same trick as the decimal
+    sums in ``plans/registry.py``). floor(double) is IEEE-identical
+    across engines; a production pipeline would carry decimals
+    end-to-end instead."""
+    import numpy as np
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

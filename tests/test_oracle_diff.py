@@ -114,9 +114,9 @@ def test_unverified_queries_export_inside_driver_window():
         for n, e in json.loads(art.read_text()).items():
             if e.get("rows_match") and e.get("schema_match") and e.get("hash_match"):
                 green.add(n)
-    # regressed while hidden in the tail in round 2; fixed this round
-    # but needs fresh driver evidence before it may ride the tail
-    green.discard("pivot_event_types_daily")
+    # (pivot_event_types_daily regressed in round 2 while hidden in
+    # the tail; its fix got fresh green evidence in CORRECTNESS_r03,
+    # so it may ride the tail again like any other proven query)
     order = list(query_map())
     tail = order[50:]
     not_proven = [n for n in tail if n not in green]

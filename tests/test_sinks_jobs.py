@@ -149,3 +149,47 @@ def test_cli_grep_missing_term_errors(spark, capsys):
     rc = main(["submit", "--app", "grep", "--files", *ALPHABET])
     assert rc == 2
     assert "--term" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize(
+    ("app", "args"),
+    [("wc", []), ("grep", ["--term", "a"]), ("vertex-degree", [])],
+)
+def test_process_readback_matches_submit(spark, tmp_path, app, args):
+    """Reference two-command parity (src/client.rs:66-93): a SECOND
+    invocation that only re-reads the submit's output files must
+    format byte-identically to the in-session path — the round trip
+    through hash-partitioned files loses row order, so this also
+    proves process re-establishes presentation order per app."""
+    from map_reduce_showcase_spark.operators.jobs import process_job
+
+    files = EDGES if app == "vertex-degree" else ALPHABET
+    out_dir = str(tmp_path / "out")
+    submitted = submit_job(
+        spark, app, files, output_dir=out_dir, n_reduce=4, args=args
+    )
+    processed = process_job(spark, app, out_dir)
+    assert processed.output == submitted.output
+    assert processed.output  # non-trivial golden
+
+
+def test_cli_process_subcommand(spark, tmp_path, capsys):
+    from map_reduce_showcase_spark.cli import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main(["submit", "--app", "wc", "--files", *ALPHABET,
+               "--output-dir", out_dir, "--num-reduce", "2"])
+    assert rc == 0
+    first = capsys.readouterr().out
+    rc = main(["process", "--app", "wc", "--output-dir", out_dir])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert captured.out == first
+    assert "wrote" not in captured.err  # process writes nothing
+
+
+def test_process_unknown_app(spark):
+    from map_reduce_showcase_spark.operators.jobs import process_job
+
+    with pytest.raises(ValueError, match="unknown app"):
+        process_job(spark, "nope", "/tmp/nowhere")
