@@ -1,0 +1,640 @@
+"""Fourth relational batch: the remaining TPC-H query shapes,
+adapted to this catalog's TPC-H-lite schema (no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone, no p_container —
+each adaptation is stated in the query docstring).
+
+The reference has no joins at all (SURVEY §2.4 — its shuffle
+machinery at ``/root/reference/src/lib.rs:201-208`` is the primitive
+a join would be built from, never used as one); these shapes are the
+north-star "general query capability" surface, each written as the
+plan you'd run at 100 TB: dims broadcast, facts shuffle at most once
+per co-grouping key, correlated subqueries decorrelated to
+aggregate-then-join.
+
+Determinism rules per ``registry.py``: decimal-exact money sums,
+aliased identically in Spark and DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(18,2))"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders whose total quantity exceeds
+    150 (threshold scaled to this catalog; unadapted otherwise).
+
+    The IN-subquery decorrelates to aggregate-then-semi-join, and
+    the big-order aggregate is REUSED as the quantity source — the
+    per-order sum is computed once, then joined to orders (hash
+    partitioned on orderkey, the same key as the aggregate output,
+    so the join adds no lineitem re-shuffle) and to the broadcast
+    customer dim. The literal form aggregates lineitem twice (once
+    in HAVING, once in SELECT); this plan scans and shuffles the
+    fact exactly once. At 100 TB with orderkey-bucketed facts (see
+    ``queries_bucketed.py``) even that shuffle disappears."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq
+    """,
+    tags=("join", "aggregation", "subquery", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity orders (below
+    20% of the part's average quantity) were not filled, for one
+    brand (container predicate dropped — no p_container column).
+
+    The correlated scalar subquery (per-part AVG) decorrelates to a
+    grouped aggregate joined back on partkey — the only scalable
+    form: the literal correlated form re-scans lineitem per part.
+    Exact decimal sum, one IEEE division per the registry's average
+    rule (the count divides a decimal-exact sum). The brand filter
+    broadcasts through part, pruning lineitem at the join; at 100 TB
+    the avg_qty aggregate should be computed on the brand-filtered
+    semi-joined fact instead of the full table if the brand is rare
+    (this plan keeps the full aggregate so both engines replay the
+    same arithmetic)."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("aq")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type LIKE '%STEEL%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    parts of one type family (profit = discounted revenue — the
+    ps_supplycost term is dropped, no partsupp table in this
+    catalog; LIKE over p_type replaces p_name).
+
+    Star-join discipline: part (pre-filtered), supplier, and nation
+    all broadcast — lineitem never shuffles for them; the one fact-
+    fact join (orders, for the year) shuffles each side on orderkey
+    once, then a tiny nations×years rollup. At 100 TB the broadcast
+    of part depends on the type selectivity — if it outgrows the
+    threshold, AQE falls back to shuffle join on the pruned side
+    only."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").like("%STEEL%"))
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN {_REVENUE_DEC}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_REVENUE_DEC}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1995-04-01'
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional parts' share of revenue in one window
+    (widened to a quarter — month granularity is sparse at small
+    SF). Conditional aggregation: both sums ride ONE scan-local
+    pass over the broadcast-joined fact; the ship-date predicate
+    pushes to the parquet scan. Decimal-exact numerators, one IEEE
+    division at the end. The whole query is zero fact shuffles."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    tags=("join", "predicates", "tpch"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under three disjoint brand/size/quantity
+    predicate branches (container/shipmode terms dropped — columns
+    absent). The OR-of-ANDs is the classic pushdown test: Catalyst
+    factors the part-only conjuncts (brand, size) below the join on
+    the part side and the quantity bounds onto the lineitem scan
+    (the common `l_quantity BETWEEN 1 AND 40` envelope prunes row
+    groups), leaving only the mixed residual on the join. Part
+    broadcasts; zero fact shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "tpch"),
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders with at
+    least one matching lineitem (the commit<receipt lateness
+    predicate becomes `l_returnflag = 'R'` — those date columns
+    don't exist in this catalog; the 6-month window is kept).
+
+    EXISTS = left-semi join: the fact side deduplicates AT the join
+    (each order emits once no matter how many matching lines), no
+    distinct pass, no null-handling trap (unlike IN). The date
+    filter prunes orders at the scan before the shuffle; the
+    returnflag filter prunes lineitem the same way. One orderkey
+    shuffle + a 5-row rollup."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REVENUE_DEC} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type LIKE '%BRASS%'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's revenue for one
+    part type, by year (date window dropped — this catalog's order
+    dates span ~2 years, so the year axis carries it).
+
+    Seven joins, ONE fact-fact shuffle: part/supplier/nation/
+    customer-nation/region all broadcast into the facts; lineitem
+    and orders co-shuffle on orderkey; customer broadcasts into the
+    join output. The share is conditional aggregation (numerator
+    and denominator in one pass), never two queries joined. This is
+    the densest join tree in the registry — the shape AQE join
+    reordering exists for."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _revenue().alias("volume"),
+            "supp_nation",
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(brazil).cast("double") / F.sum(F.col("volume")).cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q15_top_suppliers",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REVENUE_DEC}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1995-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    tags=("join", "aggregation", "subquery", "tpch"),
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter
+    (the reference SQL's view becomes a CTE; ties all emitted, per
+    spec). The scalar-MAX subquery is a single-row broadcast joined
+    back to the per-supplier aggregate — never a window over the
+    whole aggregate and never a driver-side collect. Decimal-exact
+    revenue makes the tie predicate (=) deterministic across
+    engines, which a double sum could not guarantee. One supplier-
+    key shuffle; everything after is broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("_rev")
+    )
+    mx = revenue.agg(F.max("_rev").alias("_mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "anti", "distinct", "tpch"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) — excluding one brand, a size list, and a
+    supplier blocklist (negative account balance stands in for the
+    spec's complaint-comment scan; lineitem stands in for partsupp
+    as the part↔supplier relation).
+
+    The NOT-IN becomes a broadcast anti-join (the blocklist is a
+    dim-side scalar scan, and s_suppkey is non-null so NOT IN ≡
+    ANTI safely). COUNT(DISTINCT) runs as Spark's two-phase expand
+    — partial distinct per partition before the shuffle, so the
+    exchange carries (group, suppkey) pairs already deduplicated
+    map-side."""
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE 'forest%' AND sh.qty > 50
+    )
+    """,
+    tags=("join", "semi", "tpch"),
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a large volume of one
+    part family in a year (the partsupp availability comparison
+    becomes a shipped-quantity threshold — no partsupp table; the
+    spec's nested IN-chain is kept as semi-join composition).
+
+    Decorrelation: per-(supplier, part) shipped quantities aggregate
+    once; the part-name filter broadcasts into that aggregate; the
+    qualifying supplier set semi-joins into the supplier dim. Every
+    join after the one fact aggregate is broadcast-sized. The fact
+    shuffles once, on the compound group key."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("forest%"))
+    qualifying = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q22_idle_wealthy_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "anti", "subquery", "tpch"),
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: customers in selected countries with above-average
+    positive balances and no orders at all (c_nationkey stands in
+    for the spec's phone country code — no c_phone column).
+
+    The scalar AVG subquery broadcasts as a 1-row frame; NOT EXISTS
+    is a left-anti join against the distinct-by-construction
+    semi-key of orders. Customer is the driving side, orders only
+    supplies custkeys — at 100 TB project orders to the single join
+    column (done here) so the anti-join's build side is key-only.
+    Decimal-exact balance sums on both the cutoff and the report."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    cutoff = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60
+                THEN 'late' ELSE 'on_time' END AS ship_bucket,
+           COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by priority class, split by
+    shipping lateness (shipmode and commit/receipt dates don't
+    exist — lateness is shipdate more than 60 days after the order
+    date, which preserves the query's point: a conditional
+    two-column pivot over a fact-fact join). One orderkey co-
+    shuffle, then a 2-row aggregate with both FILTER branches in a
+    single pass."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 60
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.when(late, "late").otherwise("on_time").alias("ship_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )

@@ -273,6 +273,92 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+    pairs AS (
+      SELECT x.cell, y.vec_id AS drop_id
+      FROM ev x JOIN ev y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+    )
+    SELECT c.cell, c.n_vectors,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(p.n_dropped, 0) AS n_dropped
+    FROM (SELECT cell, COUNT(*) AS n_vectors FROM ev GROUP BY cell) c
+    LEFT JOIN (
+      SELECT cell, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT drop_id) AS n_dropped
+      FROM pairs GROUP BY cell
+    ) p USING (cell)
+    """,
+    tags=("similarity", "dedup", "clustering"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with a coarse quantizer, then find near-
+    duplicate pairs ONLY within each cluster — keep the lower
+    vec_id, count pairs and dropped vectors per cluster. The
+    global all-pairs problem factors into |cells| independent
+    within-cell problems, which is the entire scale story: cosine
+    comparisons fall from n² to Σ|cell|², and each cell's pair
+    generation is an equi-join on the cell key (no cross join —
+    pinned in tests like every dedup path).
+
+    Cells are the IVF assignment (decimal-exact label centroids,
+    deterministic argmax — ``similarity/ivf.py``), so the index is
+    SHARED with ``sim_topk_ivf``: one clustering pass serves both
+    search and dedup, exactly how a production corpus runs it. At
+    100 TB, k grows ~sqrt(n) to hold Σ|cell|² near-linear, and the
+    within-cell join inherits the skew defenses of the bucketed
+    dedups (a hot cell = a hot partition; monitor with the bucket
+    histogram, split with salting)."""
+    from ..functions.vectors import cosine_from_norms, l2_norm
+    from ..similarity.ivf import centroid_vectors, ivf_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells = ivf_assign(emb, centroid_vectors(emb))
+    v = emb.join(cells, "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("_emb"),
+        l2_norm(F.col("embedding")).alias("_norm"),
+        "cell",
+    )
+    x = v.select(
+        F.col("vec_id").alias("_xid"),
+        F.col("_emb").alias("_xe"),
+        F.col("_norm").alias("_xn"),
+        "cell",
+    )
+    y = v.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("_emb").alias("_ye"),
+        F.col("_norm").alias("_yn"),
+        "cell",
+    )
+    pairs = (
+        x.join(y, "cell")
+        .filter(F.col("_xid") < F.col("drop_id"))
+        .filter(
+            cosine_from_norms(F.col("_xe"), F.col("_ye"), F.col("_xn"), F.col("_yn"))
+            >= 0.45
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("drop_id").alias("n_dropped"),
+        )
+    )
+    sizes = v.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return sizes.join(pairs, "cell", "left_outer").select(
+        "cell",
+        "n_vectors",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+    )
+
+
 _KM_ASSIGN_SQL = """
       SELECT vec_id, v, cid, cos FROM (
         SELECT e.vec_id, e.v, c.cid,

@@ -79,12 +79,21 @@ _SENTINELS = (
     "grep_docs_packed",
     "dedup_minhash_lsh",
 )
-#: brand-new this round — need first driver evidence
+#: brand-new this round — need first driver evidence (capped at 10
+#: so 3 sentinels + 10 new + 37 stale = the driver's 50-entry
+#: window exactly; further new queries land in band 3 and rotate
+#: into the window next round)
 _NEW_R4 = (
     "q3_bucketed_orders",
     "dedup_substring_runs",
     "streaming_stateful_counts",
     "process_readback_wc",
+    "q18_large_volume_customers",
+    "q17_small_quantity_revenue",
+    "q9_product_type_profit",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "dedup_semantic_clusters",
 )
 #: only driver green is CORRECTNESS_r01.json (two testdata
 #: generations old) — rotate in per VERDICT r03 item 1
@@ -199,5 +208,6 @@ def _load_all() -> None:
     from . import queries_relational  # noqa: F401
     from . import queries_relational2  # noqa: F401
     from . import queries_relational3  # noqa: F401
+    from . import queries_relational4  # noqa: F401
 
     _LOADED = True

@@ -432,3 +432,74 @@ def test_substring_runs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, "duplicated-gram lookup should be a semi join"
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    """Q18's HAVING subquery must reuse the per-order aggregate as
+    the quantity source — the literal form scans+aggregates lineitem
+    twice; the plan is pinned to exactly one lineitem scan."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_customers")
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_broadcasts_filtered_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_dims_all_broadcast(spark, sf_dir):
+    """Q9's star joins (part/supplier/nation) must broadcast — the
+    fact table shuffles only for the orders join."""
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_zero_fact_shuffles(spark, sf_dir):
+    """Q14 is one broadcast join + one scalar aggregate: no
+    sort-merge join, and the ship-date window reaches the scan."""
+    plan = _plan(spark, sf_dir, "q14_promo_revenue_share")
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), "shipdate must push to parquet"
+
+
+def test_q19_part_side_predicates_prune_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_predicates")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_densest_join_tree_stays_bucketed(spark, sf_dir):
+    """Seven joins, at most one fact-fact exchange pair: every dim
+    joins via broadcast, never a nested loop."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_blocklist_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS must decorrelate to a semi join (dedup at the join),
+    with both date and returnflag filters pushed to their scans."""
+    plan = _plan(spark, sf_dir, "q4_priority_with_returns")
+    assert "LeftSemi" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed)
+    assert any("o_orderdate" in l for l in pushed)
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark, sf_dir):
+    """SemDeDup's pair generation must be an equi-join on the cell
+    key — never an all-pairs cross join (the centroid broadcast is
+    the only nested-loop, and it is k-rows-by-n, not n-by-n)."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
