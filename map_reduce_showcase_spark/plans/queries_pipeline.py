@@ -570,3 +570,194 @@ def shuffle_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+_SPLIT_SQL = f"""CASE
+      WHEN {portable_hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+      WHEN {portable_hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+      ELSE 'test'
+    END"""
+
+_FP_SQL = f"md5(list_aggregate({_TOKENS_SQL}, 'string_agg', ' '))"
+
+
+@register(
+    "pipeline_split_leakage",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id, {_SPLIT_SQL} AS split, {_FP_SQL} AS fp FROM documents
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM marked WHERE split = 'train')
+    SELECT m.split, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE t.fp IS NOT NULL) AS n_leaked
+    FROM marked m LEFT JOIN train_fps t ON m.fp = t.fp
+    WHERE m.split <> 'train'
+    GROUP BY m.split
+    """,
+    tags=("pipeline", "split", "dedup", "decontam"),
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit: how many val/test documents
+    share a content fingerprint (whitespace-normalized md5 — the
+    exact-dedup key) with ANY train document. Random splits leak
+    exactly this way — the corpus's near/exact duplicate pairs
+    straddle the split boundary and the eval set silently overlaps
+    the training set; this is the check a training pipeline runs
+    BEFORE trusting any held-out metric (same failure mode
+    `decontam_benchmark_overlap` checks against external
+    benchmarks, applied to the pipeline's own splits).
+
+    Plan: split assignment is the same scan-local hash as
+    `split_train_val_test` (no RNG state, replays identically);
+    the eval side joins the distinct train fingerprint set on the
+    16-byte md5 — the shuffle carries fingerprints, never text.
+    The left join + conditional count (instead of a semi join)
+    reports leaked AND clean in one pass. At 100 TB both sides
+    hash-partition on the fingerprint; the train side pre-shrinks
+    to distinct fingerprints, which is also what makes the join
+    skew-safe (duplicate-heavy fingerprints collapse to one row)."""
+    from ..functions.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    marked = docs.select(
+        split.alias("split"), fingerprint(F.col("text")).alias("fp")
+    )
+    train_fps = (
+        marked.filter(F.col("split") == "train").select("fp").distinct()
+        .withColumnRenamed("fp", "tfp")
+    )
+    return (
+        marked.filter(F.col("split") != "train")
+        .join(train_fps, F.col("fp") == F.col("tfp"), "left_outer")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("tfp")).alias("n_leaked"),
+        )
+    )
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (SELECT {_QUALITY_SQL} AS q, n_chars FROM documents),
+    thresholds AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS thr)
+    SELECT t.thr,
+           COUNT(*) FILTER (WHERE s.q >= t.thr) AS n_survivors,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE s.q >= t.thr), 0) AS BIGINT)
+             AS surviving_chars
+    FROM scored s CROSS JOIN thresholds t
+    GROUP BY t.thr
+    """,
+    tags=("pipeline", "quality", "sweep"),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration sweep: survivor count and
+    surviving character volume at each candidate quality threshold,
+    in ONE corpus scan — the curve a pipeline operator reads to pick
+    the cut-off that hits a token budget (run the sweep once, not
+    one filter job per candidate threshold).
+
+    The thresholds are a 4-element literal array exploded against
+    each scored row — a constant ×4 scan-local fan-out feeding a
+    4-row aggregate, NOT a data-dependent join (at 100 TB this adds
+    4× the scan's row stream before map-side partial aggregation
+    collapses it to 4 rows per partition; a per-threshold job would
+    re-scan the corpus 4 times). Scoring is the same scan-speed
+    expression as `text_quality`."""
+    from ..functions import text as T
+
+    docs = t(spark, sf_dir, "documents").select(
+        T.quality_score(F.col("text")).alias("q"), "n_chars"
+    )
+    swept = docs.select(
+        "q", "n_chars", F.explode(F.array([F.lit(v) for v in (0.2, 0.4, 0.6, 0.8)])).alias("thr")
+    )
+    hit = F.col("q") >= F.col("thr")
+    return swept.groupBy("thr").agg(
+        F.count(F.when(hit, 1)).alias("n_survivors"),
+        F.coalesce(F.sum(F.when(hit, F.col("n_chars"))), F.lit(0)).alias(
+            "surviving_chars"
+        ),
+    )
+
+
+_SNAP_H_SQL = portable_hash60_sql("'snap#' || CAST(doc_id AS VARCHAR)")
+_EDIT_H_SQL = portable_hash60_sql("'edit#' || CAST(doc_id AS VARCHAR)")
+_V1_PRED_SQL = f"{_SNAP_H_SQL} % 100 < 90"
+_V2_PRED_SQL = f"{_SNAP_H_SQL} % 100 >= 5"
+_CHANGED_SQL = f"{_EDIT_H_SQL} % 7 = 0"
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE {_V1_PRED_SQL}
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN {_CHANGED_SQL} THEN md5('v2#' || {_FP_SQL})
+                  ELSE {_FP_SQL} END AS fp
+      FROM documents WHERE {_V2_PRED_SQL}
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_docs
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY status
+    """,
+    tags=("pipeline", "cdc", "diff"),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (CDC without a changelog): diff two
+    corpus versions into added / removed / changed / unchanged
+    counts. Two deterministic hash views of `documents` stand in
+    for the versions (v1 = 90% bucket slice, v2 = shifted slice
+    with ~1/7 of shared docs' fingerprints perturbed), so the
+    classification is replayable in any engine; in production v1
+    and v2 are yesterday's and today's corpus roots.
+
+    This is THE operator behind incremental everything: the
+    'added' partition feeds `dedup_incremental_minhash`-style
+    batch-vs-corpus jobs, 'removed' drives tombstone propagation,
+    and 'changed' re-embeds. Plan: both sides reduce to
+    (doc_id, 16-byte fingerprint) AT THE SCAN — the full outer
+    join shuffles ids and hashes, never text — then a 4-row
+    rollup. At 100 TB both snapshots are id-bucketed at write
+    time and the join is exchange-free."""
+    from ..functions.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    snap = portable_hash60(
+        F.concat(F.lit("snap#"), F.col("doc_id").cast("string"))
+    ) % 100
+    edited = (
+        portable_hash60(F.concat(F.lit("edit#"), F.col("doc_id").cast("string"))) % 7
+        == 0
+    )
+    fp = fingerprint(F.col("text"))
+    v1 = docs.filter(snap < 90).select(
+        F.col("doc_id").alias("id1"), fp.alias("fp1")
+    )
+    v2 = docs.filter(snap >= 5).select(
+        F.col("doc_id").alias("id2"),
+        F.when(edited, F.md5(F.concat(F.lit("v2#"), fp))).otherwise(fp).alias("fp2"),
+    )
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -638,3 +638,123 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE round(CAST(c_acctbal AS DECIMAL(18,2)), 0) END AS bal
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           COUNT(bal) AS n_nonnull,
+           COUNT(*) FILTER (WHERE bal IS NULL) AS n_null,
+           COUNT(*) FILTER (WHERE bal IS NOT DISTINCT FROM 0) AS n_zero_nullsafe,
+           CAST(MIN(COALESCE(bal, -1)) AS DOUBLE) AS min_with_default,
+           COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_not_building
+    FROM c GROUP BY c_mktsegment
+    """,
+    tags=("scalar", "nulls"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-semantics surface, pinned cross-engine: COUNT(col)
+    skips nulls while COUNT(*) doesn't; null-safe equality (Spark
+    `<=>` ≡ SQL IS NOT DISTINCT FROM) treats NULL as a comparable
+    value where `=` yields NULL; COALESCE defaulting inside MIN;
+    NULLIF as the inverse. These are exactly the semantics that
+    silently diverge when a pipeline is ported between engines —
+    worth one registered query even though every expression is
+    scan-local (one 5-row aggregate, zero extra shuffles)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.when(
+            F.col("c_acctbal") >= 0,
+            F.round(F.col("c_acctbal").cast("decimal(18,2)"), 0),
+        ).alias("bal"),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("bal").alias("n_nonnull"),
+        F.count(F.when(F.col("bal").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("bal").eqNullSafe(F.lit(0)), 1)).alias(
+            "n_zero_nullsafe"
+        ),
+        F.min(F.coalesce(F.col("bal"), F.lit(-1))).cast("double").alias(
+            "min_with_default"
+        ),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias(
+            "n_not_building"
+        ),
+    )
+
+
+@register(
+    "stats_winsorized_price",
+    oracle="""
+    WITH cuts AS (
+      SELECT round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+      FROM orders
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o.o_totalprice < c.lo
+                               OR o.o_totalprice > c.hi) AS n_clipped,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_raw,
+           round(CAST(SUM(CAST(round(
+                     CASE WHEN o.o_totalprice < c.lo THEN c.lo
+                          WHEN o.o_totalprice > c.hi THEN c.hi
+                          ELSE o.o_totalprice END, 4) AS DECIMAL(18,4)))
+                   AS DOUBLE) / COUNT(*), 4) AS mean_winsorized
+    FROM orders o CROSS JOIN cuts c
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("aggregation", "stats", "robust"),
+)
+def stats_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clip order prices at the corpus-wide
+    [p05, p95] exact quantiles, report raw vs clipped means per
+    priority (the outlier-robust statistic a metrics pipeline uses
+    when trimming — `stats_trimmed_mean_price` — discards too much).
+
+    Plan: the (lo, hi) cut row is a single-row aggregate broadcast
+    into the scan; clipping is a scan-local CASE; both means ride
+    one map-side-combining aggregate. The quantiles are rounded to
+    4 before use so both engines clip against the identical
+    threshold, and clipped values are rounded then summed in
+    DECIMAL — order-independent and hash-stable. At 100 TB swap the
+    exact quantile for approx_percentile (t-digest, mergeable) and
+    nothing downstream changes."""
+    o = t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("hi"),
+    )
+    p = F.col("o_totalprice")
+    clipped = (
+        F.when(p < F.col("lo"), F.col("lo"))
+        .when(p > F.col("hi"), F.col("hi"))
+        .otherwise(p)
+    )
+    n = F.count(F.lit(1))
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy("o_orderpriority")
+        .agg(
+            n.alias("n"),
+            F.count(F.when((p < F.col("lo")) | (p > F.col("hi")), 1)).alias(
+                "n_clipped"
+            ),
+            F.round(F.sum(p.cast("decimal(18,2)")).cast("double") / n, 4).alias(
+                "mean_raw"
+            ),
+            F.round(
+                F.sum(F.round(clipped, 4).cast("decimal(18,4)")).cast("double") / n, 4
+            ).alias("mean_winsorized"),
+        )
+    )

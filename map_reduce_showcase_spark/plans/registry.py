@@ -57,20 +57,21 @@ def register(
 
 
 # The driver's CORRECTNESS artifact records only the first ~50
-# queries() entries, so export order IS evidence policy. Round-4
-# rotation (per VERDICT r03 item 1):
+# queries() entries, so export order IS evidence policy. The policy
+# (enforced by tests/test_oracle_diff.py's window test) is computed
+# DYNAMICALLY from the repo's own CORRECTNESS_r*.json artifacts
+# instead of hand-rotated band lists each round:
 #
-#   band 0 — sentinels: r03-green canaries that stay at the head
-#            every round so a cross-round regression is caught
-#            inside the window (pivot_event_types_daily regressed
-#            while hidden in the tail — exactly this risk);
-#   band 1 — new this round: queries with no driver evidence yet;
-#   band 2 — evidence-is-stale: the 37 queries whose only driver
-#            green is CORRECTNESS_r01 — two testdata regenerations
-#            old, exactly the drift-failure mode the rotation
-#            scheme exists to catch;
-#   band 3 — freshest evidence: green in r02/r03 — absorbs the
-#            truncation.
+#   band 0 — sentinels: always-at-head canaries so a cross-round
+#            regression is caught inside the window
+#            (pivot_event_types_daily regressed in round 2 while
+#            hidden in the tail — exactly this risk);
+#   band 1 — never driver-green: no artifact from any round proved
+#            them (new queries, or ones whose every driver run
+#            errored) — first claim on the window;
+#   band 2+ — proven queries ordered by the ROUND of their latest
+#            green, oldest first: stalest evidence re-verifies
+#            soonest, freshest absorbs the truncation.
 #
 # The local differential suite (tests/test_oracle_diff.py) still
 # checks ALL queries regardless of order.
@@ -79,86 +80,53 @@ _SENTINELS = (
     "grep_docs_packed",
     "dedup_minhash_lsh",
 )
-#: brand-new this round — need first driver evidence (capped at 10
-#: so 3 sentinels + 10 new + 37 stale = the driver's 50-entry
-#: window exactly; further new queries land in band 3 and rotate
-#: into the window next round)
-_NEW_R4 = (
-    "q3_bucketed_orders",
-    "dedup_substring_runs",
-    "streaming_stateful_counts",
-    "process_readback_wc",
-    "q18_large_volume_customers",
-    "q17_small_quantity_revenue",
-    "q9_product_type_profit",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "dedup_semantic_clusters",
-)
-#: only driver green is CORRECTNESS_r01.json (two testdata
-#: generations old) — rotate in per VERDICT r03 item 1
-_STALE_R1_ONLY = (
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q10_returned_item_customers",
-    "join_brand_revenue",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "fullouter_nation_parties",
-    "selfjoin_repeat_orders_30d",
-    "range_join_price_tiers",
-    "rollup_sales",
-    "cube_order_stats",
-    "grouping_sets_order_volume",
-    "distinct_customers_per_segment",
-    "topk_orders",
-    "setops_nation_presence",
-    "union_all_parties",
-    "window_rank_orders",
-    "window_analytics_orders",
-    "scalar_functions_orders",
-    "scalar_string_functions",
-    "date_arithmetic_orders",
-    "array_functions_docs",
-    "stats_acctbal_by_segment",
-    "percentiles_order_price",
-    "histogram_order_price",
-    "scalar_subquery_above_avg",
-    "having_frequent_buyers",
-    "correlated_above_own_avg",
-    "text_tfidf",
-    "udf_scalar_clv",
-    "udf_grouped_geomean_qty",
-    "dedup_exact_groups",
-    "split_train_val_test",
-    "quality_profile_orders",
-)
 
 
-def _band(spec: QuerySpec) -> int:
-    if spec.name in _SENTINELS:
-        return 0
-    if spec.name in _NEW_R4:
-        return 1
-    if spec.name in _STALE_R1_ONLY:
-        return 2
-    return 3  # r2/r3-green — freshest evidence, absorbs truncation
+def _latest_green_round() -> dict[str, int]:
+    """query name → highest round whose CORRECTNESS artifact proved
+    it (rows+schema+hash all matching). Missing key = never green."""
+    import json
+    import pathlib
+    import re
+
+    latest: dict[str, int] = {}
+    repo = pathlib.Path(__file__).resolve().parent.parent.parent
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", art.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            entries = json.loads(art.read_text())
+        except (OSError, ValueError):
+            continue
+        for n, e in entries.items():
+            if (
+                isinstance(e, dict)
+                and e.get("rows_match")
+                and e.get("schema_match")
+                and e.get("hash_match")
+            ):
+                latest[n] = max(latest.get(n, 0), rnd)
+    return latest
 
 
 def _export_ordered() -> list[QuerySpec]:
     _load_all()
     specs = list(REGISTRY.values())
-    head = {n: i for i, n in enumerate(_SENTINELS + _NEW_R4 + _STALE_R1_ONLY)}
-    # stable sort: within a band, head-listed names first in listed
-    # order, everything else in registration order
-    indexed = sorted(
-        enumerate(specs),
-        key=lambda p: (_band(p[1]), head.get(p[1].name, len(head) + p[0])),
-    )
-    return [s for _, s in indexed]
+    green = _latest_green_round()
+    sentinel_pos = {n: i for i, n in enumerate(_SENTINELS)}
+
+    def key(p: tuple[int, QuerySpec]):
+        i, spec = p
+        if spec.name in sentinel_pos:
+            return (0, sentinel_pos[spec.name], 0)
+        if spec.name not in green:
+            return (1, 0, i)  # never proven — registration order
+        # proven: stalest latest-green first, registration order ties
+        return (2, green[spec.name], i)
+
+    return [s for _, s in sorted(enumerate(specs), key=key)]
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

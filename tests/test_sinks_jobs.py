@@ -193,3 +193,22 @@ def test_process_unknown_app(spark):
 
     with pytest.raises(ValueError, match="unknown app"):
         process_job(spark, "nope", "/tmp/nowhere")
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir):
+    """ORC as a second columnar source format: write the orders
+    table as ORC, read it back, and verify both value fidelity and
+    that predicate pushdown reaches the ORC scan (searchArguments
+    in the plan) — the property that makes a source format viable
+    at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.mode("overwrite").orc(f"{d}/orc")
+        back = spark.read.orc(f"{d}/orc")
+        assert back.count() == orders.count()
+        assert back.schema == orders.schema
+        got = back.filter(back.o_orderkey == 42).collect()
+        want = orders.filter(orders.o_orderkey == 42).collect()
+        assert got == want
+        plan = back.filter(back.o_totalprice > 100000.0)._jdf.queryExecution().toString()
+        assert "PushedFilters: [" in plan and "o_totalprice" in plan
