@@ -758,3 +758,48 @@ def stats_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH totals AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, total
+    FROM totals
+    UNPIVOT (total FOR measure IN (qty, price, discount, tax))
+    """,
+    tags=("aggregation", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-returnflag measure totals rotated to
+    long (flag, measure, total) rows — the inverse of
+    `pivot_event_types_daily` and the missing half of the
+    pivot/unpivot pair. Aggregate FIRST, unpivot the 3-row result:
+    the expand runs on |groups| rows, never on the fact table (an
+    unpivot-then-aggregate would 4× the scan's row stream for
+    nothing). Decimal-exact sums cast to double before the rotate so
+    every cell hashes identically in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def dsum(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+
+    totals = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum("l_discount").alias("discount"),
+        dsum("l_tax").alias("tax"),
+    )
+    return totals.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
