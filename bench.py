@@ -54,6 +54,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     _load_all()
+    # SPARK_GRAFT_BENCH_SET=all sweeps every registered query instead
+    # of the stable 18-query headline set (which stays the default so
+    # cross-round totals compare like sets) — the local profiling mode
+    # used to catch scale pathologies outside the headline window.
+    headline = (
+        list(REGISTRY) if os.environ.get("SPARK_GRAFT_BENCH_SET") == "all" else HEADLINE
+    )
     spark = get_spark(app_name="mrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,7 +71,7 @@ def main() -> None:
     # runs. Warm-up failures are ignored; the measured loop records
     # them properly.
     warm_sf = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         try:
             REGISTRY[name].builder(spark, warm_sf).write.format("noop").mode(
                 "overwrite"
@@ -84,7 +91,7 @@ def main() -> None:
     # everything below FATAL for the measured loop; failures still
     # surface via the errors dict and stderr prints.
     spark.sparkContext.setLogLevel("FATAL")
-    for name in HEADLINE:
+    for name in headline:
         # Earlier queries' localCheckpoint blocks are only released
         # when the ContextCleaner runs, which is JVM-GC-driven; nudge
         # it so query N isn't measured under query N-1's cached
@@ -112,7 +119,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "n_measured": len(times),
-        "n_expected": len(HEADLINE),
+        "n_expected": len(headline),
         "sf": sf,
     }
     if errors:

@@ -121,3 +121,27 @@ def test_unverified_queries_export_inside_driver_window():
     tail = order[50:]
     not_proven = [n for n in tail if n not in green]
     assert not not_proven, f"unverified queries stuck in truncation tail: {not_proven}"
+
+
+def test_export_order_is_evidence_priority():
+    """The computed export order must be: sentinels, then every
+    never-driver-green query, then proven queries with latest-green
+    round non-decreasing (stalest evidence re-verifies first)."""
+    from map_reduce_showcase_spark.plans.registry import (
+        _SENTINELS,
+        _latest_green_round,
+        query_map,
+    )
+
+    order = list(query_map())
+    green = _latest_green_round()
+    assert tuple(order[: len(_SENTINELS)]) == _SENTINELS
+
+    rest = order[len(_SENTINELS) :]
+    proven_flags = [n in green for n in rest]
+    first_proven = proven_flags.index(True)
+    assert all(proven_flags[first_proven:]), (
+        "never-green queries must all precede proven ones"
+    )
+    rounds = [green[n] for n in rest[first_proven:]]
+    assert rounds == sorted(rounds), "proven queries must be stalest-first"
