@@ -443,3 +443,97 @@ def cluster_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("cos"), 6).cast("decimal(12,6)")).cast("double") / n, 6
         ).alias("mean_cos"),
     )
+
+
+@register(
+    "sim_user_affinity_sparse",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, CAST(hour(ts) AS INT) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT user_id, SUM(cnt * cnt) AS n2 FROM hist GROUP BY user_id
+    ),
+    dots AS (
+      SELECT q.user_id AS query_id, c.user_id AS cand_id,
+             SUM(q.cnt * c.cnt) AS dot
+      FROM hist q JOIN hist c ON q.h = c.h AND q.user_id <> c.user_id
+      WHERE q.user_id < 10
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.cand_id,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)) AS cos
+      FROM dots d
+      JOIN norms nq ON nq.user_id = d.query_id
+      JOIN norms nc ON nc.user_id = d.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INT) AS rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "sparse", "events"),
+)
+def sim_user_affinity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral user similarity over SPARSE vectors computed as a
+    join-aggregate — no dense arrays anywhere: each user's hour-of-
+    day activity histogram stays as (user, dim, count) rows, the
+    dot product is an equi-join on the dimension followed by a
+    SUM(q.cnt * c.cnt), and norms join in per side. This is the
+    inverted-index formulation of cosine similarity — the ONLY
+    shape that scales when vectors are high-dimensional and sparse
+    (user×item matrices, bag-of-words): cost is Σ per-dimension
+    posting-list products, not n·d, and hot dimensions are visible
+    (and salt-able) as hot join keys.
+
+    Numerics: dot and squared norms are exact integer sums;
+    cosine is one IEEE divide of dot by sqrt(n2q·n2c), written
+    identically in both engines — so the ranking replays exactly.
+    Complements the dense-array family (`sim_topk_bruteforce` et
+    al.), which scans full vectors per pair. The query-side filter
+    (user_id < 10) prunes the join's probe side at the scan."""
+    ev = t(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    norms = hist.groupBy("user_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
+    )
+    q = hist.filter(F.col("user_id") < 10).select(
+        F.col("user_id").alias("query_id"), "h", F.col("cnt").alias("qcnt")
+    )
+    c = hist.select(
+        F.col("user_id").alias("cand_id"), "h", F.col("cnt").alias("ccnt")
+    )
+    dots = (
+        c.join(F.broadcast(q), "h")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("qcnt") * F.col("ccnt")).alias("dot"))
+    )
+    nq = norms.select(F.col("user_id").alias("query_id"), F.col("n2").alias("n2q"))
+    nc = norms.select(F.col("user_id").alias("cand_id"), F.col("n2").alias("n2c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("n2q") * F.col("n2c")).cast("double"))
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "cand_id", "rnk", F.round(F.col("cos"), 6).alias("cosine"))
+    )

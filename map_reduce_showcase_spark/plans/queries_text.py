@@ -731,3 +731,153 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+
+_HLS_W_SQL = (
+    "(CAST(CAST(concat('0x', substr(md5('w#' || CAST(b AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 2001 AS DOUBLE) / 1000.0 - 1.0)"
+)
+_HLS_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5('b#' || tok), 1, 8)) AS BIGINT) % 1024"
+)
+
+
+@register(
+    "text_hashed_linear_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    bucketed AS (SELECT doc_id, lang, {_HLS_BUCKET_SQL} AS b FROM toks),
+    scored AS (
+      SELECT doc_id, lang,
+             SUM(CAST(round({_HLS_W_SQL}, 6) AS DECIMAL(12,6))) AS s,
+             COUNT(*) AS ntok
+      FROM bucketed GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE CAST(s AS DOUBLE) / ntok > 0) AS n_positive,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(round(CAST(s AS DOUBLE) / ntok, 6)
+                               AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_score
+    FROM scored GROUP BY lang
+    """,
+    tags=("text", "quality", "classifier"),
+)
+def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference as a scan-local expression — the
+    fastText-style quality-filter shape (hash each token into a
+    1024-bucket feature space, dot with a weight vector, average
+    over tokens, threshold at 0). The weights here are derived
+    deterministically from the bucket index (md5 → [-1, 1]) so both
+    engines replay the identical model; a real pipeline broadcasts
+    trained weights and nothing else changes.
+
+    This is how classifier-based filtering (DCLM, FineWeb-Edu
+    style) actually runs at 100 TB: the model is a broadcast array,
+    inference is per-row column math fused into the scan — no
+    Python, no model server, no shuffle until the per-lang rollup
+    of scores. Per-doc sums accumulate in DECIMAL over rounded
+    per-token weights, so the scores — and therefore the
+    positive-class counts — are order-independent and
+    hash-stable."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.explode(T.tokens(F.col("text"))).alias("tok")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b#"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1024
+    )
+    weight = F.round(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w#"), bucket.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+        ).cast("double")
+        / 1000.0
+        - 1.0,
+        6,
+    )
+    scored = (
+        docs.select("doc_id", "lang", tok)
+        .select("doc_id", "lang", weight.cast("decimal(12,6)").alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("ntok"))
+    )
+    mean_doc = F.col("s").cast("double") / F.col("ntok")
+    return scored.groupBy("lang").agg(
+        F.count(F.when(mean_doc > 0, 1)).alias("n_positive"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.round(mean_doc, 6).cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+        FROM toks GROUP BY tok
+      ) WHERE rnk <= 500
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           round(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    """,
+    tags=("text", "tokenizer", "oov"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic: out-of-vocabulary rate per language
+    against a top-500 corpus vocabulary — the number you check
+    before committing a tokenizer/vocab to a training run (a lang
+    with a high OOV rate will fragment into bytes and waste
+    context length).
+
+    Two-phase: the vocabulary is a count aggregate + deterministic
+    top-k (total tie-break on the token), small enough to BROADCAST
+    into the second pass, where membership is a broadcast left join
+    at scan speed — the corpus token stream is never shuffled for
+    the membership test, only for the tiny per-lang rollup. At
+    100 TB the vocab phase reuses the existing word-count output
+    (`wc_word_count`) instead of re-counting."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # top-500 via orderBy+limit = TakeOrderedAndProject (distributed
+    # top-k, bounded per-partition heaps) — NEVER a single-partition
+    # ROW_NUMBER window over the whole vocabulary
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(500)
+        .select(F.col("tok").alias("vtok"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks.tok == F.col("vtok"), "left_outer")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("vtok").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("vtok").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
