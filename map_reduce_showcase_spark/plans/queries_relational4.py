@@ -803,3 +803,62 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="total",
     )
+
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'GERMANY'
+      GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(val) AS tv FROM pv)
+    SELECT pv.l_partkey AS p_partkey,
+           CAST(pv.val AS DOUBLE) AS part_value
+    FROM pv, total
+    WHERE CAST(pv.val AS DOUBLE) > 0.001 * CAST(total.tv AS DOUBLE)
+    """,
+    tags=("join", "aggregation", "subquery", "tpch"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of
+    one nation's traded value (shipped lineitem value stands in for
+    partsupp stock value — no partsupp table; fraction scaled to
+    this catalog's cardinality). Completes the TPC-H sweep: all 22
+    query shapes are now represented in the registry.
+
+    The HAVING-against-global-total is the two-level-aggregate
+    shape: per-part sums, then a 1-row grand total broadcast back
+    as the threshold. Supplier and nation broadcast; the fact
+    shuffles on partkey. Honest plan note: Spark has no automatic
+    CTE materialization, so the total branch re-instantiates the
+    pv subtree — the fact is scanned twice (pinned in tests as
+    exactly 2, so an accidental third appearance fails). At 100 TB
+    materialize pv once (cache/localCheckpoint in a job context,
+    or reuse the persisted aggregate a pipeline already writes);
+    builders here must stay lazy plans, so the registered form
+    keeps the recompute. Decimal sums make the > cut replay
+    exactly in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    total = pv.agg(F.sum("val").alias("tv"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > 0.001 * F.col("tv").cast("double"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )

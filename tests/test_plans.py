@@ -568,3 +568,29 @@ def test_threshold_sweep_single_scan(spark, sf_dir):
     literal array), not one scan per threshold."""
     plan = _plan(spark, sf_dir, "quality_threshold_sweep")
     assert plan.count("documents.parquet") == 1
+
+
+def test_oov_vocab_is_take_ordered(spark, sf_dir):
+    """The top-500 vocabulary must be TakeOrderedAndProject, never a
+    single-partition ROW_NUMBER window over the whole vocabulary."""
+    plan = _plan(spark, sf_dir, "text_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_sparse_affinity_no_cartesian(spark, sf_dir):
+    """Sparse cosine must be an equi-join on the dimension key."""
+    plan = _plan(spark, sf_dir, "sim_user_affinity_sparse")
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_two_scans_dims_broadcast(spark, sf_dir):
+    """Q11's total branch re-instantiates the per-part aggregate
+    (no CTE materialization in Spark — documented in the query),
+    so the fact scans exactly TWICE, never more; both instances
+    must broadcast their dims (no sort-merge join anywhere), and
+    the threshold join is a broadcast of the 1-row total."""
+    plan = _plan(spark, sf_dir, "q11_important_part_value")
+    assert plan.count("lineitem.parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
