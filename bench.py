@@ -64,6 +64,13 @@ def main() -> None:
     spark = get_spark(app_name="mrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The accumulator-GC ERROR spam (Python GC reaps accumulators
+    # while late tasks report in) starts during the rapid-fire
+    # warm-up, not just the measured loop — silence below FATAL for
+    # BOTH phases so the artifact tail stays clean; real failures
+    # still surface via the errors dict and stderr prints.
+    spark.sparkContext.setLogLevel("FATAL")
+
     # warm-up: JVM, whole-stage codegen, Python worker pool, parquet
     # footer caches — run EVERY headline query once at the smallest
     # SF so plan construction + codegen compilation (identical plan
@@ -85,12 +92,6 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
-    # The gc nudge below can reap Python-side accumulators while late
-    # warm-up tasks report in, spamming harmless-but-noisy DAGScheduler
-    # "non-existent accumulator" ERRORs into the artifact tail. Silence
-    # everything below FATAL for the measured loop; failures still
-    # surface via the errors dict and stderr prints.
-    spark.sparkContext.setLogLevel("FATAL")
     for name in headline:
         # Earlier queries' localCheckpoint blocks are only released
         # when the ContextCleaner runs, which is JVM-GC-driven; nudge
