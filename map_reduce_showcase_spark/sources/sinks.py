@@ -72,3 +72,43 @@ def write_n_files(df: DataFrame, path: str, n: int, by_col: str | None = None) -
     part = df.repartition(n, F.col(by_col)) if by_col else df.repartition(n)
     part.write.mode("overwrite").parquet(path)
     return len(glob.glob(f"{path}/part-*"))
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact a small-file-storm directory into ~target-sized files;
+    returns the output file count.
+
+    Streaming sinks, hive partitioning on skewed keys, and the
+    reference-parity ``write_n_files`` layout all produce many tiny
+    files; at 100 TB that means footer-read amplification, NameNode/
+    listing pressure, and task-per-file scheduling overhead on every
+    downstream scan — so compaction is a standing maintenance job,
+    not an afterthought. Sizing reads ONLY filesystem metadata (a
+    listing, no data scan) via the Hadoop FS API, so it works on any
+    supported filesystem (local, HDFS, object stores); the rewrite
+    is one ``repartition(n)`` pass. Writes to a separate dst so the
+    swap can be atomic at the catalog/manifest layer — never
+    overwrite a directory a reader may be listing."""
+    import math
+
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(conf)
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return n

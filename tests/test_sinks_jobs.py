@@ -212,3 +212,80 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir):
         assert got == want
         plan = back.filter(back.o_totalprice > 100000.0)._jdf.queryExecution().toString()
         assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the runtime complement of static
+    partition pruning, and the reason hive-partitioned fact layouts
+    pay off on dim-filtered joins at 100 TB: the dim side's filter
+    result prunes fact PARTITIONS at runtime (a dynamicpruning
+    subquery in the fact scan's PartitionFilters), so the fact
+    never reads partitions the join cannot match."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_partitioned(ev, str(tmp_path / "events_p"), "day")
+    fact = spark.read.parquet(str(tmp_path / "events_p"))
+    fact.select("day").distinct().limit(2).withColumn(
+        "flag", F.lit(1)
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("flag") == 1)
+    j = fact.join(dim, "day").groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().toString()  # noqa: SLF001
+    assert "dynamicpruning" in plan.lower(), "DPP must reach the fact scan"
+
+
+def test_corrupt_record_modes(spark, tmp_path):
+    """Source robustness semantics at the ingest boundary: PERMISSIVE
+    quarantines malformed rows into _corrupt_record (the 100 TB
+    default — one bad row must not kill a million-file job),
+    FAILFAST surfaces them as errors (the integrity-gate mode)."""
+    import pytest as _pytest
+
+    p = tmp_path / "mixed.json"
+    p.write_text('{"a": 1}\n{"a": 2}\nNOT-JSON\n{"a": 3}\n')
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    ok = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p))
+    rows = ok.cache().collect()
+    try:
+        assert len(rows) == 4
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1 and bad[0]["_corrupt_record"] == "NOT-JSON"
+        strict = (
+            spark.read.schema("a BIGINT").option("mode", "FAILFAST").json(str(p))
+        )
+        with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+            strict.collect()
+    finally:
+        ok.unpersist()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files compact to the metadata-derived target count
+    with row-exact fidelity."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.sources.sinks import compact_small_files
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "storm")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    assert len([f for f in (tmp_path / "storm").glob("*.parquet")]) == 64
+    dst = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len([f for f in (tmp_path / "compacted").glob("*.parquet")]) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).first()[0] == orders.agg(
+        F.sum("o_orderkey")
+    ).first()[0]
