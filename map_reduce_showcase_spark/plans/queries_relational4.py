@@ -862,3 +862,48 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("double").alias("part_value"),
         )
     )
+
+
+_SQL_FRONTEND = """
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT segment, o_orderkey, price,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY price DESC, o_orderkey) AS rnk
+      FROM seg
+    )
+    SELECT segment, o_orderkey,
+           CAST(price AS DOUBLE) AS price,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "sql_frontend_top_orders",
+    oracle=_SQL_FRONTEND.format(orders="orders", customer="customer"),
+    tags=("sql", "window", "frontend"),
+)
+def sql_frontend_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) front-end surface: the SAME SQL text runs
+    in both engines (modulo view names) — a CTE, a join, and a
+    ranking window submitted as a string over registered temp
+    views, exercising the parser → analyzer → Catalyst path that
+    every DataFrame query here compiles into anyway. One registered
+    query proves the engine's second API front door works
+    end-to-end; `sources/tables.py::register_temp_views` is the
+    catalog-registration utility a SQL-first user would call once
+    per session. Per-group top-3 via ROW_NUMBER with a total
+    tie-break, so the result is deterministic in any engine."""
+    from ..sources.tables import load_table
+
+    o_view = "mrs_sqlfe_orders"
+    c_view = "mrs_sqlfe_customer"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(o_view)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(c_view)
+    return spark.sql(_SQL_FRONTEND.format(orders=o_view, customer=c_view))
