@@ -158,3 +158,52 @@ def extract_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_no", "frame_bytes"])
 
     return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("in_bytes", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize stage: payload → fixed-target payload, 1:1 through
+    Arrow-batched ``mapInPandas`` — the normalization step every
+    vision-training pipeline runs before batching (a model consumes
+    uniform tensors, not arbitrary-resolution originals).
+
+    STUB transform (no media libs in the container): the 'resized'
+    payload is the original truncated/zero-padded to
+    ``target_w·target_h·3`` bytes — deterministic, so byte
+    accounting is oracle-checkable. A real implementation swaps in
+    PIL's ``Image.resize`` (or an ffmpeg scale filter for video)
+    over the same batch iterator; schema and plumbing unchanged.
+    Scale: 1:1 row transform fused after the scan, no shuffle; the
+    OUTPUT is fixed-size, so downstream partition sizing becomes
+    deterministic — one of the quiet operational wins of resizing
+    early in the pipeline."""
+    out_n = target_w * target_h * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload[:out_n])
+                if len(b) < out_n:
+                    b = b + b"\x00" * (out_n - len(b))
+                rows.append((mid, mtype, len(payload), len(b), b))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "in_bytes", "out_bytes", "resized"],
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -157,3 +157,42 @@ def multimodal_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media_dir = Path(__file__).resolve().parent.parent / "fixtures" / "media"
     return decode_media_meta(read_binary_media(spark, str(media_dir)))
+
+
+@register(
+    "multimodal_resize_accounting",
+    oracle="""
+    SELECT COUNT(*) AS n_media,
+           CAST(SUM(n_chars) AS BIGINT) AS in_bytes_total,
+           CAST(COUNT(*) * 3072 AS BIGINT) AS out_bytes_total,
+           CAST(SUM(CASE WHEN n_chars > 3072 THEN n_chars - 3072
+                         ELSE 0 END) AS BIGINT) AS bytes_dropped
+    FROM documents
+    """,
+    tags=("multimodal", "resize", "mapInPandas"),
+)
+def multimodal_resize_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage end-to-end (the remaining verb of the
+    decode/feature-extract/resize/frame-sample quartet): every
+    payload normalized to a fixed 32×32×3-byte target through
+    Arrow-batched mapInPandas, then byte accounting aggregated —
+    input volume, (deterministic) output volume, and bytes dropped
+    by truncation. The oracle replays the accounting from n_chars
+    because the stub resize is pure byte arithmetic (documents'
+    text is ASCII by construction, so n_chars = payload bytes);
+    a real PIL resize keeps the schema and the accounting shape,
+    just not SQL-replayability of the pixel content."""
+    from ..multimodal.binary_cols import resize_media, to_media_frame
+
+    docs = t(spark, sf_dir, "documents")
+    resized = resize_media(to_media_frame(docs))
+    over = F.when(
+        F.col("in_bytes") > F.col("out_bytes"),
+        F.col("in_bytes") - F.col("out_bytes"),
+    ).otherwise(F.lit(0))
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("in_bytes").alias("in_bytes_total"),
+        F.sum("out_bytes").alias("out_bytes_total"),
+        F.sum(over).alias("bytes_dropped"),
+    )
