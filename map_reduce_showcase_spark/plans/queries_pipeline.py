@@ -761,3 +761,77 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(status.alias("status"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_UPD_H_SQL = portable_hash60_sql("'upd#' || CAST(o_orderkey AS VARCHAR)")
+_UPD_PRED_SQL = f"{_UPD_H_SQL} % 10 = 0"
+
+
+@register(
+    "pipeline_upsert_merge",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey,
+             round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10, 2) AS new_price
+      FROM orders WHERE {_UPD_PRED_SQL}
+    ),
+    merged AS (
+      SELECT o.o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                  ELSE CAST(o.o_totalprice AS DECIMAL(18,2)) END AS price,
+             (u.o_orderkey IS NOT NULL) AS was_updated
+      FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE was_updated) AS n_updated,
+           CAST(SUM(price) AS DOUBLE) AS total_after
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("pipeline", "cdc", "merge", "upsert"),
+)
+def pipeline_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet — WHEN MATCHED THEN
+    UPDATE expressed as a left join + CASE (the engine-level shape
+    that table formats' MERGE compiles into): a deterministic CDC
+    batch (10% hash slice, prices bumped 10%) applies onto the
+    orders snapshot, verified by per-status row/updated counts and
+    the post-merge decimal total.
+
+    Scale story: the batch side is the small side — broadcast it
+    (or, for huge batches, co-partition both sides on the key);
+    rows NOT in the batch pass through untouched, so the merge is
+    one scan + one join, never a rewrite-everything shuffle. On a
+    lakehouse table format the same plan runs under MERGE INTO
+    with file-level pruning of untouched files; this query pins
+    the arithmetic those implementations must reproduce."""
+    o = t(spark, sf_dir, "orders")
+    upd_pred = (
+        portable_hash60(F.concat(F.lit("upd#"), F.col("o_orderkey").cast("string")))
+        % 10
+        == 0
+    )
+    # the bump factor must be a DECIMAL literal — a Python float
+    # would degrade the whole expression to double and make the
+    # post-merge sum partition-order-dependent
+    bump = F.lit("1.10").cast("decimal(4,2)")
+    updates = o.filter(upd_pred).select(
+        F.col("o_orderkey").alias("u_key"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * bump, 2).alias(
+            "new_price"
+        ),
+    )
+    merged = o.join(
+        F.broadcast(updates), o.o_orderkey == F.col("u_key"), "left_outer"
+    ).select(
+        "o_orderstatus",
+        F.when(F.col("u_key").isNotNull(), F.col("new_price"))
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+        .alias("price"),
+        F.col("u_key").isNotNull().alias("was_updated"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("was_updated"), 1)).alias("n_updated"),
+        F.sum("price").cast("double").alias("total_after"),
+    )

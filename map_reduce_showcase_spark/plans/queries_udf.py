@@ -200,3 +200,63 @@ def udtf_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL mrs_overlap_chunks(d.doc_id, d.text) c
         """
     )
+
+
+@register(
+    "udf_grouped_map_minmax",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment,
+             MIN(c_acctbal) AS lo,
+             MAX(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           round(CASE WHEN s.hi = s.lo THEN 0.5
+                      ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6)
+             AS bal_scaled
+    FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+    """,
+    tags=("udf", "applyInPandas", "grouped-map"),
+)
+def udf_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas transform (``applyInPandas``): per-segment
+    min-max scaling of account balances, each group arriving as one
+    pandas DataFrame and returning one (N:M rows, unlike the
+    grouped-AGG UDF's group→scalar). This is the batch form of the
+    reference's ``reduce_fn`` when the user wants transformed ROWS
+    back, and the batch twin of the streaming
+    ``applyInPandasWithState`` operator.
+
+    Float portability: (x − lo)/(hi − lo) is two IEEE ops on
+    identical doubles in pandas and in the oracle's SQL, rounded to
+    6 — deterministic without decimal machinery. Scale: one shuffle
+    on the group key; each group must fit one worker's memory (fine
+    for per-segment/per-tenant groups; for giant groups switch to
+    the broadcast-stats + scan-local CASE shape of
+    `stats_winsorized_price` — same answer, no grouped
+    materialization)."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["c_acctbal"].min()
+        hi = pdf["c_acctbal"].max()
+        if hi == lo:
+            scaled = pd.Series(0.5, index=pdf.index)
+        else:
+            scaled = (pdf["c_acctbal"] - lo) / (hi - lo)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_scaled": scaled.round(6),
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            scale, schema="c_custkey BIGINT, c_mktsegment STRING, bal_scaled DOUBLE"
+        )
+    )
