@@ -47,3 +47,61 @@ def test_observe_metrics_collected_in_one_pass(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     ).first()[0]
     assert metrics["total"] == exact
+
+
+def test_native_minhash_agrees_with_spark_ml_lsh(spark, sf_dir):
+    """Independent-implementation differential: the engine's native
+    MinHash+LSH near-dup pairs (J ≥ 0.7) against pyspark.ml's
+    MinHashLSH approxSimilarityJoin over the same shingle sets —
+    two unrelated MinHash implementations (different hash families,
+    different banding) must surface the same duplicate pairs on
+    this corpus. Catches family-level mistakes (shingling, band
+    math, threshold direction) that a same-implementation oracle
+    replay never could. The ml variant stays test-only: its seeded
+    signatures are not replayable in the DuckDB oracle, and its
+    sparse-vector UDF path is the slow form of what the native
+    pipeline does in pure column expressions."""
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.dedup.minhash import minhash_near_dup_pairs
+    from map_reduce_showcase_spark.functions.text import word_shingles
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ours = {
+        (r.d1, r.d2)
+        for r in minhash_near_dup_pairs(docs).select("d1", "d2").collect()
+    }
+
+    D = 1 << 18
+    sh = (
+        docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .select("doc_id", (F.abs(F.hash("s")) % D).alias("idx"))
+        .distinct()
+    )
+    to_vec = F.udf(
+        lambda idxs: Vectors.sparse(D, sorted(idxs), [1.0] * len(idxs)), VectorUDT()
+    )
+    vec_df = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("idxs"))
+        .select("doc_id", to_vec("idxs").alias("features"))
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=6, seed=42
+    ).fit(vec_df)
+    theirs = {
+        (r.a, r.b)
+        for r in model.approxSimilarityJoin(vec_df, vec_df, 0.3, distCol="jd")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b")
+        )
+        .collect()
+    }
+    assert ours == theirs, (
+        f"pair sets diverge: ours-only={sorted(ours - theirs)[:5]} "
+        f"ml-only={sorted(theirs - ours)[:5]}"
+    )
