@@ -697,3 +697,111 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_sess").over(run).cast("int").alias("session_id"),
         )
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+                              AND t_purchase IS NOT NULL) AS n_all_three,
+           COUNT(*) FILTER (WHERE t_view < t_click
+                              AND t_click < t_purchase) AS n_ordered_path
+    FROM firsts
+    """,
+    tags=("events", "sequence", "cep"),
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern match (MATCH_RECOGNIZE-lite): users
+    whose FIRST view precedes their first click precedes their
+    first purchase — the strict-order journey query event
+    analytics engines special-case. For first-occurrence
+    semantics the pattern collapses to one conditional-MIN
+    aggregate per user plus scan-local comparisons: one shuffle,
+    no window, no per-event state machine (the general regex-over-
+    events form needs the sessionize + window machinery this
+    registry also has; the aggregate form is the one that scales
+    unconditionally). NULL-safe by construction: a missing stage
+    makes the < chain NULL → not counted."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    all3 = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+    )
+    ordered = (F.col("t_view") < F.col("t_click")) & (
+        F.col("t_click") < F.col("t_purchase")
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(all3, 1)).alias("n_all_three"),
+        F.count(F.when(ordered, 1)).alias("n_ordered_path"),
+    )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT d.week,
+           CAST(COUNT(*) AS INT) AS n_days,
+           round(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / ANY_VALUE(w.wau), 6)
+             AS stickiness
+    FROM daily d JOIN weekly w ON d.week = w.week
+    GROUP BY d.week
+    """,
+    tags=("events", "retention", "distinct"),
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (mean DAU / WAU per week): the engagement ratio
+    product analytics computes daily. Two exact COUNT(DISTINCT)
+    aggregations at different grains over one scan lineage — daily
+    inside weeks, then weekly — joined on the week key (the weekly
+    frame is tiny and arrives hash-partitioned on its own group
+    key). At 100 TB both distincts become mergeable HLL sketches
+    (`approx_count_distinct`) so the daily sketch UNIONS into the
+    weekly one instead of re-scanning — the exact form here is the
+    oracle-checkable baseline for that."""
+    ev = t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).alias("week")
+    daily = ev.groupBy(
+        week, F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    weekly = ev.groupBy(week).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.join(weekly, "week")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.any_value("wau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

@@ -196,3 +196,42 @@ def multimodal_resize_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("out_bytes").alias("out_bytes_total"),
         F.sum(over).alias("bytes_dropped"),
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH meta AS (SELECT doc_id AS media_id, md5(text) AS content_md5
+                  FROM documents),
+    groups AS (
+      SELECT content_md5, COUNT(*) AS n_copies, MIN(media_id) AS keeper
+      FROM meta GROUP BY content_md5 HAVING COUNT(*) > 1
+    )
+    SELECT COUNT(*) AS n_dup_groups,
+           CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS n_dup_media,
+           CAST(COALESCE(SUM(n_copies - 1), 0) AS BIGINT) AS n_droppable
+    FROM groups
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIA dedup by decoded content hash: the decode stage's
+    content_md5 (in production: the pixel/sample hash after
+    normalization, or a perceptual pHash for near-dup) feeds the
+    same keeper-selection shape as text `dedup_exact_stats` —
+    dedup generalizes across modalities once payloads reduce to
+    fingerprints at the scan. Reports duplicate groups, total
+    duplicated media, and droppable copies. Shuffle carries 16-byte
+    hashes, never payloads — the property that makes media dedup
+    affordable when payloads are MBs."""
+    media = decode_media_meta(to_media_frame(t(spark, sf_dir, "documents")))
+    groups = (
+        media.groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("n_dup_media"),
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("n_droppable"),
+    )

@@ -835,3 +835,50 @@ def pipeline_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("was_updated"), 1)).alias("n_updated"),
         F.sum("price").cast("double").alias("total_after"),
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM freq
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6)
+             AS skew_factor,
+           round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share
+    FROM stats
+    """,
+    tags=("pipeline", "skew", "diagnostics"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew report for orders.o_custkey: hottest-key
+    share and the skew factor (max / mean key frequency) — the
+    number you read BEFORE deciding between a plain shuffle, AQE
+    skew splitting, or explicit salting (`operators/skew.py`). At 1
+    the key is uniform; at 100 TB a factor over ~4-8 on a join key
+    means the hot key's partition runs that many times longer than
+    the median task. One aggregate over the key frequencies, one
+    single-row rollup — the diagnostic costs one shuffle of
+    (key, count) pairs, which is why it should run routinely in a
+    pipeline's metadata pass rather than being discovered from a
+    straggling stage."""
+    freq = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_keys = F.count(F.lit(1))
+    n_rows = F.sum("cnt")
+    mx = F.max("cnt")
+    return freq.agg(
+        n_keys.alias("n_keys"),
+        n_rows.alias("n_rows"),
+        mx.alias("max_cnt"),
+        F.round(mx.cast("double") * n_keys / n_rows, 6).alias("skew_factor"),
+        F.round(mx.cast("double") / n_rows, 6).alias("top1_share"),
+    )
