@@ -289,3 +289,34 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("o_orderkey")).first()[0] == orders.agg(
         F.sum("o_orderkey")
     ).first()[0]
+
+
+def test_bucket_pruning_on_point_lookup(spark, sf_dir):
+    """Bucket pruning: an equality filter on the bucket column must
+    scan ONE bucket, not all of them (SelectedBucketsCount 1 out of
+    8 in the scan node) — the point-lookup payoff of the bucketed
+    layout, on top of its shuffle-free joins.
+
+    Planner nuance worth pinning: Spark's autoBucketedScan DISABLES
+    the bucketed read when the query has no exchange to avoid — it
+    does not account for pruning — so a pruning-only workload must
+    turn it off (`spark.sql.sources.bucketing.autoBucketedScan
+    .enabled=false`) or the point lookup silently scans every
+    bucket ('Bucketed: false (disabled by query planner)')."""
+    o = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "t_orders_bp", "o_orderkey", 8
+    )
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        df = spark.table("t_orders_bp").filter("o_orderkey = 42")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:500]
+        assert df.count() == o.filter("o_orderkey = 42").count()
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bp")
