@@ -94,3 +94,61 @@ def streaming_user_totals_exact(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, is_final BOOLEAN"
+SESSION_STATE_SCHEMA = "n BIGINT, last_ts_ms BIGINT"
+
+
+def streaming_user_sessions_with_timeout(
+    events: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Per-user activity sessions with WATERMARK-DRIVEN state
+    eviction (``GroupStateTimeout.EventTimeTimeout``): each user's
+    state accumulates an event count and arms a timeout at
+    last-event-time + gap; when the watermark passes it, the state
+    EXPIRES — the operator emits one final ``is_final=true`` row
+    and removes the state. This is the missing half of the
+    NoTimeout operators above, and the property that makes custom
+    state viable at 100 TB: state size tracks ACTIVE keys, not
+    all-time key cardinality (an unbounded-state stream over a
+    year of users otherwise holds every user_id ever seen).
+
+    Event-time (not processing-time) timeouts make eviction
+    deterministic and replayable: expiry depends only on the data's
+    own timestamps and the watermark, never on wall-clock races —
+    which is also what makes it TESTABLE (the batch sequence fully
+    determines which keys expire)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "is_final": [True]}
+            )
+            return
+        n, last_ms = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max_ms)
+        state.update((n, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "is_final": [False]}
+        )
+
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -332,3 +332,57 @@ def test_checkpoint_resume_processes_each_file_exactly_once(spark, sf_dir, tmp_p
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("c")
     ).first()["c"]
     assert got == want
+
+
+def test_event_time_timeout_evicts_idle_user_state(spark, tmp_path):
+    """Watermark-driven state eviction for the custom stateful
+    operator: user 2 goes idle; when user 1's later events advance
+    the watermark past user 2's (last_ts + gap) timeout, user 2's
+    state expires — exactly one is_final row — and never reappears.
+    Event-time timeouts make this fully deterministic (no wall
+    clock): the batch sequence alone decides which keys expire."""
+    from map_reduce_showcase_spark.streaming.stateful import (
+        streaming_user_sessions_with_timeout,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 2, "click", 1.0, "{}"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_user_sessions_with_timeout(stream)
+        .writeStream.format("memory")
+        .queryName("t_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # user 1 keeps going two hours later — watermark (max - 30m)
+        # sails past user 2's 10:31 timeout
+        _mk_events(
+            spark, [(3, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more batch so the armed timeout actually fires
+        _mk_events(
+            spark, [(4, "2024-01-01 12:30:00", 1, "click", 1.0, "{}")]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_timeout").collect()
+    finals = [r for r in rows if r["is_final"]]
+    assert [(r["user_id"], r["n_events"]) for r in finals] == [(2, 1)], rows
+    # user 1 stayed active: running rows only, no final
+    assert all(not r["is_final"] for r in rows if r["user_id"] == 1)
