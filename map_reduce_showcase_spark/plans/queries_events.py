@@ -805,3 +805,45 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_props_map_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key)
+                         AS BIGINT)) AS BIGINT) AS sum_val,
+           MIN(CAST(json_extract_string(props, '$.' || prop_key)
+                    AS BIGINT)) AS min_val,
+           MAX(CAST(json_extract_string(props, '$.' || prop_key)
+                    AS BIGINT)) AS max_val
+    FROM kv
+    GROUP BY prop_key
+    """,
+    tags=("events", "json", "map"),
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column ONCE into
+    MAP<STRING,STRING> (`from_json` — schema-on-read for
+    semi-structured columns whose keys vary row to row, where a
+    fixed struct schema can't), explode to (key, value) rows, and
+    aggregate per key — the generic property-bag profiler that
+    tells you what keys a telemetry stream actually carries and
+    their value ranges, before anyone commits to a typed schema.
+    One parse + one explode at scan speed, then a |keys|-group
+    aggregate; the DuckDB twin uses the json_each table function
+    (their lateral-explode equivalent)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    kv = ev.select(F.explode(m).alias("prop_key", "val"))
+    v = F.col("val").cast("long")
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
