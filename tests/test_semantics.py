@@ -105,3 +105,32 @@ def test_native_minhash_agrees_with_spark_ml_lsh(spark, sf_dir):
         f"pair sets diverge: ours-only={sorted(ours - theirs)[:5]} "
         f"ml-only={sorted(theirs - ours)[:5]}"
     )
+
+
+def test_sort_spills_gracefully_under_memory_pressure():
+    """Spill-awareness, demonstrated: a per-partition window sort
+    with execution memory starved to ~5% must spill to disk AND
+    produce the exact row_number assignment (sum of 1..n per
+    partition). The reference holds all shuffle data in RAM
+    (src/worker/mod.rs:34-37) and would OOM; Spark's
+    memory-managed sort degrades to disk instead — the property
+    that lets the same plan survive a 100× data-to-memory ratio.
+    Runs in a subprocess because the starved conf must be set at
+    JVM launch."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parent.parent / "tools" / "spill_check.py"
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["disk_spilled_mb"] > 0, f"expected a spill: {out}"
+    assert out["row_number_count"] == out["n_rows"]
