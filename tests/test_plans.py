@@ -594,3 +594,57 @@ def test_q11_two_scans_dims_broadcast(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join splitting, demonstrated end-to-end: a join
+    whose left side has one hot key (500k rows vs ~20 per cold
+    key) re-plans at runtime into SortMergeJoin(skew=true) with
+    the hot partition split ('coalesced and skewed' AQEShuffleRead)
+    — the runtime complement of the explicit salting operator
+    (`operators/skew.py`), and the default first line of defense
+    this engine's SCALING.md prescribes. Thresholds are lowered to
+    make a local-size dataset legibly 'skewed'; forceOptimize is
+    needed because the downstream aggregate would otherwise make
+    AQE decline the split (it adds a shuffle)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(500_000).select(
+            F.lit(0).alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+        )
+        cold = spark.range(500_000, 520_000).select(
+            (F.col("id") % 1000 + 1).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = (
+            hot.union(cold)
+            .join(right, "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("m"))
+        )
+        j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in plan, "AQE must split the skewed partition"
+        assert "coalesced" in plan, "AQE must also coalesce the small partitions"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
