@@ -309,3 +309,92 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vertex", F.round(F.col("r"), 9).alias("rank"))
     )
+
+
+_KCORE_PEEL_SQL = """
+      SELECT src, dst FROM {edges}
+      WHERE src IN (SELECT vertex FROM (
+              SELECT vertex, COUNT(*) AS d
+              FROM (SELECT src AS vertex FROM {edges}
+                    UNION ALL SELECT dst AS vertex FROM {edges})
+              GROUP BY vertex) WHERE d >= {k})
+        AND dst IN (SELECT vertex FROM (
+              SELECT vertex, COUNT(*) AS d
+              FROM (SELECT src AS vertex FROM {edges}
+                    UNION ALL SELECT dst AS vertex FROM {edges})
+              GROUP BY vertex) WHERE d >= {k})
+"""
+
+_KCORE_K = 4
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    p1 AS ({_KCORE_PEEL_SQL.format(edges="e", k=_KCORE_K)}),
+    p2 AS ({_KCORE_PEEL_SQL.format(edges="p1", k=_KCORE_K)}),
+    stats AS (
+      SELECT 0 AS round, COUNT(*) AS n_edges,
+             (SELECT COUNT(DISTINCT v) FROM (SELECT src AS v FROM e
+                UNION ALL SELECT dst FROM e)) AS n_vertices FROM e
+      UNION ALL
+      SELECT 1, COUNT(*),
+             (SELECT COUNT(DISTINCT v) FROM (SELECT src AS v FROM p1
+                UNION ALL SELECT dst FROM p1)) FROM p1
+      UNION ALL
+      SELECT 2, COUNT(*),
+             (SELECT COUNT(DISTINCT v) FROM (SELECT src AS v FROM p2
+                UNION ALL SELECT dst FROM p2)) FROM p2
+    )
+    SELECT round, n_vertices, n_edges FROM stats
+    """,
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (two peeling rounds, k={k}): repeatedly
+    remove vertices with degree < k; what survives is the graph's
+    dense backbone — the community-detection prefilter and the
+    spam/bot-cluster signal in co-interaction graphs. Reports
+    (vertices, edges) after rounds 0/1/2; convergence = a round
+    that removes nothing.
+
+    The iterative-graph family's third member, integer-exact end to
+    end (degrees are counts — no decimal machinery needed to make
+    rounds replayable, unlike PageRank's rank mass). Per round: one
+    degree aggregate + one semi-join of edges against surviving
+    vertices — both on the edge list's own keys; rounds compose
+    exactly like connected components (checkpoint lineage on deep
+    peels). The oracle replays both rounds via IN-subqueries; Spark
+    uses left-semi joins (same semantics, null-safe by
+    construction).""".format(k=_KCORE_K)
+    edges0 = copurchase_edges(spark, sf_dir)
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("src").alias("vertex"))
+            .unionAll(edges.select(F.col("dst").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def peel(edges: DataFrame, k: int) -> DataFrame:
+        surv = degrees(edges).filter(F.col("d") >= k).select("vertex")
+        return (
+            edges.join(surv, edges.src == surv.vertex, "left_semi")
+            .join(surv, edges.dst == surv.vertex, "left_semi")
+        )
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        verts = (
+            edges.select(F.col("src").alias("v"))
+            .unionAll(edges.select(F.col("dst").alias("v")))
+            .agg(F.countDistinct("v").alias("n_vertices"))
+        )
+        return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+            F.broadcast(verts)
+        ).select(F.lit(rnd).alias("round"), "n_vertices", "n_edges")
+
+    p1 = peel(edges0, _KCORE_K)
+    p2 = peel(p1, _KCORE_K)
+    return stats(edges0, 0).unionAll(stats(p1, 1)).unionAll(stats(p2, 2))
