@@ -155,3 +155,102 @@ def dedup_apply_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+def _keep_best_oracle() -> str:
+    from .queries_dedup import _minhash_sql
+    from .queries_pipeline import _QUALITY_SQL
+
+    minhash_pairs = _minhash_sql(12, 3)
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs}),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, c.component, {_QUALITY_SQL} AS q
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN component IS NULL THEN 1
+                  ELSE ROW_NUMBER() OVER (PARTITION BY component
+                                          ORDER BY q DESC, doc_id) END AS rnk
+      FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE rnk = 1) AS n_kept,
+           round(CAST(SUM(CAST(q AS DECIMAL(12,6)))
+                      FILTER (WHERE rnk = 1) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE rnk = 1), 6) AS kept_mean_quality
+    FROM ranked
+    GROUP BY lang
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "iterative", "applied", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: within each near-duplicate cluster
+    keep the HIGHEST-QUALITY member (tie-break min doc_id), not the
+    arbitrary min-id — near-dup variants genuinely differ (one copy
+    is boilerplate-wrapped, one clean), so keeper choice changes
+    what the training corpus keeps. min-id is the right policy for
+    EXACT dups (identical text ⇒ identical quality, `dedup_apply_
+    exact`); argmax-quality is the near-dup refinement.
+
+    Composition of three existing stages — MinHash pair graph →
+    connected components → quality scores — plus one rank window
+    over CLUSTERED docs only (cliques are tiny; unclustered docs
+    bypass the window entirely via the null-component fast path).
+    Per-lang kept counts and mean kept quality, decimal-summed."""
+    from ..functions import text as T
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, n=2, num_hashes=12, rows_per_band=3, threshold=0.7
+    )
+    comp = connected_components(pairs)
+    from pyspark.sql.window import Window
+
+    scored = (
+        docs.select("doc_id", "lang", T.quality_score(F.col("text")).alias("q"))
+        .join(F.broadcast(comp), "doc_id", "left")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("doc_id"))
+    # split BEFORE the window: unclustered docs (the vast majority)
+    # must never enter it — a single NULL-component partition would
+    # be the one-task sort this repo's scale rules ban; clustered
+    # docs are clique-sized, so their window is trivially balanced
+    clustered = scored.filter(F.col("component").isNotNull()).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    ranked = clustered.unionByName(
+        scored.filter(F.col("component").isNull()).withColumn("rnk", F.lit(1))
+    )
+    kept = F.col("rnk") == 1
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("q").cast("decimal(12,6)"))).cast("double")
+            / F.count(F.when(kept, 1)),
+            6,
+        ).alias("kept_mean_quality"),
+    )

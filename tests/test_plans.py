@@ -648,3 +648,19 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keep_best_quality_window_excludes_unclustered(spark, sf_dir):
+    """The keeper-rank window must see only CLUSTERED docs: a filter
+    on component is-not-null must sit below the window (otherwise
+    every unclustered doc lands in one NULL partition — a one-task
+    sort of most of the corpus)."""
+    plan = _plan(spark, sf_dir, "dedup_keep_best_quality")
+    import re
+
+    # the window's child subtree must contain an isnotnull(component)
+    # filter; cheap textual proxy: the plan carries the filter and
+    # the window, and no CartesianProduct anywhere
+    assert "isnotnull(component" in plan
+    assert "row_number" in plan.lower()
+    assert "CartesianProduct" not in plan
