@@ -212,9 +212,9 @@ def udtf_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           round(CASE WHEN s.hi = s.lo THEN 0.5
-                      ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6)
-             AS bal_scaled
+           floor((CASE WHEN s.hi = s.lo THEN 0.5
+                       ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END)
+                 * 1000000) / 1000000 AS bal_scaled
     FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
     """,
     tags=("udf", "applyInPandas", "grouped-map"),
@@ -238,6 +238,8 @@ def udf_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization)."""
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         lo = pdf["c_acctbal"].min()
         hi = pdf["c_acctbal"].max()
         if hi == lo:
@@ -248,7 +250,11 @@ def udf_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
-                "bal_scaled": scaled.round(6),
+                # floor-quantize instead of round: pandas rounds
+                # half-to-even while SQL round() is half-away —
+                # floor(x*1e6)/1e6 is tie-free and IEEE-identical
+                # in both engines
+                "bal_scaled": np.floor(scaled * 1_000_000) / 1_000_000,
             }
         )
 
