@@ -907,3 +907,50 @@ def sql_frontend_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(o_view)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(c_view)
     return spark.sql(_SQL_FRONTEND.format(orders=o_view, customer=c_view))
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CASE WHEN LAG(rev) OVER (ORDER BY month) IS NULL THEN NULL
+                      ELSE (CAST(rev AS DOUBLE)
+                            - CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE))
+                           / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+                 END, 6) AS mom_growth
+    FROM monthly
+    """,
+    tags=("aggregation", "window", "timeseries"),
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — THE period-over-period
+    report. Aggregate FIRST (decimal-exact monthly revenue: one
+    map-side-combining shuffle to ~24 rows), THEN the lag window
+    over the tiny monthly frame — the unpartitioned window is fine
+    precisely because its input is |months|, never |orders| (the
+    same aggregate-before-window discipline as the rate-anomaly and
+    gap-fill queries). Growth is computed in double from the exact
+    decimal sums, one subtraction + one division per row."""
+    from pyspark.sql.window import Window
+
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag(F.col("rev")).over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") - prev.cast("double")) / prev.cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )
