@@ -882,3 +882,40 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx.cast("double") * n_keys / n_rows, 6).alias("skew_factor"),
         F.round(mx.cast("double") / n_rows, 6).alias("top1_share"),
     )
+
+
+@register(
+    "salted_join_segment_value",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("pipeline", "skew", "join"),
+)
+def salted_join_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side salting registered end-to-end (`operators/skew.py::
+    salted_join`): the event stream joins its user dimension on
+    (key, salt) — the big side's salt derives from row content
+    (xxhash64 of event_id: deterministic, no RNG), the small side
+    replicates once per salt — so a hot user's probe rows spread
+    over n_salts partitions instead of one straggler task. This is
+    the fallback when the dim is too big to broadcast AND AQE's
+    runtime split can't see the skew (e.g. the hot key is hot only
+    after a filter upstream of the stats). Results are exactly
+    plain-join semantics, which is what the oracle checks;
+    integer-cents sums keep the rollup hash-stable."""
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, key="user_id", salt_cols=["event_id"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+    )

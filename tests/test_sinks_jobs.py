@@ -320,3 +320,61 @@ def test_bucket_pruning_on_point_lookup(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+
+
+def test_zorder_layout_prunes_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Cash in the Z-order claim: actually WRITE lineitem in Morton
+    order (repartitionByRange(zvalue) + sortWithinPartitions — the
+    recipe layout_zorder_clustering's docstring prescribes) and
+    verify a 2-D box predicate touches FEWER FILES than the same
+    data written in arbitrary (orderkey) order. File count is
+    measured with input_file_name() under the filter — exactly the
+    min/max-stat pruning a lakehouse Z-order buys, demonstrated on
+    plain parquet."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.plans.queries_relational import _morton_sql
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z = F.expr(_morton_sql("l_partkey", "l_suppkey"))
+    n_files = 16
+    (
+        li.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "zordered"))
+    )
+    li.repartitionByRange(n_files, "l_orderkey").write.mode("overwrite").parquet(
+        str(tmp_path / "plain")
+    )
+
+    # scale-relative 2-D box (~10% of each dimension) so the test
+    # holds at any SF's key ranges
+    pmax, smax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    box = (
+        F.col("l_partkey").between(int(pmax * 0.05), int(pmax * 0.15))
+    ) & (F.col("l_suppkey").between(int(smax * 0.1), int(smax * 0.3)))
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_z = files_touched(str(tmp_path / "zordered"))
+    n_plain = files_touched(str(tmp_path / "plain"))
+    # same rows either way
+    assert (
+        spark.read.parquet(str(tmp_path / "zordered")).filter(box).count()
+        == spark.read.parquet(str(tmp_path / "plain")).filter(box).count()
+    )
+    assert n_z < n_plain, (
+        f"z-ordered layout must localize the 2-D box: touched {n_z} vs {n_plain}"
+    )
