@@ -847,3 +847,42 @@ def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(v).alias("min_val"),
         F.max(v).alias("max_val"),
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) > 50) AS n_high,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                FILTER (WHERE CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) > 50) AS BIGINT) AS sum_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "variant"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the JSON props column once into
+    the binary VARIANT encoding (`parse_json`) and extract typed
+    values with `variant_get` — the modern replacement for repeated
+    get_json_object string re-parses: VARIANT stores a parsed,
+    shredded binary form, so N extractions cost one parse, and at
+    100 TB the column can persist as VARIANT in parquet so the
+    parse happens once at INGEST, never per query. Filter + sum on
+    the extracted bigint; the oracle replays via DuckDB's JSON
+    extraction (same values, different physical encoding — which
+    is the point: VARIANT is an encoding choice, not a semantics
+    change)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    high = F.col("k") > 50
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(high, 1)).alias("n_high"),
+            F.sum(F.when(high, F.col("k"))).alias("sum_high"),
+        )
+    )
