@@ -378,3 +378,51 @@ def test_zorder_layout_prunes_files_on_both_dimensions(spark, sf_dir, tmp_path):
     assert n_z < n_plain, (
         f"z-ordered layout must localize the 2-D box: touched {n_z} vs {n_plain}"
     )
+
+
+def test_lengthdelim_datasource_reads_reference_format(spark, tmp_path):
+    """Interop with the reference's on-disk format via the Spark 4
+    Python Data Source API: write wc output in the reference's exact
+    framing (u32-BE length prefix, key/value packets alternating,
+    BE-u64 counts — src/codec/mod.rs:88-93 + src/app/wc.rs:25), read
+    it back with spark.read.format('lengthdelim'), and recover the
+    identical word counts. One input partition per file — the
+    reference's own parallelism unit (one file per reduce task)."""
+    import struct
+
+    from map_reduce_showcase_spark.operators.mapreduce import word_count
+    from map_reduce_showcase_spark.sources.lengthdelim import (
+        LengthDelimitedDataSource,
+        read_kv_pairs,
+        write_kv_pairs,
+    )
+    from map_reduce_showcase_spark.sources.text import read_whole_files
+
+    spark.dataSource.register(LengthDelimitedDataSource)
+
+    wc = word_count(read_whole_files(spark, ALPHABET), "content")
+    expected = {r["word"]: r["cnt"] for r in wc.collect()}
+    # shard the counts over 3 reference-style output files
+    items = sorted(expected.items())
+    for i in range(3):
+        write_kv_pairs(
+            str(tmp_path / f"mr-out-{i}"),
+            [
+                (w.encode(), struct.pack(">Q", c))
+                for w, c in items[i::3]
+            ],
+        )
+    # byte-level round trip
+    k, v = next(read_kv_pairs(str(tmp_path / "mr-out-0")))
+    assert struct.unpack(">Q", v)[0] == expected[k.decode()]
+
+    df = spark.read.format("lengthdelim").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3
+    got = {
+        r["word"]: r["cnt"]
+        for r in df.select(
+            F.decode("key", "UTF-8").alias("word"),
+            F.conv(F.hex("value"), 16, 10).cast("bigint").alias("cnt"),
+        ).collect()
+    }
+    assert got == expected
