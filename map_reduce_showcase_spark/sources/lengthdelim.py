@@ -106,3 +106,45 @@ class LengthDelimitedDataSource(DataSource):
 
     def reader(self, schema) -> _Reader:
         return _Reader(self.options)
+
+
+def write_n_files_reference_format(
+    df,
+    out_dir: str,
+    n_reduce: int,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> int:
+    """Write a (key binary, value binary) frame as ``n_reduce``
+    reference-framed ``mr-out-{i}`` files — the write-side twin of
+    :class:`LengthDelimitedDataSource`, completing bidirectional
+    interop: output produced here is byte-compatible with what the
+    reference's ``mr-client process`` re-reads
+    (``/root/reference/src/client.rs:66-93``).
+
+    Rows hash-partition on the key (the reference's
+    ``ihash(key) % n_reduce`` role — exact FNV layout is a non-goal,
+    SURVEY §1.4) and each partition writes its own file from its own
+    task via the shared codec. Local-fs paths here; at cluster scale
+    point ``out_dir`` at shared storage. Returns the file count."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    _os.makedirs(out_dir, exist_ok=True)
+    part = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    ).repartition(n_reduce, F.col("key"))
+
+    def _write(idx: int, rows):
+        pairs = [(bytes(r["key"]), bytes(r["value"])) for r in rows]
+        write_kv_pairs(f"{out_dir}/mr-out-{idx}", pairs)
+        return iter([idx])
+
+    written = sorted(part.rdd.mapPartitionsWithIndex(_write).collect())
+    # empty partitions still owe an (empty) file — the reference
+    # writes one per reduce task unconditionally
+    for i in range(n_reduce):
+        if i not in written:
+            write_kv_pairs(f"{out_dir}/mr-out-{i}", [])
+    return n_reduce

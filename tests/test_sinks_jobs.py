@@ -426,3 +426,49 @@ def test_lengthdelim_datasource_reads_reference_format(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_reference_format_write_read_round_trip(spark, tmp_path):
+    """Bidirectional interop: wc results written as reference-framed
+    mr-out files (hash-partitioned on the key, one file per reduce
+    partition, empty partitions still get a file — the reference
+    writes one per task unconditionally), then read back through the
+    lengthdelim source and byte-decoded to the identical counts."""
+    import struct
+
+    from map_reduce_showcase_spark.operators.mapreduce import word_count
+    from map_reduce_showcase_spark.sources.lengthdelim import (
+        LengthDelimitedDataSource,
+        write_n_files_reference_format,
+    )
+    from map_reduce_showcase_spark.sources.text import read_whole_files
+
+    spark.dataSource.register(LengthDelimitedDataSource)
+    wc = word_count(read_whole_files(spark, ALPHABET), "content")
+    expected = {r["word"]: r["cnt"] for r in wc.collect()}
+
+    kv = wc.select(
+        F.encode(F.col("word"), "UTF-8").alias("key"),
+        F.unhex(F.lpad(F.hex(F.col("cnt")), 16, "0")).alias("value"),
+    )
+    out = str(tmp_path / "refout")
+    n = write_n_files_reference_format(kv, out, n_reduce=4)
+    assert n == 4
+    assert sorted(glob.glob(f"{out}/mr-out-*")) == [
+        f"{out}/mr-out-{i}" for i in range(4)
+    ]
+
+    back = spark.read.format("lengthdelim").load(out)
+    got = {
+        r["word"]: r["cnt"]
+        for r in back.select(
+            F.decode("key", "UTF-8").alias("word"),
+            F.conv(F.hex("value"), 16, 10).cast("bigint").alias("cnt"),
+        ).collect()
+    }
+    assert got == expected
+    # value framing is the reference's BE u64 exactly
+    from map_reduce_showcase_spark.sources.lengthdelim import read_kv_pairs
+
+    k, v = next(p for i in range(4) for p in read_kv_pairs(f"{out}/mr-out-{i}"))
+    assert len(v) == 8 and struct.unpack(">Q", v)[0] == expected[k.decode()]
