@@ -200,3 +200,64 @@ def process_readback_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_col="word",
     )
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "wc_reference_file_roundtrip",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("parity", "interop", "lengthdelim"),
+)
+def wc_reference_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 interop through the DRIVER surface: compute wc, write the
+    counts as reference-framed ``mr-out-*`` files (u32-BE packets,
+    BE-u64 values — the reference's exact on-disk format), read them
+    back through the ``lengthdelim`` Python Data Source, and decode.
+    The result must hash-equal plain ``wc_word_count`` — proving the
+    byte round trip loses nothing. This is the migration path a
+    reference user walks in BOTH directions (their old files into
+    this engine; this engine's output into their old ``mr-client
+    process``), registered so the driver artifact certifies it."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql.functions import (
+        col,
+        conv,
+        decode,
+        encode,
+        hex as hex_,
+        lpad,
+        unhex,
+    )
+
+    from ..sources.lengthdelim import (
+        LengthDelimitedDataSource,
+        write_n_files_reference_format,
+    )
+
+    try:
+        spark.dataSource.register(LengthDelimitedDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    wc = word_count(t(spark, sf_dir, "documents"), "text")
+    kv = wc.select(
+        encode(col("word"), "UTF-8").alias("key"),
+        unhex(lpad(hex_(col("cnt")), 16, "0")).alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/mrs_refout_{tag}"
+    write_n_files_reference_format(kv, out, n_reduce=4)
+    back = spark.read.format("lengthdelim").load(out)
+    return back.select(
+        decode(col("key"), "UTF-8").alias("word"),
+        conv(hex_(col("value")), 16, 10).cast("bigint").alias("cnt"),
+    )
