@@ -79,6 +79,7 @@ def compact_small_files(
     src_path: str,
     dst_path: str,
     target_file_bytes: int = 128 << 20,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Compact a small-file-storm directory into ~target-sized files;
     returns the output file count.
@@ -108,7 +109,16 @@ def compact_small_files(
         if not name.startswith("_") and not name.startswith("."):
             total += f.getLen()
     n = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(src_path).repartition(n).write.mode("overwrite").parquet(
-        dst_path
-    )
+    df = spark.read.parquet(src_path)
+    if partition_by:
+        # preserve the hive layout: co-locate rows by partition key so
+        # each output partition writes into few directories, and keep
+        # partitionBy on the writer (a flat rewrite would silently
+        # drop the layout readers prune on)
+        from pyspark.sql import functions as _F
+
+        df = df.repartition(n, *[_F.col(c) for c in partition_by])
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(dst_path)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(dst_path)
     return n

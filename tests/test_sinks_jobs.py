@@ -472,3 +472,31 @@ def test_reference_format_write_read_round_trip(spark, tmp_path):
 
     k, v = next(p for i in range(4) for p in read_kv_pairs(f"{out}/mr-out-{i}"))
     assert len(v) == 8 and struct.unpack(">Q", v)[0] == expected[k.decode()]
+
+
+def test_compact_preserves_hive_partitioning(spark, sf_dir, tmp_path):
+    """Compacting a hive-partitioned directory must keep the layout
+    (partition dirs survive, values pruneable) while reducing file
+    count — a flat rewrite would silently drop the layout readers
+    prune on."""
+    from map_reduce_showcase_spark.sources.sinks import compact_small_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "p_storm")
+    docs.repartition(16).write.mode("overwrite").partitionBy("lang").parquet(src)
+    n_before = len(glob.glob(f"{src}/lang=*/part-*"))
+    dst = str(tmp_path / "p_compacted")
+    compact_small_files(
+        spark, src, dst, target_file_bytes=1 << 30, partition_by=("lang",)
+    )
+    langs_src = {p.split("lang=")[-1] for p in glob.glob(f"{src}/lang=*")}
+    langs_dst = {p.split("lang=")[-1] for p in glob.glob(f"{dst}/lang=*")}
+    assert langs_dst == langs_src, "partition directories must survive"
+    n_after = len(glob.glob(f"{dst}/lang=*/part-*"))
+    assert n_after < n_before
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert (
+        back.filter(F.col("lang") == "en").count()
+        == docs.filter(F.col("lang") == "en").count()
+    )
