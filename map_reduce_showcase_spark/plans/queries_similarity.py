@@ -313,7 +313,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, k grows ~sqrt(n) to hold Σ|cell|² near-linear, and the
     within-cell join inherits the skew defenses of the bucketed
     dedups (a hot cell = a hot partition; monitor with the bucket
-    histogram, split with salting)."""
+    histogram, split with salting).
+
+    Measured honesty (tests/test_similarity.py): on THIS corpus's
+    adversarial geometry the single assignment recovers only ~0.29
+    of all ≥0.45 pairs (cell boundaries split near pairs that are
+    barely nearer than background); the banded sign-LSH variant
+    (`dedup_embedding_cosine`) holds recall 1.0 on the same data.
+    At production thresholds (0.9+) the split rarely lands between
+    genuine duplicates — pick SemDeDup for cost, bands for
+    recall."""
     from ..functions.vectors import cosine_from_norms, l2_norm
     from ..similarity.ivf import centroid_vectors, ivf_assign
 

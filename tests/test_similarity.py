@@ -71,3 +71,72 @@ def test_lsh_cosine_pairs_plan_has_no_cross_join(spark, sf_dir):
     df = REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_semantic_dedup_recall_vs_all_pairs(spark, sf_dir):
+    """SemDeDup's cell factoring misses exactly the near-dup pairs
+    that straddle cell boundaries; this differential MEASURES that
+    loss against the full pairwise ground truth (cos ≥ 0.45, a<b).
+    MEASURED on this corpus: recall ≈ 0.29 — the synthetic geometry
+    is adversarial (planted pairs at cos 0.45-0.51 vs background up
+    to 0.449, SCALING.md), so single-cell assignment splits most
+    near pairs across cells. The pinned band catches drift in both
+    directions: collapse toward 0 = degenerate all-singleton cells;
+    jump toward 1 = clustering degenerated to one quadratic cell.
+    The high-recall variant on the same data is the BANDED sign-LSH
+    dedup (`dedup_embedding_cosine`, recall 1.0 in
+    test_lsh_cosine_pairs_vs_bruteforce): bands OR multiple chances
+    per pair where SemDeDup's single assignment gives one. On real
+    corpora (near-dups at 0.9+) the cell split rarely lands between
+    genuine duplicates and SemDeDup recall is near-1 — this corpus
+    is the stress case, and the trade is the price of ΣIcellI²
+    cost."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.functions.vectors import cosine_from_norms, l2_norm
+    from map_reduce_showcase_spark.similarity.ivf import centroid_vectors, ivf_assign
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    exact = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            >= 0.45
+        )
+        .collect()
+    }
+    cells = ivf_assign(emb, centroid_vectors(emb))
+    va = v.join(cells, v.vec_id == cells.vec_id).select(
+        F.col("cell"), v.vec_id.alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = v.join(cells, v.vec_id == cells.vec_id).select(
+        F.col("cell"), v.vec_id.alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    within = {
+        (r["a"], r["b"])
+        for r in va.join(vb, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            >= 0.45
+        )
+        .collect()
+    }
+    assert within <= exact, "cell factoring must never invent a pair"
+    assert exact, "ground truth must be non-empty at this threshold"
+    recall = len(within) / len(exact)
+    assert 0.15 <= recall <= 0.6, f"semantic-cell recall shifted: {recall:.3f}"
