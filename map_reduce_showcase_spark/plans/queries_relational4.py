@@ -954,3 +954,74 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM part_rev),
+    cum AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM part_rev
+    )
+    SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                THEN 'A'
+                WHEN CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM cum, tot
+    GROUP BY 1
+    """,
+    tags=("aggregation", "window", "prefix-sum", "pareto"),
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue, classified
+    by their cumulative share (A = first 80% of revenue, B = next
+    15%, C = tail) — the inventory-analysis classic whose global
+    running total is the textbook single-partition-window trap.
+
+    Runs on the two-pass DISTRIBUTED prefix sum
+    (`operators/prefix.py::distributed_cumsum`): range-partition the
+    ranked parts, partition-local running sums in parallel, then a
+    |partitions|-row offset pass broadcast back — no task ever sees
+    more than one range's rows, at any corpus size. The cumulative
+    sums are DECIMAL (order-independent), the classification divides
+    them by the broadcast grand total in double, and the oracle's
+    plain unpartitioned window must agree exactly — which is the
+    proof the two-pass decomposition is lossless."""
+    from ..operators.prefix import distributed_cumsum
+
+    part_rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    cum = distributed_cumsum(
+        part_rev,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        "rev",
+        n_partitions=8,
+        out_col="cum_rev",
+    )
+    tot = part_rev.agg(F.sum("rev").alias("total"))
+    share = F.col("cum_rev").cast("double") / F.col("total").cast("double")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+    )
