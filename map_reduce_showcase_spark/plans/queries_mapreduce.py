@@ -255,6 +255,11 @@ def wc_reference_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = f"{tempfile.gettempdir()}/mrs_refout_{tag}"
+    # clear first: a leftover run with a different shard count would
+    # leave extra mr-out-* files the directory read would pick up
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     write_n_files_reference_format(kv, out, n_reduce=4)
     back = spark.read.format("lengthdelim").load(out)
     return back.select(

@@ -664,3 +664,31 @@ def test_keep_best_quality_window_excludes_unclustered(spark, sf_dir):
     assert "isnotnull(component" in plan
     assert "row_number" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_distributed_cumsum_edge_cases(spark):
+    """The two-pass prefix sum must agree with a plain global window
+    on synthetic edges: duplicate order values (tie-break decides),
+    all-equal values, and more partitions than rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from map_reduce_showcase_spark.operators.prefix import distributed_cumsum
+
+    rows = [(i, v) for i, v in enumerate([5, 5, 5, 3, 3, 9, 1, 1, 1, 7])]
+    df = spark.createDataFrame(rows, ["k", "v"]).select(
+        "k", F.col("v").cast("decimal(10,2)").alias("v")
+    )
+    order = [F.col("v").desc(), F.col("k")]
+    got = {
+        r["k"]: float(r["c"])
+        for r in distributed_cumsum(df, order, "v", n_partitions=32, out_col="c")
+        .select("k", "c")
+        .collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: float(r["c"])
+        for r in df.withColumn("c", F.sum("v").over(w)).select("k", "c").collect()
+    }
+    assert got == want
