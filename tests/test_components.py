@@ -45,3 +45,21 @@ def test_components_chain_needs_multiple_rounds(spark):
     )
     assert set(got.values()) == {100}
     assert len(got) == 13
+
+
+def test_pagerank_chunk_cap_invariant(spark, sf_dir):
+    """Splitting a vertex's adjacency into capped chunk rows must not
+    change PageRank by a single bit: per-chunk partial contributions
+    are summed in exact DECIMAL(38,18), so any chunking of the same
+    neighbor multiset yields the same per-dst sum. cap=2 forces
+    nearly every sf0.001 vertex to split into many chunks; the
+    default cap (4096) splits none — identical outputs prove the
+    celebrity-vertex defense is free."""
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        ADJ_CHUNK_CAP,
+        _pagerank,
+    )
+
+    base = [tuple(r) for r in _pagerank(spark, sf_dir, ADJ_CHUNK_CAP).collect()]
+    chunked = [tuple(r) for r in _pagerank(spark, sf_dir, 2).collect()]
+    assert base == chunked
