@@ -105,6 +105,40 @@ def language_id(text: Column) -> Column:
     return expr
 
 
+def top_token_count(toks: Column) -> Column:
+    """Multiplicity of the most frequent element of ``toks`` (NULL on
+    an empty array, matching ``array_max``'s convention and DuckDB's
+    ``list_max``).
+
+    Sorted-run-max: sort the array, then one linear fold tracking the
+    current run length and the best run — O(n log n) per document,
+    replacing the naive distinct × filter scan whose O(v·n) goes
+    quadratic exactly on the degenerate-repetition docs this signal
+    exists to catch (a 10k-token doc with 5k distinct tokens costs
+    50M comparisons naive, ~140k sorted)."""
+    folded = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + F.lit(1))
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + F.lit(1))
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(F.size(toks) > 0, folded)
+
+
 def ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty when < n tokens."""
     toks = tokens(text)

@@ -110,12 +110,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     safe_n = F.greatest(n, F.lit(1)).cast("double")
     ndist = F.size(F.array_distinct(toks))
-    topcnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda x: x == w)),
-        )
-    )
+    topcnt = T.top_token_count(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, n - 1),
         F.slice(toks, 2, n - 1),

@@ -238,21 +238,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition in web-scale corpora.
 
     All four signals are scan-local column expressions (zero
-    shuffles): the top-token count folds over the distinct-token
-    array (O(v·n) per doc — vocabulary-bounded text keeps v small;
-    for adversarial v≈n docs, swap in an explode + two-level agg at
-    one shuffle). Thresholds: distinct_ratio ≥ 0.2,
-    top_token_frac ≤ 0.2, dup_bigram_frac ≤ 0.75."""
+    shuffles): the top-token count is a sorted-run-max fold
+    (``functions/text.py:top_token_count`` — O(n log n) per doc even
+    on the adversarial high-vocabulary docs that made the naive
+    distinct × filter scan quadratic). Thresholds: distinct_ratio ≥
+    0.2, top_token_frac ≤ 0.2, dup_bigram_frac ≤ 0.75."""
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
     safe_n = F.greatest(n, F.lit(1)).cast("double")
     ndist = F.size(F.array_distinct(toks))
-    topcnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda x: x == w)),
-        )
-    )
+    topcnt = T.top_token_count(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, n - 1),
         F.slice(toks, 2, n - 1),

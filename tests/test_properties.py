@@ -186,3 +186,25 @@ def test_turkish_dotted_capital_is_a_known_lower_divergence(spark, oracle):
     duck = oracle.execute("SELECT lower('İ')").fetchone()[0]
     assert jvm == "i\u0307"
     assert duck == "i"
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30).map("".join),
+        min_size=0,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_top_token_count_matches_counter(spark, toks):
+    """functions.text.top_token_count (sorted-run-max fold) equals
+    the most-common multiplicity from collections.Counter; NULL on an
+    empty array (array_max's convention, which the fold replaced)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.functions.text import top_token_count
+
+    df = spark.createDataFrame([(toks,)], "toks: array<string>")
+    got = df.select(top_token_count(F.col("toks")).alias("c")).first()["c"]
+    want = max(collections.Counter(toks).values()) if toks else None
+    assert got == want
