@@ -20,9 +20,9 @@ duplicated text lives and HOW LONG it runs — the signal needed to
 documents.
 
 Scale shape (100 TB): k-grams shuffle as 60-bit hashes (8 bytes,
-never text); the duplicated-gram filter is one count aggregate; the
-"which of my positions are duplicated" step is a semi equi-join on
-the hash (no cartesian anywhere); the island merge is a per-document
+never text); the duplicated-gram test is a count-over-window on the
+gram hash — ONE tokenize+hash scan of the corpus and one h-shuffle,
+no join anywhere (plan-pinned); the island merge is a per-document
 window over only the duplicated positions (a tiny fraction of the
 corpus). Ultra-hot grams (empty/boilerplate windows) are the usual
 skew keys — cap their document frequency like the inverted shingle
@@ -87,14 +87,27 @@ def duplicate_runs(
     whose every k-gram occurs ≥ 2 times corpus-wide (cross- or
     within-document, like the suffix-array method).
 
-    ``max_gram_df`` drops grams hotter than the cap before the
-    semi-join (boilerplate defense; None = no cap)."""
+    ``max_gram_df`` drops grams hotter than the cap before the island
+    merge (boilerplate defense; None = no cap).
+
+    One gram scan, not two: the corpus-wide duplicate test is a
+    count-over-window partitioned by the gram hash, so the expensive
+    tokenize+hash pass runs once and the df filter rides the same
+    h-shuffle the rows need anyway — versus the groupBy + semi-join
+    formulation, which scans and hashes the corpus twice and pays an
+    extra h-exchange (measured 2x end-to-end at sf0.1 AND at the 16x
+    sweep point). The window has no ordering (whole-partition count),
+    so a boilerplate mega-gram concentrates its rows in one h
+    partition — that's what ``max_gram_df`` bounds, same defense as
+    the inverted shingle index's DF cap."""
     grams = gram_positions(docs, k, text_col, id_col)
-    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    dup = counts.filter(F.col("df") >= 2)
+    wh = Window.partitionBy("h")
+    hits = grams.withColumn("df", F.count(F.lit(1)).over(wh)).filter(
+        F.col("df") >= 2
+    )
     if max_gram_df is not None:
-        dup = dup.filter(F.col("df") <= max_gram_df)
-    hits = grams.join(dup.select("h"), "h", "left_semi")
+        hits = hits.filter(F.col("df") <= max_gram_df)
+    hits = hits.drop("df")
     # island merge: consecutive duplicated positions share
     # (pos - row_number) — one window over the duplicated subset only
     w = Window.partitionBy("doc_id").orderBy("pos")

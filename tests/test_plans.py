@@ -425,13 +425,16 @@ def test_kmeans_never_shuffles_vectors(spark, sf_dir):
 
 
 def test_substring_runs_no_cartesian(spark, sf_dir):
-    """ExactSubstr-style dedup must stay equi-join shaped: the
-    duplicated-gram lookup is a semi join on the gram hash and the
-    island merge windows per doc — no pairwise anything."""
+    """ExactSubstr-style dedup must stay join-free: the duplicated-
+    gram test is a count-over-window on the gram hash (one gram scan,
+    one h-shuffle) and the island merge windows per doc — no joins,
+    no pairwise anything, and exactly one parquet scan of the
+    corpus (the old groupBy + semi-join shape scanned it twice)."""
     plan = _plan(spark, sf_dir, "dedup_substring_runs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan, "duplicated-gram lookup should be a semi join"
+    assert "Join" not in plan, "window formulation needs no join at all"
+    assert _n_scans(plan) == 1, "corpus must be tokenized+hashed once"
 
 
 def test_q18_scans_lineitem_once(spark, sf_dir):
