@@ -386,3 +386,25 @@ def test_event_time_timeout_evicts_idle_user_state(spark, tmp_path):
     assert [(r["user_id"], r["n_events"]) for r in finals] == [(2, 1)], rows
     # user 1 stayed active: running rows only, no final
     assert all(not r["is_final"] for r in rows if r["user_id"] == 1)
+
+
+def test_stream_scratch_retires_on_source_change(tmp_path):
+    """The streaming replay scratch dir is keyed by a content
+    signature of the source events file: same content → same dir
+    (copy reused), touched/regenerated content → different dir (a
+    stale replay copy can never be served)."""
+    import os
+    import shutil
+
+    from map_reduce_showcase_spark.plans.queries_streaming import _stream_dirs
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    d1, c1, ready1 = _stream_dirs("unittest", str(src))
+    assert not ready1  # nothing materialized yet
+    d1b, _c, _r = _stream_dirs("unittest", str(src))
+    assert d1 == d1b  # unchanged source → same scratch dir
+    os.utime(src / "events.parquet")  # simulate regeneration
+    d2, _c, _r = _stream_dirs("unittest", str(src))
+    assert d2 != d1  # content signature moved → fresh dir
