@@ -439,7 +439,16 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     a spurious candidate that the levenshtein verify rejects; names
     re-attach AFTER the distinct via two broadcast joins against the
     |customers|-row dimension. Measured 2.3x end-to-end vs joining
-    and distinct-ing the string pairs (5.1 -> 2.2 s at sf0.1)."""
+    and distinct-ing the string pairs (5.1 -> 2.2 s at sf0.1).
+
+    Operating note (measured by the scale sweep): blocking cost — and
+    the pair OUTPUT itself, by the pair semantics — is quadratic in
+    the multiplicity of any exactly-duplicated name (m verbatim
+    copies share every key → m²/2 pairs). On duplicate-heavy corpora
+    collapse exact duplicates first (group by name, fuzzy-join the
+    distinct names, expand representatives after) — the standard
+    entity-resolution pre-step; ``dedup_apply_exact`` is that stage
+    in this registry."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     keys = cust.select(
         "c_custkey",

@@ -208,3 +208,61 @@ def test_top_token_count_matches_counter(spark, toks):
     got = df.select(top_token_count(F.col("toks")).alias("c")).first()["c"]
     want = max(collections.Counter(toks).values()) if toks else None
     assert got == want
+
+
+def _model_duplicate_runs(texts: list[str], k: int) -> set[tuple[int, int, int, int]]:
+    """Independent Python model of dedup/substrings.py:duplicate_runs:
+    every maximal run of >= k tokens whose every k-gram occurs >= 2
+    times corpus-wide. Returns (doc_id, run_start, run_end,
+    run_words) with 1-indexed inclusive token positions."""
+    grams: collections.Counter = collections.Counter()
+    per_doc: list[list[str]] = []
+    for text in texts:
+        toks = _model_tokens(text)
+        per_doc.append(toks)
+        for i in range(len(toks) - k + 1):
+            grams[" ".join(toks[i : i + k])] += 1
+    out: set[tuple[int, int, int, int]] = set()
+    for doc_id, toks in enumerate(per_doc):
+        dup_pos = [
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if grams[" ".join(toks[i : i + k])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((doc_id, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_duplicate_runs_matches_python_model(spark, texts):
+    """The window-formulation ExactSubstr operator against a
+    brute-force Python model on tiny adversarial corpora (k=3; a
+    5-word vocabulary forces heavy cross- and within-doc gram
+    collisions, the regime where island merging can go wrong)."""
+    from map_reduce_showcase_spark.dedup.substrings import duplicate_runs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        tuple(r)
+        for r in duplicate_runs(docs, k=3).collect()
+    }
+    assert got == _model_duplicate_runs(texts, k=3)

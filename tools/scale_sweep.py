@@ -91,6 +91,8 @@ QUERIES = [
     "shuffle_train_order",
     "pack_sequences_greedy",
     "graph_pagerank",
+    "graph_kcore_peel",
+    "dedup_fuzzy_names",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_containment_pairs",
@@ -165,6 +167,17 @@ def build(spark, k: int) -> str:
             if name == "documents" and r > 0:
                 src, dst = _cipher_cols(r)
                 rep = rep.withColumn("text", F.translate("text", src, dst))
+            if name == "customer" and r > 0:
+                # cipher names too: verbatim replica names are exact
+                # duplicates whose deletion-neighborhood buckets (and
+                # the pair OUTPUT itself) grow quadratically in the
+                # replica count — a workload-construction artifact,
+                # not an engine property. (Leaving them un-ciphered
+                # is how the sweep's detector first proved itself on
+                # a non-synthetic query: dedup_fuzzy_names hit 88 s
+                # at 16x, leg ratios 4.4/8.9.)
+                src, dst = _cipher_cols(r)
+                rep = rep.withColumn("c_name", F.translate("c_name", src, dst))
             if name == "embeddings" and r > 0:
                 rep = rep.withColumn(
                     "embedding",
