@@ -1,5 +1,13 @@
-"""Driver-harness simulation per .claude/skills/verify/SKILL.md."""
+"""Driver-harness simulation per .claude/skills/verify/SKILL.md.
+
+With ``--artifact PATH`` it also writes a CORRECTNESS-shaped JSON
+(per-query rows/schema/hash match) covering ALL registered queries —
+the local-evidence twin of the driver's ~50-entry artifact, for the
+queries the capped window can't reach in a given round.
+"""
+import argparse
 import decimal
+import json
 import sys
 import time
 
@@ -47,6 +55,10 @@ def value_hash(df: pd.DataFrame):
     return hash(tuple(rows))
 
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--artifact", default=None, help="write per-query JSON here")
+args = ap.parse_args()
+
 # 1. entry smoke
 r = E.entry(spark).collect()
 assert len(r) > 0, "entry() returned no rows"
@@ -56,29 +68,52 @@ print(f"entry OK: {len(r)} rows")
 queries = E.queries()
 oracles = E.oracle_sql()
 fails = []
+records: dict[str, dict] = {}
 t0 = time.time()
 for i, (name, fn) in enumerate(queries.items()):
+    rec = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    records[name] = rec
     try:
         got = fn(spark, SF).toPandas()
     except Exception as exc:
-        fails.append((name, f"spark err {type(exc).__name__}: {exc}"))
+        rec["err"] = f"spark err {type(exc).__name__}: {exc}"[:300]
+        fails.append((name, rec["err"]))
         continue
+    rec["spark_rows"] = len(got)
     if name not in oracles:
+        rec["err"] = "rows-only (no oracle)"
         print(f"{i:3d} {name}: rows-only {len(got)}")
         continue
     try:
         want = con.execute(oracles[name]).fetchdf()
     except Exception as exc:
-        fails.append((name, f"oracle err {type(exc).__name__}: {exc}"))
+        rec["err"] = f"oracle err {type(exc).__name__}: {exc}"[:300]
+        fails.append((name, rec["err"]))
         continue
-    if len(got) != len(want):
+    rec["oracle_rows"] = len(want)
+    rec["rows_match"] = len(got) == len(want)
+    rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
+    if rec["rows_match"] and rec["schema_match"]:
+        rec["hash_match"] = value_hash(got) == value_hash(want)
+    if not rec["rows_match"]:
         fails.append((name, f"rowcount {len(got)} vs {len(want)}"))
-    elif sorted(got.columns) != sorted(want.columns):
+    elif not rec["schema_match"]:
         fails.append((name, f"cols {sorted(got.columns)} vs {sorted(want.columns)}"))
-    elif value_hash(got) != value_hash(want):
+    elif not rec["hash_match"]:
         fails.append((name, "value hash mismatch"))
 
 print(f"\n{len(queries)} queries in {time.time()-t0:.0f}s; {len(fails)} failures")
 for name, why in fails:
     print(f"FAIL {name}: {why}")
+if args.artifact:
+    with open(args.artifact, "w") as fh:
+        json.dump(records, fh, indent=1, sort_keys=False)
+    print(f"wrote {args.artifact} ({len(records)} entries)")
 sys.exit(1 if fails else 0)
