@@ -876,3 +876,157 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# BPE pair mining + BM25 ranking ----------------------------------------
+# Tokenizer TRAINING (vs the budgeting estimate above): one merge
+# iteration of byte-pair encoding = the adjacent-symbol-pair counts
+# over the word-frequency table (Sennrich et al. 2016). Real BPE
+# trainers aggregate the corpus to its vocabulary ONCE and then
+# iterate on vocab-sized data — exactly the shape used here.
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH uc AS (
+      SELECT x AS w, COUNT(*) AS cnt
+      FROM documents, UNNEST({_TOKENS_SQL}) AS t(x)
+      GROUP BY x
+    ),
+    pr AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
+      FROM uc, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pr
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge iteration: the 20 most frequent
+    adjacent character pairs, weighted by word frequency — the next
+    merge candidates a byte-pair-encoding tokenizer would pick.
+
+    Shape at 100 TB: the ONLY corpus-sized operation is the word
+    count (map-side-combined hash agg, the `wc_word_count` shuffle);
+    pair generation and the pair rollup run on the vocabulary frame,
+    orders of magnitude smaller than the corpus, and the final top-20
+    is a TakeOrderedAndProject (bounded per-partition heaps). Later
+    merge iterations would re-run only the vocab-sized half."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+_BM25_TERMS = ("hash", "join", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS dl,
+             len(list_filter({_TOKENS_SQL}, x -> x = 'hash')) AS tf_hash,
+             len(list_filter({_TOKENS_SQL}, x -> x = 'join')) AS tf_join,
+             len(list_filter({_TOKENS_SQL}, x -> x = 'merge')) AS tf_merge
+      FROM documents
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+      FROM d
+    )
+    SELECT doc_id,
+           round(
+             ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+               * (CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+               * (CAST(tf_join AS DOUBLE) * 2.2) / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+               * (CAST(tf_merge AS DOUBLE) * 2.2) / (CAST(tf_merge AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+             6) AS bm25
+    FROM d CROSS JOIN s
+    WHERE tf_hash + tf_join + tf_merge > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed 3-term query
+    (k1=1.2, b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf) — the
+    standard lexical-retrieval scorer next to the TF-IDF weights
+    above.
+
+    Shape at 100 TB: per-doc term frequencies and document length
+    are scan-local array expressions (the corpus is never exploded
+    or shuffled for the query terms); N / avgdl / per-term document
+    frequencies collapse to ONE single-row aggregate that broadcasts
+    back; scoring is scan-local column math and the final top-15 is
+    a TakeOrderedAndProject. Query-term count scales the column
+    width, not the shuffle volume."""
+    docs = t(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    # factory, not a default-arg lambda: a two-parameter lambda would
+    # make F.filter pass (element, index) and bind the index to term
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf_{term}") for term in _BM25_TERMS]
+    d = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    k1 = _BM25_K1
+    contribs = []
+    for term in _BM25_TERMS:
+        tf = F.col(f"tf_{term}").cast("double")
+        df = F.col(f"df_{term}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / norm)
+    score = contribs[0] + contribs[1] + contribs[2]
+    tf_sum = sum((F.col(f"tf_{term}") for term in _BM25_TERMS), F.lit(0))
+    return (
+        d.crossJoin(F.broadcast(s))
+        .filter(tf_sum > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

@@ -695,3 +695,27 @@ def test_distributed_cumsum_edge_cases(spark):
         for r in df.withColumn("c", F.sum("v").over(w)).select("k", "c").collect()
     }
     assert got == want
+
+
+def test_bpe_pairs_topk_and_vocab_sized_second_shuffle(spark, sf_dir):
+    """The only corpus-sized operation is the word count; pair mining
+    shuffles the vocabulary and the top-20 is a bounded heap."""
+    plan = _plan(spark, sf_dir, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a global sort"
+    assert plan.count("hashpartitioning") == 2, (
+        "exactly word-count + pair-count shuffles expected"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_scoring_is_scan_local(spark, sf_dir):
+    """BM25 never explodes or shuffles the corpus: corpus stats are
+    ONE single-row aggregate broadcast back; scoring is column math;
+    top-15 is a bounded heap."""
+    plan = _plan(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "explode" not in plan, "corpus must not be exploded"
+    assert "hashpartitioning" not in plan, (
+        "only the single-row stats aggregate may exchange"
+    )
+    assert "BroadcastExchange" in plan
