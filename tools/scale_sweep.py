@@ -99,6 +99,12 @@ QUERIES = [
     "dedup_substring_runs",
     "sim_topk_lsh",
     "sim_topk_bruteforce",
+    # round-4 third block: the tokenizer-training and retrieval ops.
+    # Replica text is alphabet-rotated, so BM25's fixed query terms
+    # match only the base replica — the scan/stats cost (the thing
+    # being measured) still scales with the corpus.
+    "bpe_pair_counts",
+    "text_bm25_search",
 ]
 
 #: Flag rule: the TAIL-leg time ratio (sf0.4 → sf1.6, a 4x data step
