@@ -266,3 +266,115 @@ def test_duplicate_runs_matches_python_model(spark, texts):
         for r in duplicate_runs(docs, k=3).collect()
     }
     assert got == _model_duplicate_runs(texts, k=3)
+
+
+def _model_tokens_ln(text: str) -> list[str]:
+    """documents-tokenizer contract (functions/text.py::tokens):
+    lowercase, split on every char outside \\p{L}\\p{N}."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if unicodedata.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _docs_dir(tmp_path, rows):
+    """Write a minimal documents.parquet so registry builders can
+    run against a synthetic corpus through the real catalog path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    # hypothesis reuses one tmp_path across examples — overwrite
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_STABLE_CHARS, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_bpe_pair_counts_matches_python_model(spark, tmp_path, texts):
+    """Third implementation of the BPE merge-pair iteration (after
+    Spark and the DuckDB oracle): word-frequency-weighted adjacent
+    char-pair counts from plain Counters. Pins the vocab-first
+    semantics — pairs weighted by word OCCURRENCES, not distinct
+    words — on adversarial unicode the fixture corpus lacks."""
+    from map_reduce_showcase_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    wc = collections.Counter()
+    for s in texts:
+        wc.update(_model_tokens_ln(s))
+    pc = collections.Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += c
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in REGISTRY["bpe_pair_counts"].builder(spark, _docs_dir(tmp_path, texts)).collect()
+    ]
+    # ties at the cut line: compare the deterministic (count, pair)
+    # sort of both sides — the query's orderBy uses the same keys
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
+
+
+_BM25_SENTENCE = st.lists(
+    st.sampled_from("hash join merge scan row batch filter".split()),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+@given(docs=st.lists(_BM25_SENTENCE, min_size=1, max_size=8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_bm25_matches_python_model(spark, tmp_path, docs):
+    """Independent BM25 model (math.log, same k1/b/idf form): the
+    query's scores must match to 1e-6 and its kept set must be
+    exactly the docs containing at least one query term."""
+    import math
+
+    from map_reduce_showcase_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    terms = ("hash", "join", "merge")
+    toks = [_model_tokens_ln(s) for s in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {q: sum(1 for t in toks if q in t) for q in terms}
+    expected = {}
+    for i, t in enumerate(toks):
+        score = 0.0
+        for q in terms:
+            tf = float(t.count(q))
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        if any(q in t for q in terms):
+            expected[i] = score
+    rows = REGISTRY["text_bm25_search"].builder(spark, _docs_dir(tmp_path, docs)).collect()
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+    assert set(got) == set(expected)  # <= 8 docs, top-15 never cuts
+    for i, s in expected.items():
+        assert abs(got[i] - s) < 1e-6, (i, got[i], s)
