@@ -1030,3 +1030,153 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+# DSIR-style importance weighting ---------------------------------------
+# Data SELECTION as opposed to data FILTERING: importance weights for
+# matching a target distribution (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") — per-doc
+# log-likelihood ratio between a target-domain and a corpus-wide
+# hashed n-gram language model. Reuses text_hashed_linear_score's
+# cross-engine-proven 'b#'-md5 1024-bucket feature hash.
+
+_DSIR_B = 1024
+_DSIR_BUCKET_SQL = "CAST(concat('0x', substr(md5('b#' || tk), 1, 8)) AS BIGINT) % 1024"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKENS_SQL}) AS tk FROM documents
+    ),
+    counts AS (
+      SELECT {_DSIR_BUCKET_SQL} AS b,
+             COUNT(*) AS cs,
+             COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt FROM counts),
+    grid AS (
+      SELECT g.b, COALESCE(c.cs, 0) AS cs, COALESCE(c.ct, 0) AS ct
+      FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+      LEFT JOIN counts c ON c.b = g.b
+    ),
+    ratios AS (
+      SELECT list(CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(ns + 1024 AS DOUBLE))
+                                / (CAST(nt + 1024 AS DOUBLE) * CAST(cs + 1 AS DOUBLE))), 6)
+                       AS DECIMAL(14,6)) ORDER BY b) AS rarr
+      FROM grid CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT d.lang,
+             len({_TOKENS_SQL.replace('text', 'd.text')}) AS ntok,
+             CAST(list_aggregate(list_transform({_TOKENS_SQL.replace('text', 'd.text')},
+                   tk -> rarr[CAST({_DSIR_BUCKET_SQL} + 1 AS INT)]),
+                 'sum') AS DECIMAL(24,6)) AS logw
+      FROM documents d CROSS JOIN ratios
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(logw) AS DOUBLE) / COUNT(*), 6) AS mean_logw,
+           round(CAST(SUM(CAST(round(CAST(logw AS DOUBLE)
+                                     / greatest(ntok, 1), 6) AS DECIMAL(14,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_logw_tok
+    FROM scored GROUP BY lang
+    """,
+    tags=("text", "selection", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights, rolled up per language: per-doc
+    log-likelihood ratio between a hashed-bigram target LM (the
+    ``lang='en'`` slice — the 'target domain') and the corpus-wide
+    source LM, add-1 smoothed over a 1024-bucket feature space.
+    Resampling ∝ exp(logw) matches the corpus to the target
+    distribution; the per-lang means make the signal visible (the
+    target language scores highest).
+
+    Shape at 100 TB: ONE corpus-sized explode feeds ONE bucket-count
+    aggregate whose partials are at most 1024 rows per task (a
+    vocabulary-sized map-side-combined shuffle); both LMs come out
+    of that single aggregate via a conditional count. The 1024
+    log-ratios collapse to ONE broadcast array row, so per-doc
+    scoring is a scan-local higher-order fold — the corpus is never
+    shuffled for scoring, exactly like the k-means assignment and
+    BM25 plans. Per-doc sums accumulate in DECIMAL over rounded
+    per-bucket ratios: order-independent, hash-stable."""
+    docs = t(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit("b#"), col)), 1, 8), 16, 10)
+            .cast("bigint")
+            % _DSIR_B
+        )
+
+    counts = (
+        docs.select("lang", F.explode(toks).alias("tk"))
+        .groupBy(bucket(F.col("tk")).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+        )
+    )
+    tot = counts.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    grid = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").alias("b"))
+        .join(counts, "b", "left_outer")
+        .select(
+            "b",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        )
+    )
+    r = F.round(
+        F.log(
+            ((F.col("ct") + 1).cast("double") * (F.col("ns") + _DSIR_B).cast("double"))
+            / ((F.col("nt") + _DSIR_B).cast("double") * (F.col("cs") + 1).cast("double"))
+        ),
+        6,
+    ).cast("decimal(14,6)")
+    ratio_row = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(F.struct(F.col("b"), r.alias("r")).alias("br"))
+        .agg(F.array_sort(F.collect_list("br")).alias("srt"))
+        .select(F.transform(F.col("srt"), lambda x: x.getField("r")).alias("rarr"))
+    )
+    logw = F.aggregate(
+        F.transform(
+            F.col("toks"),
+            lambda tk: F.element_at(
+                F.col("rarr"), (bucket(tk) + 1).cast("int")
+            ).cast("decimal(24,6)"),
+        ),
+        F.lit(0).cast("decimal(24,6)"),
+        lambda a, x: (a + x).cast("decimal(24,6)"),
+    )
+    scored = (
+        docs.select("lang", toks.alias("toks"))
+        .crossJoin(F.broadcast(ratio_row))
+        .select(
+            "lang",
+            F.size("toks").alias("ntok"),
+            logw.alias("logw"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("logw").cast("double") / n, 6).alias("mean_logw"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("logw").cast("double") / F.greatest(F.col("ntok"), F.lit(1)),
+                    6,
+                ).cast("decimal(14,6)")
+            ).cast("double")
+            / n,
+            6,
+        ).alias("mean_logw_tok"),
+    )

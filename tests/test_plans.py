@@ -719,3 +719,19 @@ def test_bm25_scoring_is_scan_local(spark, sf_dir):
         "only the single-row stats aggregate may exchange"
     )
     assert "BroadcastExchange" in plan
+
+
+def test_dsir_scoring_never_shuffles_docs(spark, sf_dir):
+    """DSIR: the corpus is exploded ONLY to build the two bucket-count
+    LMs (identical subtrees — AQE reuses the exchange, the PMI
+    precedent); per-doc scoring is a scan-local fold against one
+    broadcast ratio-array row, so no exchange carries doc rows."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE))
+    assert n_gen == 2, f"scoring side must not explode (saw {n_gen} Generates)"
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln:
+            assert "doc_id" not in ln and "toks" not in ln and "logw" not in ln, ln
+    assert "BroadcastExchange" in plan
