@@ -105,6 +105,7 @@ QUERIES = [
     # being measured) still scales with the corpus.
     "bpe_pair_counts",
     "text_bm25_search",
+    "dsir_importance_weights",
 ]
 
 #: Flag rule: the TAIL-leg time ratio (sf0.4 → sf1.6, a 4x data step
