@@ -49,11 +49,15 @@ def ensure_bucketed(
     name = f"mrs_bkt_{table}_{tag}"
     if not spark.catalog.tableExists(name):
         # external table under the system temp dir: keeps driver-cwd
-        # warehouse dirs out of the picture, and a leftover directory
-        # from a PREVIOUS session (whose in-memory catalog died with
-        # it) must be cleared or saveAsTable refuses with
-        # LOCATION_ALREADY_EXISTS
-        loc = f"{tempfile.gettempdir()}/mrs_bkt/{name}"
+        # warehouse dirs out of the picture. The path is keyed by
+        # THIS session's application id (not just the table name):
+        # /tmp is shared, and two concurrent sessions materializing
+        # the same table would otherwise rmtree each other's files
+        # mid-write. A leftover directory from a crashed run of the
+        # SAME app id is still cleared first — saveAsTable refuses
+        # with LOCATION_ALREADY_EXISTS otherwise.
+        app = spark.sparkContext.applicationId
+        loc = f"{tempfile.gettempdir()}/mrs_bkt/{app}/{name}"
         shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(t(spark, sf_dir, table), name, bucket_col, N_BUCKETS, path=loc)
     return name

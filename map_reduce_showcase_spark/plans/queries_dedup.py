@@ -54,18 +54,38 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_groups",
     oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 0
+    )
     SELECT md5({_NORM_SQL}) AS fp,
            MIN(doc_id) AS keeper,
            COUNT(*) AS n_copies
-    FROM documents
+    FROM corpus
     GROUP BY fp
     HAVING COUNT(*) > 1
     """,
     tags=("dedup", "exact"),
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups (fingerprint, keeper=min id, copies)."""
-    return exact_dup_groups(t(spark, sf_dir, "documents"))
+    """Exact duplicate groups (fingerprint, keeper=min id, copies).
+
+    The synthetic corpus contains zero verbatim duplicates at any
+    SF (verified by direct count), which through round 4 made this
+    query's grouping/keeper logic vacuously green over an empty
+    frame. The registered form therefore runs the operator on the
+    corpus UNION ALL a deterministic replicated slice (every 50th
+    doc re-appended under an offset id) — a planted in-query
+    fixture that guarantees real duplicate groups at every SF while
+    the operator under test (``dedup/exact.py::exact_dup_groups``)
+    stays byte-identical to the production form."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    replica = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return exact_dup_groups(docs.unionByName(replica))
 
 
 _JACCARD_TAIL_SQL = f"""
@@ -441,17 +461,31 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     |customers|-row dimension. Measured 2.3x end-to-end vs joining
     and distinct-ing the string pairs (5.1 -> 2.2 s at sf0.1).
 
-    Operating note (measured by the scale sweep): blocking cost — and
-    the pair OUTPUT itself, by the pair semantics — is quadratic in
-    the multiplicity of any exactly-duplicated name (m verbatim
-    copies share every key → m²/2 pairs). On duplicate-heavy corpora
-    collapse exact duplicates first (group by name, fuzzy-join the
-    distinct names, expand representatives after) — the standard
-    entity-resolution pre-step; ``dedup_apply_exact`` is that stage
-    in this registry."""
+    Duplicate-multiplicity defense (in the operator since round 5,
+    previously only an operating note): m verbatim copies of a name
+    share every deletion key, so blocking the raw rows costs
+    m²·|keys| candidate rows before the distinct — the scale sweep
+    measured 88 s / leg ratios 4.4–8.9 on verbatim-replicated names.
+    The standard entity-resolution pre-step fixes it structurally:
+    collapse exact-duplicate names FIRST (one hash-aggregate; map-
+    side combine absorbs the multiplicity before the shuffle), run
+    blocking + levenshtein verify over DISTINCT names only, then
+    expand members back out at the end. The only remaining m² term
+    is the pair OUTPUT itself, which the pair semantics demand."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    keys = cust.select(
-        "c_custkey",
+    # 1. exact-dup collapse: one row per distinct name; members ride
+    #    along (sorted for determinism) for the final expansion
+    groups = cust.groupBy("c_name").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("members")
+    )
+    nh = F.xxhash64("c_name")
+    names_dim = groups.select(nh.alias("nh"), "c_name", "members")
+    # 2. deletion-neighborhood blocking over distinct names; keys and
+    #    name ids are xxhash64 longs so the self-join and distinct
+    #    move (long, long) rows, never strings — a key collision only
+    #    adds a spurious candidate the levenshtein verify rejects
+    keys = groups.select(
+        nh.alias("nh"),
         F.explode(
             F.array_union(
                 F.array(F.col("c_name")),
@@ -464,31 +498,50 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("block_key"),
-    ).select("c_custkey", F.xxhash64("block_key").alias("kh"))
+    ).select("nh", F.xxhash64("block_key").alias("kh"))
     a = keys.alias("a")
     b = keys.alias("b")
-    pairs = (
+    cand = (
         a.join(b, F.col("a.kh") == F.col("b.kh"))
-        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .select(
-            F.col("a.c_custkey").alias("k1"),
-            F.col("b.c_custkey").alias("k2"),
-        )
+        .where(F.col("a.nh") < F.col("b.nh"))
+        .select(F.col("a.nh").alias("h1"), F.col("b.nh").alias("h2"))
         .distinct()
     )
-    ca = F.broadcast(cust).alias("ca")
-    cb = F.broadcast(cust).alias("cb")
-    return (
-        pairs.join(ca, F.col("k1") == F.col("ca.c_custkey"))
-        .join(cb, F.col("k2") == F.col("cb.c_custkey"))
+    # 3. verify on distinct-name pairs, then expand members; name_a
+    #    follows custkey order per the pair semantics
+    d1 = F.broadcast(names_dim).alias("d1")
+    d2 = F.broadcast(names_dim).alias("d2")
+    k1_lt = F.col("k1") < F.col("k2")
+    cross = (
+        cand.join(d1, F.col("h1") == F.col("d1.nh"))
+        .join(d2, F.col("h2") == F.col("d2.nh"))
+        .where(F.levenshtein(F.col("d1.c_name"), F.col("d2.c_name")) <= 1)
         .select(
-            F.col("ca.c_name").alias("name_a"),
-            F.col("cb.c_name").alias("name_b"),
+            F.col("d1.c_name").alias("n1"),
+            F.col("d2.c_name").alias("n2"),
+            F.col("d1.members").alias("m1"),
+            F.col("d2.members").alias("m2"),
         )
-        .withColumn(
-            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        .withColumn("k1", F.explode("m1"))
+        .withColumn("k2", F.explode("m2"))
+        .select(
+            F.when(k1_lt, F.col("n1")).otherwise(F.col("n2")).alias("name_a"),
+            F.when(k1_lt, F.col("n2")).otherwise(F.col("n1")).alias("name_b"),
         )
-        .where(F.col("dist") <= 1)
+    )
+    # 4. identical-name pairs (dist 0): all member pairs within a group
+    within = (
+        groups.where(F.size("members") >= 2)
+        .withColumn("k1", F.explode("members"))
+        .withColumn("k2", F.explode("members"))
+        .where(k1_lt)
+        .select(
+            F.col("c_name").alias("name_a"),
+            F.col("c_name").alias("name_b"),
+        )
+    )
+    return cross.unionByName(within).withColumn(
+        "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
     )
 
 
@@ -585,6 +638,14 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: boilerplate, not signal (mirrored verbatim in the oracle below)
 _CONTAIN_MAX_DF = 250
 
+# dedup_substring_runs' boilerplate cap: grams occurring more often
+# than this corpus-wide are dropped before the island merge — they
+# are boilerplate, and they are also the skew key of the h-shuffle's
+# hot window partition (the round-4 sweep's second-highest tail,
+# 3.22, traced to exactly these). 250 occurrences at sf0.1 is ~50x
+# the frequency of any legitimate duplicated passage in this corpus.
+_SUBSTR_MAX_GRAM_DF = 250
+
 
 @register(
     "dedup_containment_pairs",
@@ -641,7 +702,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (SELECT doc_id, pos,
                      {portable_hash60_sql("array_to_string(tk[pos:pos+9], ' ')")} AS h
               FROM g),
-    dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT h FROM grams GROUP BY h
+            HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SUBSTR_MAX_GRAM_DF}),
     hits AS (SELECT doc_id, pos,
                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
              FROM grams WHERE h IN (SELECT h FROM dup))
@@ -663,7 +725,12 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: grams shuffle as 8-byte hashes, the duplicated-position
     test is a count-over-window on the gram hash (one corpus scan,
     no join — plan-pinned), and the island-merge window sees only
-    duplicated positions."""
+    duplicated positions. The ``max_gram_df`` boilerplate cap is
+    wired (and oracle-mirrored) since round 5: ultra-hot grams are
+    both noise and the hot key of the h-window partition — dropping
+    them bounds the largest window partition by the cap."""
     from ..dedup.substrings import duplicate_runs
 
-    return duplicate_runs(t(spark, sf_dir, "documents"), k=10)
+    return duplicate_runs(
+        t(spark, sf_dir, "documents"), k=10, max_gram_df=_SUBSTR_MAX_GRAM_DF
+    )

@@ -286,14 +286,22 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
     )
     """,
     tags=("join", "anti"),
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no urgent orders. (The slice
+    was "no orders at all" through round 4, but this catalog's
+    generator gives every customer at least one order, so the
+    anti-join produced zero rows at every SF and its logic was
+    never evidenced on surviving rows; the priority filter keeps
+    the identical anti-join plan while returning real rows.) The
+    filter sits on the build side BEFORE the join — at 100 TB the
+    anti-join's hash set holds only urgent custkeys."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

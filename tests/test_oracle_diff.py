@@ -54,6 +54,16 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
         f"{name}: column mismatch spark={list(got.columns)} oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
+    # vacuity guard: a 0-row result hash-matches its oracle trivially
+    # — the schema is proven but the query's logic never executed on
+    # a row (q8/q9/q11/q20 sat "green" like this for four rounds).
+    # Queries that may legitimately be empty at small SF must say so
+    # with an explicit may_be_empty tag.
+    if "may_be_empty" not in spec.tags:
+        assert len(got) > 0, (
+            f"{name}: 0 rows at this SF — vacuously green; fix the slice "
+            f"or tag the spec may_be_empty"
+        )
     for col in got.columns:
         gk, wk = got[col].dtype.kind, want[col].dtype.kind
         # int-vs-float dtype crossings hash differently in the
@@ -91,10 +101,14 @@ def _coerce(v):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(name, spark, sf_dir):
     """Non-SQL-expressible queries must at least run and return a
-    stable schema."""
-    df = REGISTRY[name].builder(spark, sf_dir)
+    stable schema — and rows, unless tagged may_be_empty (the same
+    vacuity guard the oracle-checked side gets)."""
+    spec = REGISTRY[name]
+    df = spec.builder(spark, sf_dir)
     assert df.columns, name
-    assert df.count() >= 0, name
+    n = df.count()
+    if "may_be_empty" not in spec.tags:
+        assert n > 0, f"{name}: 0 rows — vacuous; fix the slice or tag may_be_empty"
 
 
 def test_unverified_queries_export_inside_driver_window():

@@ -375,6 +375,31 @@ def test_bucketed_q3_join_has_no_fact_exchange(spark, sf_dir):
     assert n_exchange == 1, f"only the rollup may shuffle, saw {n_exchange}:\n{plan}"
 
 
+def test_ensure_bucketed_idempotent_and_session_keyed(spark, sf_dir):
+    """Two ensure calls for the same table must resolve to ONE
+    materialization (second call is a pure catalog hit — same name,
+    files untouched), and the backing location must be keyed by this
+    session's application id so two concurrent sessions under the
+    shared /tmp can never rmtree each other's files mid-write."""
+    import os
+
+    from map_reduce_showcase_spark.plans.queries_bucketed import ensure_bucketed
+
+    n1 = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    loc = next(
+        r[1]
+        for r in spark.sql(f"DESCRIBE FORMATTED {n1}").collect()
+        if r[0].strip() == "Location"
+    )
+    assert spark.sparkContext.applicationId in loc, loc
+    path = loc.removeprefix("file:")
+    before = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    n2 = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    assert n2 == n1
+    after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    assert after == before, "second ensure call must not rewrite the table"
+
+
 def test_argmin_has_no_window(spark, sf_dir):
     """The struct-min argmin must plan as a partial+final hash agg —
     no window, no sort of the fact table."""

@@ -174,17 +174,15 @@ def build(spark, k: int) -> str:
             if name == "documents" and r > 0:
                 src, dst = _cipher_cols(r)
                 rep = rep.withColumn("text", F.translate("text", src, dst))
-            if name == "customer" and r > 0:
-                # cipher names too: verbatim replica names are exact
-                # duplicates whose deletion-neighborhood buckets (and
-                # the pair OUTPUT itself) grow quadratically in the
-                # replica count — a workload-construction artifact,
-                # not an engine property. (Leaving them un-ciphered
-                # is how the sweep's detector first proved itself on
-                # a non-synthetic query: dedup_fuzzy_names hit 88 s
-                # at 16x, leg ratios 4.4/8.9.)
-                src, dst = _cipher_cols(r)
-                rep = rep.withColumn("c_name", F.translate("c_name", src, dst))
+            # customer names replicate VERBATIM on purpose: round 4
+            # ciphered them (quadratic blocking buckets, 88 s at 16x,
+            # leg ratios 4.4/8.9), but round 5 moved the defense into
+            # the operator itself — dedup_fuzzy_names now collapses
+            # exact-duplicate names before blocking, so the sweep's
+            # duplicate-heavy replicas are exactly the adversarial
+            # input that proves the fix. The pair OUTPUT still grows
+            # ~r^2 within duplicated groups (pair semantics), but the
+            # blocking/verify stages must stay flat.
             if name == "embeddings" and r > 0:
                 rep = rep.withColumn(
                     "embedding",
