@@ -29,11 +29,25 @@ from ..streaming.stateful import streaming_user_totals_exact
 from .registry import register, t
 
 
+def _tail_sample(path: str, n: int = 128) -> str:
+    """Last ``n`` bytes of a file, hex — for parquet this covers the
+    footer (metadata + row counts), which changes whenever content
+    does even if size and mtime are preserved."""
+    import os
+
+    with open(path, "rb") as fh:
+        fh.seek(max(os.path.getsize(path) - n, 0))
+        return fh.read(n).hex()
+
+
 def _source_signature(sf_dir: str) -> str:
     """Cheap content signature of the events source: every data
-    file's (relative path, size, mtime). A testdata regeneration —
-    even at the same path — changes it, which retires the old scratch
-    dir and forces a fresh replay copy."""
+    file's (relative path, size, mtime) plus a tail byte sample. A
+    testdata regeneration — even at the same path — changes it, which
+    retires the old scratch dir and forces a fresh replay copy. The
+    tail sample closes the mtime-preserving hole (cp -p / rsync -a /
+    tar keep timestamps, but a parquet rewrite perturbs the footer
+    bytes sampled here)."""
     import os
 
     src = f"{sf_dir}/events.parquet"
@@ -41,30 +55,37 @@ def _source_signature(sf_dir: str) -> str:
     if os.path.isdir(src):
         for root, _dirs, files in sorted(os.walk(src)):
             for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{os.path.relpath(root, src)}/{f}:{st.st_size}:{st.st_mtime_ns}")
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(root, src)}/{f}:{st.st_size}:"
+                    f"{st.st_mtime_ns}:{_tail_sample(p)}"
+                )
     elif os.path.exists(src):
         st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}:{_tail_sample(src)}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
-def _stream_dirs(name: str, sf_dir: str) -> tuple[str, str, bool]:
+def _stream_dirs(name: str, sf_dir: str, proj: str) -> tuple[str, str, bool]:
     """Deterministic, REUSED scratch dirs for a streaming query's
-    (input replay, checkpoint) — keyed by query and a CONTENT
-    signature of the source, so repeated invocations (bench warm-up,
-    plan tests, driver runs, the full pytest suite) reuse one replay
-    copy instead of leaking a fresh mkdtemp each call, and a testdata
-    regeneration can never serve a stale copy (the signature moves
-    with file size/mtime). Returns (in_dir, ckpt, copy_ready):
-    ``copy_ready`` is True when a completed replay copy (Spark's
-    _SUCCESS marker) already exists and the write can be skipped.
-    The checkpoint is wiped before every run: resuming a finished
-    availableNow checkpoint would replay nothing and return an empty
-    table."""
+    (input replay, checkpoint) — keyed by query, a CONTENT signature
+    of the source, and the query's input PROJECTION, so repeated
+    invocations (bench warm-up, plan tests, driver runs, the full
+    pytest suite) reuse one replay copy instead of leaking a fresh
+    mkdtemp each call, and neither a testdata regeneration (signature
+    moves with size/mtime/footer bytes) nor an edit to the query's
+    select/cast list (``proj`` moves) can serve a stale copy with the
+    wrong schema. Returns (in_dir, ckpt, copy_ready): ``copy_ready``
+    is True when a completed replay copy (Spark's _SUCCESS marker)
+    already exists and the write can be skipped. The checkpoint is
+    wiped before every run: resuming a finished availableNow
+    checkpoint would replay nothing and return an empty table."""
     import os
 
-    tag = _source_signature(sf_dir)
+    tag = hashlib.md5(
+        f"{_source_signature(sf_dir)}|{proj}".encode()
+    ).hexdigest()[:12]
     base = f"{tempfile.gettempdir()}/mrs_stream_{name}_{tag}"
     ckpt = f"{base}/ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -102,7 +123,7 @@ def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     incrementally — state is (window × event_type) rows in the state
     store; swap source for Kafka and sink for foreachBatch and
     nothing else changes."""
-    in_dir, ckpt, copy_ready = _stream_dirs("tumbling", sf_dir)
+    in_dir, ckpt, copy_ready = _stream_dirs("tumbling", sf_dir, "*,ts:timestamp")
     if not copy_ready:
         (
             t(spark, sf_dir, "events")
@@ -158,7 +179,9 @@ def streaming_stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     only their own rows to Python. Production adds a
     ``GroupStateTimeout`` so idle keys expire instead of growing
     state with key cardinality forever."""
-    in_dir, ckpt, copy_ready = _stream_dirs("stateful", sf_dir)
+    in_dir, ckpt, copy_ready = _stream_dirs(
+        "stateful", sf_dir, "user_id:bigint,value:double"
+    )
     if not copy_ready:
         (
             t(spark, sf_dir, "events")
@@ -243,7 +266,9 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     closed sessions EMIT and EVICT instead of accumulating (that
     bounded-state variant is exercised in tests/test_streaming.py).
     """
-    in_dir, ckpt, copy_ready = _stream_dirs("session", sf_dir)
+    in_dir, ckpt, copy_ready = _stream_dirs(
+        "session", sf_dir, "user_id:bigint,ts:timestamp"
+    )
     if not copy_ready:
         (
             t(spark, sf_dir, "events")
@@ -274,4 +299,74 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     query.awaitTermination()
     return spark.table(_SESSION_QUERY_NAME).select(
         "user_id", "session_start", "n_events"
+    )
+
+
+_TIMEOUT_QUERY_NAME = "mrs_streaming_timeout_sink"
+
+
+@register(
+    "streaming_sessions_timeout_eviction",
+    oracle=None,  # rows-only: eviction timing depends on the replay's
+    # micro-batch boundaries (file order), so per-row values are not
+    # SQL-replayable; the deterministic eviction semantics are pinned
+    # by tests/test_streaming.py::test_event_time_timeout_evicts_idle_user_state
+    tags=("streaming", "stateful", "timeout", "eviction"),
+)
+def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EventTimeTimeout eviction path through the DRIVER surface:
+    replay events as a multi-batch file stream and run the
+    watermark-evicting sessionizer
+    (``streaming/stateful.py::streaming_user_sessions_with_timeout``)
+    — per-user state arms a timeout at last-event-time + gap and is
+    REMOVED (with one final ``is_final=true`` row) once the watermark
+    passes it. This is the bounded-state property that makes custom
+    state viable at 100 TB: state tracks ACTIVE users, not all-time
+    user cardinality. Registered rows-only so the driver artifact
+    certifies the operator runs end-to-end on real SF data; the
+    deterministic batch-sequence eviction test pins the semantics.
+
+    The result is the 1–2-row eviction census (running vs final row
+    counts and distinct users), not the raw update log — stable in
+    shape at every SF."""
+    from ..streaming.stateful import streaming_user_sessions_with_timeout
+
+    in_dir, ckpt, copy_ready = _stream_dirs(
+        "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
+    )
+    if not copy_ready:
+        (
+            t(spark, sf_dir, "events")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            .repartitionByRange(4, "ts")
+            .write.mode("overwrite")
+            .parquet(in_dir)
+        )
+    for q in spark.streams.active:
+        if q.name == _TIMEOUT_QUERY_NAME:
+            q.stop()
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    query = (
+        streaming_user_sessions_with_timeout(
+            stream, gap="10 minutes", gap_ms=10 * 60 * 1000
+        )
+        .writeStream.format("memory")
+        .queryName(_TIMEOUT_QUERY_NAME)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(_TIMEOUT_QUERY_NAME)
+        .groupBy("is_final")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
     )

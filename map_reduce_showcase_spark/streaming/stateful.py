@@ -136,7 +136,14 @@ def streaming_user_sessions_with_timeout(
             batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
             last_ms = max(last_ms, batch_max_ms)
         state.update((n, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # clamp to the watermark: a micro-batch can deliver a key
+        # whose newest event is already ≥ gap behind the watermark
+        # (file replays and any out-of-order source do this), and
+        # Spark rejects a timeout armed in the past. Such a session
+        # is already expirable — arm it just past the watermark so
+        # it fires at the next batch instead of crashing the query.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, wm_ms + 1))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "is_final": [False]}
         )

@@ -388,11 +388,13 @@ def test_event_time_timeout_evicts_idle_user_state(spark, tmp_path):
     assert all(not r["is_final"] for r in rows if r["user_id"] == 1)
 
 
-def test_stream_scratch_retires_on_source_change(tmp_path):
-    """The streaming replay scratch dir is keyed by a content
-    signature of the source events file: same content → same dir
-    (copy reused), touched/regenerated content → different dir (a
-    stale replay copy can never be served)."""
+def test_stream_scratch_retires_on_source_change(tmp_path, sf_dir):
+    """The streaming replay scratch dir is keyed by (source content
+    signature, query projection): same content+projection → same dir
+    (copy reused); touched/regenerated content, content rewritten
+    with PRESERVED mtime (cp -p style), or an edited projection →
+    different dir (a stale or wrong-schema replay copy can never be
+    served)."""
     import os
     import shutil
 
@@ -400,11 +402,25 @@ def test_stream_scratch_retires_on_source_change(tmp_path):
 
     src = tmp_path / "sf"
     src.mkdir()
-    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
-    d1, c1, ready1 = _stream_dirs("unittest", str(src))
+    ev = src / "events.parquet"
+    shutil.copy(f"{sf_dir}/events.parquet", ev)
+    d1, c1, ready1 = _stream_dirs("unittest", str(src), "a:int")
     assert not ready1  # nothing materialized yet
-    d1b, _c, _r = _stream_dirs("unittest", str(src))
-    assert d1 == d1b  # unchanged source → same scratch dir
-    os.utime(src / "events.parquet")  # simulate regeneration
-    d2, _c, _r = _stream_dirs("unittest", str(src))
+    d1b, _c, _r = _stream_dirs("unittest", str(src), "a:int")
+    assert d1 == d1b  # unchanged source+projection → same scratch dir
+    dp, _c, _r = _stream_dirs("unittest", str(src), "a:int,b:string")
+    assert dp != d1  # edited projection → fresh dir (schema safety)
+    os.utime(ev)  # simulate regeneration
+    d2, _c, _r = _stream_dirs("unittest", str(src), "a:int")
     assert d2 != d1  # content signature moved → fresh dir
+    # rewrite content but put the old mtime back (cp -p / rsync -a):
+    # the tail byte sample must still retire the dir
+    st = os.stat(ev)
+    with open(ev, "r+b") as fh:
+        fh.seek(max(st.st_size - 16, 0))
+        tail = fh.read(16)
+        fh.seek(max(st.st_size - 16, 0))
+        fh.write(bytes(b ^ 0xFF for b in tail))
+    os.utime(ev, ns=(st.st_atime_ns, st.st_mtime_ns))
+    d3, _c, _r = _stream_dirs("unittest", str(src), "a:int")
+    assert d3 not in (d1, d2)  # footer bytes moved despite same size+mtime

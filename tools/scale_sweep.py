@@ -244,9 +244,21 @@ def fit(results: dict) -> dict:
     out = {}
     for q, times in results.items():
         t1, t4, t16 = (times.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
-        alpha = round(math.log(t16 / t1) / math.log(16), 2) if t1 and t16 else None
-        head = round(t4 / t1, 2) if t1 and t4 else None
-        tail = round(t16 / t4, 2) if t4 and t16 else None
+
+        # missing-vs-zero: `is not None` (not truthiness) so a timing
+        # that rounds to 0.0 s can't silently disable the detector;
+        # guard the denominators explicitly instead
+        def _ratio(num, den):
+            if num is None or den is None or den == 0:
+                return None
+            return num / den
+
+        a = _ratio(t16, t1)
+        alpha = round(math.log(a) / math.log(16), 2) if a else None
+        head = _ratio(t4, t1)
+        head = round(head, 2) if head is not None else None
+        tail = _ratio(t16, t4)
+        tail = round(tail, 2) if tail is not None else None
         out[q] = {
             "times_sec": times,
             "alpha": alpha,
