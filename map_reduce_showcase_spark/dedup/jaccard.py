@@ -134,6 +134,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Pairs with asymmetric shingle CONTAINMENT ≥ threshold in
     either direction: ``(d1, d2, c1, c2)`` where c1 = |∩|/|A| (the
@@ -150,8 +151,24 @@ def containment_pairs(
     ``max_shingle_df`` applies the same boilerplate-shingle DF cap as
     :func:`ngram_jaccard_pairs`, BEFORE both the intersection join
     and the per-doc sizes (so both containment normalizers see the
-    capped index consistently)."""
-    sh = cap_shingle_df(shingle_rows(docs, n, text_col, id_col), max_shingle_df)
+    capped index consistently).
+
+    ``hash_shingles`` (default on) replaces each shingle string with
+    its portable 60-bit hash BEFORE the DF window and the self-join,
+    so both of this operator's shuffles — and the window's sort —
+    move and compare 8-byte longs instead of n-word strings (the
+    same carry-hashes-never-text rule the minhash, substring-run and
+    passage operators already follow; the hash is the md5-based
+    portable one so a DuckDB oracle replays identical arithmetic,
+    collisions included). String shuffle volume was the dominant
+    data-dependent term in the 16x scale sweep (tail ratio 3.27,
+    the highest non-control value in round 4)."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    if hash_shingles:
+        from ..functions.text import portable_hash60
+
+        sh = sh.select("doc_id", portable_hash60(F.col("shingle")).alias("shingle"))
+    sh = cap_shingle_df(sh, max_shingle_df)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

@@ -432,12 +432,15 @@ def dedup_apply_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_names",
     oracle="""
-    SELECT a.c_name AS name_a, b.c_name AS name_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    SELECT least(a.c_name, b.c_name) AS name_a,
+           greatest(a.c_name, b.c_name) AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+           COUNT(*) AS n_pairs
     FROM customer a
     JOIN customer b
       ON a.c_custkey < b.c_custkey
      AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY 1, 2, 3
     """,
     tags=("dedup", "fuzzy", "entity-resolution"),
 )
@@ -468,18 +471,25 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 88 s / leg ratios 4.4–8.9 on verbatim-replicated names.
     The standard entity-resolution pre-step fixes it structurally:
     collapse exact-duplicate names FIRST (one hash-aggregate; map-
-    side combine absorbs the multiplicity before the shuffle), run
-    blocking + levenshtein verify over DISTINCT names only, then
-    expand members back out at the end. The only remaining m² term
-    is the pair OUTPUT itself, which the pair semantics demand."""
+    side combine absorbs the multiplicity before the shuffle), then
+    run blocking + levenshtein verify over DISTINCT names only.
+
+    Output contract — MATCH GROUPS, not expanded pairs: one row per
+    unordered NAME pair within distance 1 (plus one per duplicated
+    name, dist 0), carrying ``n_pairs``, the number of underlying
+    record pairs (m_a·m_b across names, C(m,2) within one). The
+    expanded pair list is recoverable exactly, but materializing it
+    is Θ(n_pairs) BY DEFINITION — on this catalog's sequential name
+    template the 16×-replica sweep measured 35 s / tail 7.9 purely
+    generating the 69M expanded rows; no operator outruns its own
+    output. The multiplicity form is the standard ER join artifact
+    and keeps the query output-bounded by the DISTINCT-name pair
+    count, flat under duplicate replication."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # 1. exact-dup collapse: one row per distinct name; members ride
-    #    along (sorted for determinism) for the final expansion
-    groups = cust.groupBy("c_name").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("members")
-    )
+    # 1. exact-dup collapse: one row per distinct name + multiplicity
+    groups = cust.groupBy("c_name").agg(F.count(F.lit(1)).alias("m"))
     nh = F.xxhash64("c_name")
-    names_dim = groups.select(nh.alias("nh"), "c_name", "members")
+    names_dim = groups.select(nh.alias("nh"), "c_name", "m")
     # 2. deletion-neighborhood blocking over distinct names; keys and
     #    name ids are xxhash64 longs so the self-join and distinct
     #    move (long, long) rows, never strings — a key collision only
@@ -507,42 +517,30 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.nh").alias("h1"), F.col("b.nh").alias("h2"))
         .distinct()
     )
-    # 3. verify on distinct-name pairs, then expand members; name_a
-    #    follows custkey order per the pair semantics
+    # 3. verify on distinct-name pairs; multiplicities multiply out
     d1 = F.broadcast(names_dim).alias("d1")
     d2 = F.broadcast(names_dim).alias("d2")
-    k1_lt = F.col("k1") < F.col("k2")
     cross = (
         cand.join(d1, F.col("h1") == F.col("d1.nh"))
         .join(d2, F.col("h2") == F.col("d2.nh"))
         .where(F.levenshtein(F.col("d1.c_name"), F.col("d2.c_name")) <= 1)
         .select(
-            F.col("d1.c_name").alias("n1"),
-            F.col("d2.c_name").alias("n2"),
-            F.col("d1.members").alias("m1"),
-            F.col("d2.members").alias("m2"),
-        )
-        .withColumn("k1", F.explode("m1"))
-        .withColumn("k2", F.explode("m2"))
-        .select(
-            F.when(k1_lt, F.col("n1")).otherwise(F.col("n2")).alias("name_a"),
-            F.when(k1_lt, F.col("n2")).otherwise(F.col("n1")).alias("name_b"),
+            F.least(F.col("d1.c_name"), F.col("d2.c_name")).alias("name_a"),
+            F.greatest(F.col("d1.c_name"), F.col("d2.c_name")).alias("name_b"),
+            F.levenshtein(F.col("d1.c_name"), F.col("d2.c_name"))
+            .cast("int")
+            .alias("dist"),
+            (F.col("d1.m") * F.col("d2.m")).alias("n_pairs"),
         )
     )
-    # 4. identical-name pairs (dist 0): all member pairs within a group
-    within = (
-        groups.where(F.size("members") >= 2)
-        .withColumn("k1", F.explode("members"))
-        .withColumn("k2", F.explode("members"))
-        .where(k1_lt)
-        .select(
-            F.col("c_name").alias("name_a"),
-            F.col("c_name").alias("name_b"),
-        )
+    # 4. duplicated names (dist 0): C(m, 2) record pairs each
+    within = groups.where(F.col("m") >= 2).select(
+        F.col("c_name").alias("name_a"),
+        F.col("c_name").alias("name_b"),
+        F.lit(0).cast("int").alias("dist"),
+        (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("n_pairs"),
     )
-    return cross.unionByName(within).withColumn(
-        "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
-    )
+    return cross.unionByName(within)
 
 
 # word 5-gram spans of the token array (1-based inclusive slices),
@@ -652,7 +650,9 @@ _SUBSTR_MAX_GRAM_DF = 250
     oracle=f"""
     WITH
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
-    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    e0 AS (SELECT doc_id,
+                  {portable_hash60_sql("unnest(shingles)")} AS shingle
+           FROM sh),
     e AS (SELECT doc_id, shingle FROM e0
           QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_CONTAIN_MAX_DF}),
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
@@ -681,7 +681,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the boilerplate DF cap genuinely applied (shingles in more
     than ``_CONTAIN_MAX_DF`` docs are dropped before both the
     intersection and the normalizers — the oracle replays the same
-    cap); only the verify normalizer differs."""
+    cap); only the verify normalizer differs. Since round 5 the
+    index carries portable 60-bit shingle hashes instead of strings
+    (oracle-mirrored), so both shuffles move 8-byte longs — the
+    round-4 sweep's highest non-control tail (3.27) was the string
+    shuffle/sort growing with the corpus."""
     from ..dedup.jaccard import containment_pairs
 
     return containment_pairs(

@@ -199,12 +199,17 @@ def build(spark, k: int) -> str:
     return out_dir
 
 
-def run(spark, points: dict[str, str], reps: int) -> dict:
+def run(spark, points: dict[str, str], reps: int, only: set[str] | None = None) -> dict:
     """Time each query at each scale point; min over ``reps`` runs
     (min is the noise-robust estimator for a shared box — GC pauses
     and page-cache misses only ever ADD time)."""
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
     names = QUERIES + sorted(CONTROLS)
+    if only is not None:
+        unknown = set(only) - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in the sweep set: {sorted(unknown)}")
+        names = [q for q in names if q in only]
     builders = {q: CONTROLS.get(q) or REGISTRY[q].builder for q in names}
     results: dict[str, dict[str, float]] = {q: {} for q in names}
     # warm-up at the smallest point so codegen isn't billed to sf0.1
@@ -284,6 +289,14 @@ def main() -> None:
         "SCALE_SWEEP.json without re-running anything",
     )
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: re-run just these and "
+        "merge their times into the existing SCALE_SWEEP.json "
+        "(for re-measuring a rewritten operator without paying "
+        "the full sweep)",
+    )
     args = ap.parse_args()
     if args.refit:
         path = os.path.join(REPO, "SCALE_SWEEP.json")
@@ -311,9 +324,19 @@ def main() -> None:
             "sf0.4": os.path.join(SCRATCH, "sf0.4"),
             "sf1.6": os.path.join(SCRATCH, "sf1.6"),
         }
+        only = set(args.only.split(",")) if args.only else None
         spark.sparkContext.setLogLevel("FATAL")
-        results = run(spark, points, args.reps)
+        results = run(spark, points, args.reps, only)
         spark.sparkContext.setLogLevel("ERROR")
+        if only:
+            # merge: keep every other query's recorded times, replace
+            # only the re-measured ones, refit the whole table
+            path = os.path.join(REPO, "SCALE_SWEEP.json")
+            with open(path) as fh:
+                prior = json.load(fh)
+            merged = {q: v["times_sec"] for q, v in prior["queries"].items()}
+            merged.update(results)
+            results = merged
         fitted = fit(results)
         payload = {
             "protocol": (
