@@ -81,6 +81,27 @@ _SENTINELS = (
     "dedup_minhash_lsh",
 )
 
+#: Queries whose DEFINITION changed since their latest driver green —
+#: a past round's artifact proved different code, so they re-enter the
+#: window right behind the never-proven band until a fresh artifact
+#: lands (then remove them here). Round 5: the four re-aimed
+#: vacuously-green TPC-H shapes, the three re-sliced 0-row queries,
+#: and the three rewritten dedup operators.
+_REVERIFY = frozenset(
+    {
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q11_important_part_value",
+        "q20_heavy_shippers",
+        "q22_idle_wealthy_customers",
+        "join_anti_customers_without_orders",
+        "dedup_exact_groups",
+        "dedup_fuzzy_names",
+        "dedup_containment_pairs",
+        "dedup_substring_runs",
+    }
+)
+
 
 def _latest_green_round() -> dict[str, int]:
     """query name → highest round whose CORRECTNESS artifact proved
@@ -123,8 +144,12 @@ def _export_ordered() -> list[QuerySpec]:
             return (0, sentinel_pos[spec.name], 0)
         if spec.name not in green:
             return (1, 0, i)  # never proven — registration order
+        if spec.name in _REVERIFY:
+            # proven, but the definition changed since that proof —
+            # the old artifact certifies different code
+            return (2, 0, i)
         # proven: stalest latest-green first, registration order ties
-        return (2, green[spec.name], i)
+        return (3, green[spec.name], i)
 
     return [s for _, s in sorted(enumerate(specs), key=key)]
 

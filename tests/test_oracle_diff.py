@@ -139,9 +139,12 @@ def test_unverified_queries_export_inside_driver_window():
 
 def test_export_order_is_evidence_priority():
     """The computed export order must be: sentinels, then every
-    never-driver-green query, then proven queries with latest-green
-    round non-decreasing (stalest evidence re-verifies first)."""
+    never-driver-green query, then the re-verify band (definition
+    changed since the last green — the old artifact certifies
+    different code), then proven queries with latest-green round
+    non-decreasing (stalest evidence re-verifies first)."""
     from map_reduce_showcase_spark.plans.registry import (
+        _REVERIFY,
         _SENTINELS,
         _latest_green_round,
         query_map,
@@ -152,10 +155,18 @@ def test_export_order_is_evidence_priority():
     assert tuple(order[: len(_SENTINELS)]) == _SENTINELS
 
     rest = order[len(_SENTINELS) :]
-    proven_flags = [n in green for n in rest]
-    first_proven = proven_flags.index(True)
-    assert all(proven_flags[first_proven:]), (
-        "never-green queries must all precede proven ones"
-    )
-    rounds = [green[n] for n in rest[first_proven:]]
+    # band rank per name: 1 never-green, 2 re-verify, 3 proven
+    def band(n):
+        if n not in green:
+            return 1
+        return 2 if n in _REVERIFY else 3
+
+    bands = [band(n) for n in rest]
+    assert bands == sorted(bands), "band order must be never-green, re-verify, proven"
+    rounds = [green[n] for n, b in zip(rest, bands) if b == 3]
     assert rounds == sorted(rounds), "proven queries must be stalest-first"
+    # re-verify names must actually sit inside the driver's ~50 window
+    in_reverify = [n for n in order[:50] if n in _REVERIFY]
+    assert set(in_reverify) == set(_REVERIFY) & set(order), (
+        "every re-verify query must export inside the 50-entry window"
+    )
