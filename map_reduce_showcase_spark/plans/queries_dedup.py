@@ -485,7 +485,16 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. The multiplicity form is the standard ER join artifact
     and keeps the query output-bounded by the DISTINCT-name pair
     count, flat under duplicate replication."""
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_name_match_groups(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+
+
+def fuzzy_name_match_groups(cust: DataFrame) -> DataFrame:
+    """Core of ``dedup_fuzzy_names`` over any (c_custkey, c_name)
+    frame — factored out so the property suite can drive it with
+    adversarial synthetic name sets (tiny alphabets force dense
+    lev-1 neighborhoods, duplicates, and empty strings)."""
     # 1. exact-dup collapse: one row per distinct name + multiplicity
     groups = cust.groupBy("c_name").agg(F.count(F.lit(1)).alias("m"))
     nh = F.xxhash64("c_name")

@@ -378,3 +378,53 @@ def test_bm25_matches_python_model(spark, tmp_path, docs):
     assert set(got) == set(expected)  # <= 8 docs, top-15 never cuts
     for i, s in expected.items():
         assert abs(got[i] - s) < 1e-6, (i, got[i], s)
+
+
+def _model_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=3),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_fuzzy_match_groups_match_python_model(spark, names):
+    """The deletion-neighborhood match-group operator against a
+    brute-force model on adversarial name sets: a 2-letter alphabet
+    with lengths 0-3 makes nearly every name pair a lev-1 neighbor,
+    duplicates common, and includes the empty string (whose deletion
+    neighborhood is itself) — the regimes where blocking recall or
+    the multiplicity arithmetic could silently go wrong."""
+    from collections import Counter
+    from itertools import combinations
+
+    from map_reduce_showcase_spark.plans.queries_dedup import (
+        fuzzy_name_match_groups,
+    )
+
+    cust = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "c_custkey: long, c_name: string"
+    )
+    got = {tuple(r) for r in fuzzy_name_match_groups(cust).collect()}
+    cnt = Counter(names)
+    want = {
+        (n, n, 0, m * (m - 1) // 2) for n, m in cnt.items() if m >= 2
+    } | {
+        (a, b, 1, cnt[a] * cnt[b])
+        for a, b in combinations(sorted(cnt), 2)
+        if _model_lev(a, b) == 1
+    }
+    assert got == want
