@@ -69,7 +69,11 @@ def register(
 #   band 1 — never driver-green: no artifact from any round proved
 #            them (new queries, or ones whose every driver run
 #            errored) — first claim on the window;
-#   band 2+ — proven queries ordered by the ROUND of their latest
+#   band 2 — changed since green: a past round's artifact proved a
+#            DIFFERENT definition (detected by comparing the current
+#            definition fingerprint against the snapshot recorded at
+#            the green round — see changed_since_green);
+#   band 3 — proven queries ordered by the ROUND of their latest
 #            green, oldest first: stalest evidence re-verifies
 #            soonest, freshest absorbs the truncation.
 #
@@ -81,26 +85,95 @@ _SENTINELS = (
     "dedup_minhash_lsh",
 )
 
-#: Queries whose DEFINITION changed since their latest driver green —
-#: a past round's artifact proved different code, so they re-enter the
-#: window right behind the never-proven band until a fresh artifact
-#: lands (then remove them here). Round 5: the four re-aimed
-#: vacuously-green TPC-H shapes, the three re-sliced 0-row queries,
-#: and the three rewritten dedup operators.
-_REVERIFY = frozenset(
-    {
-        "q8_market_share",
-        "q9_product_type_profit",
-        "q11_important_part_value",
-        "q20_heavy_shippers",
-        "q22_idle_wealthy_customers",
-        "join_anti_customers_without_orders",
-        "dedup_exact_groups",
-        "dedup_fuzzy_names",
-        "dedup_containment_pairs",
-        "dedup_substring_runs",
-    }
-)
+def definition_fingerprint(spec: QuerySpec) -> str:
+    """Stable hash of the query's DEFINITION: the builder function's
+    source text plus its oracle SQL. Used to detect
+    changed-since-green queries automatically (round 5 kept a
+    hand-maintained ``_REVERIFY`` frozenset for this; it went stale
+    the moment the listed queries were re-proven, which is exactly
+    the failure mode a hand list has). Limitation, by design: edits
+    to a HELPER the builder calls don't move the fingerprint — the
+    local differential still proves such queries every round, and
+    helper-level rewrites in practice come with a builder/docstring
+    edit anyway."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.builder)
+    except (OSError, TypeError):
+        src = f"<no-source:{spec.builder.__module__}.{spec.builder.__qualname__}>"
+    return hashlib.sha256(f"{src}\x00{spec.oracle or ''}".encode()).hexdigest()[:16]
+
+
+def current_fingerprints() -> dict[str, str]:
+    """query name → fingerprint of the definition as it exists NOW."""
+    _load_all()
+    return {n: definition_fingerprint(s) for n, s in REGISTRY.items()}
+
+
+def _fingerprint_snapshots() -> dict[int, dict[str, str]]:
+    """round → {query: fingerprint-recorded-that-round}. Sources:
+    ``FINGERPRINTS_r*.json`` (flat maps; r5 is a one-off baseline
+    generated from the pristine round-5 code before any round-6
+    edits) and the per-entry ``fingerprint`` fields that
+    ``tools/drive_contract.py`` stamps into ``LOCAL_DIFF_r*.json``
+    from round 6 on."""
+    import json
+    import pathlib
+    import re
+
+    snaps: dict[int, dict[str, str]] = {}
+    repo = pathlib.Path(__file__).resolve().parent.parent.parent
+    for art in sorted(repo.glob("FINGERPRINTS_r*.json")) + sorted(
+        repo.glob("LOCAL_DIFF_r*.json")
+    ):
+        m = re.search(r"r(\d+)", art.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(art.read_text())
+        except (OSError, ValueError):
+            continue
+        snap = snaps.setdefault(rnd, {})
+        for n, e in data.items():
+            if isinstance(e, str):  # FINGERPRINTS flat map
+                snap.setdefault(n, e)
+            elif isinstance(e, dict) and e.get("fingerprint"):
+                snap.setdefault(n, e["fingerprint"])
+    return snaps
+
+
+def changed_since_green(
+    green: dict[str, int],
+    snapshots: dict[int, dict[str, str]],
+    current: dict[str, str],
+) -> set[str]:
+    """Names whose definition changed AFTER their latest driver-green
+    round — the old artifact certifies different code, so they must
+    re-enter the driver window. Rule: take the EARLIEST fingerprint
+    snapshot at round >= the green round; if it disagrees with the
+    current fingerprint, the definition moved since the proof. No
+    snapshot that late → assume unchanged (the snapshot era starts
+    at round 5; the every-round local differential proves current
+    code regardless)."""
+    out: set[str] = set()
+    for name, g in green.items():
+        rounds = sorted(r for r, snap in snapshots.items() if r >= g and name in snap)
+        if rounds and snapshots[rounds[0]][name] != current.get(name, ""):
+            out.add(name)
+    return out
+
+
+def reverify_band() -> set[str]:
+    """The computed re-verify band (replaces round 5's hand-kept
+    ``_REVERIFY`` frozenset, which went stale as soon as its members
+    were re-proven)."""
+    _load_all()
+    return changed_since_green(
+        _latest_green_round(), _fingerprint_snapshots(), current_fingerprints()
+    )
 
 
 def _latest_green_round() -> dict[str, int]:
@@ -136,6 +209,9 @@ def _export_ordered() -> list[QuerySpec]:
     _load_all()
     specs = list(REGISTRY.values())
     green = _latest_green_round()
+    reverify = changed_since_green(
+        green, _fingerprint_snapshots(), {s.name: definition_fingerprint(s) for s in specs}
+    )
     sentinel_pos = {n: i for i, n in enumerate(_SENTINELS)}
 
     def key(p: tuple[int, QuerySpec]):
@@ -144,9 +220,10 @@ def _export_ordered() -> list[QuerySpec]:
             return (0, sentinel_pos[spec.name], 0)
         if spec.name not in green:
             return (1, 0, i)  # never proven — registration order
-        if spec.name in _REVERIFY:
+        if spec.name in reverify:
             # proven, but the definition changed since that proof —
-            # the old artifact certifies different code
+            # the old artifact certifies different code (band is
+            # COMPUTED from fingerprint snapshots, never hand-kept)
             return (2, 0, i)
         # proven: stalest latest-green first, registration order ties
         return (3, green[spec.name], i)

@@ -144,14 +144,15 @@ def test_export_order_is_evidence_priority():
     different code), then proven queries with latest-green round
     non-decreasing (stalest evidence re-verifies first)."""
     from map_reduce_showcase_spark.plans.registry import (
-        _REVERIFY,
         _SENTINELS,
         _latest_green_round,
         query_map,
+        reverify_band,
     )
 
     order = list(query_map())
     green = _latest_green_round()
+    reverify = reverify_band()
     assert tuple(order[: len(_SENTINELS)]) == _SENTINELS
 
     rest = order[len(_SENTINELS) :]
@@ -159,14 +160,95 @@ def test_export_order_is_evidence_priority():
     def band(n):
         if n not in green:
             return 1
-        return 2 if n in _REVERIFY else 3
+        return 2 if n in reverify else 3
 
     bands = [band(n) for n in rest]
     assert bands == sorted(bands), "band order must be never-green, re-verify, proven"
     rounds = [green[n] for n, b in zip(rest, bands) if b == 3]
     assert rounds == sorted(rounds), "proven queries must be stalest-first"
     # re-verify names must actually sit inside the driver's ~50 window
-    in_reverify = [n for n in order[:50] if n in _REVERIFY]
-    assert set(in_reverify) == set(_REVERIFY) & set(order), (
+    in_reverify = [n for n in order[:50] if n in reverify]
+    assert set(in_reverify) == reverify & set(order), (
         "every re-verify query must export inside the 50-entry window"
     )
+
+
+def test_changed_since_green_auto_promotes():
+    """The re-verify band is COMPUTED: editing a query's definition
+    after a driver green must promote it with no registry edit (the
+    round-5 hand-kept frozenset went stale the moment its members
+    were re-proven — this mechanism replaces it)."""
+    from map_reduce_showcase_spark.plans.registry import changed_since_green
+
+    green = {"q_edited": 4, "q_stable": 4, "q_pre_snapshot_era": 2}
+    snapshots = {
+        5: {"q_edited": "aaaa", "q_stable": "bbbb"},
+        6: {"q_edited": "cccc", "q_stable": "bbbb"},
+    }
+    current = {"q_edited": "cccc", "q_stable": "bbbb", "q_pre_snapshot_era": "dddd"}
+    # q_edited: earliest snapshot >= green round (r5) says 'aaaa',
+    # current is 'cccc' → the r4 artifact proved different code
+    # q_stable: unchanged across the era → stays proven
+    # q_pre_snapshot_era: green predates every snapshot... but r5/r6
+    # snapshots don't carry it, so no verdict is possible → unchanged
+    assert changed_since_green(green, snapshots, current) == {"q_edited"}
+    # never-driver-green queries are band 1's concern, not this band's
+    assert changed_since_green({}, snapshots, current) == set()
+
+
+def test_harness_record_encoding_matches_driver(spark, oracle, sf_dir):
+    """The local harness's artifact encoding must mirror the
+    driver's: match fields are ``None`` ("not evaluated") for
+    rows-only and errored entries, and booleans ONLY when the
+    comparison actually ran — so an artifact consumer filtering on
+    ``rows_match == False`` sees real failures, never the eviction
+    query (the round-5 artifact encoded rows-only as triple-False)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from drive_contract import check_query
+
+    one_row = lambda s, sf: s.range(1).selectExpr("id AS n")  # noqa: E731
+
+    # rows-only: no oracle → Nones + status, no failure
+    rec, why = check_query("ro", one_row, None, (), spark, oracle, sf_dir)
+    assert why is None and rec["status"] == "rows_only"
+    assert (rec["rows_match"], rec["schema_match"], rec["hash_match"]) == (
+        None,
+        None,
+        None,
+    )
+    # spark error: Nones + err
+    def boom(s, sf):
+        raise RuntimeError("kaput")
+
+    rec, why = check_query("err", boom, "SELECT 1", (), spark, oracle, sf_dir)
+    assert why and rec["err"].startswith("spark err") and rec["rows_match"] is None
+    # vacuous untagged 0-row: Nones + err (gate), tagged: rows-only ok
+    empty = lambda s, sf: s.range(0).selectExpr("id AS n")  # noqa: E731
+    rec, why = check_query("vac", empty, None, (), spark, oracle, sf_dir)
+    assert why and "vacuous" in rec["err"] and rec["hash_match"] is None
+    rec, why = check_query("vac_ok", empty, None, ("may_be_empty",), spark, oracle, sf_dir)
+    assert why is None and rec["status"] == "rows_only"
+    # real comparison: booleans; mismatch keeps hash_match None
+    rec, why = check_query("ok", one_row, "SELECT 5 AS n", (), spark, oracle, sf_dir)
+    assert rec["rows_match"] is True and rec["schema_match"] is True
+    assert rec["hash_match"] is False and why == "value hash mismatch"
+    rec, why = check_query(
+        "rows_diff", one_row, "SELECT 0 AS n UNION ALL SELECT 1", (), spark, oracle, sf_dir
+    )
+    assert rec["rows_match"] is False and rec["hash_match"] is None
+
+
+def test_current_reverify_band_members_are_fresh_or_flagged():
+    """Every registered query's fingerprint must either match its
+    latest-green-era snapshot (not in the band) or sit in the band —
+    i.e. the band plus the fresh set covers the registry with no
+    manual bookkeeping left anywhere."""
+    from map_reduce_showcase_spark.plans.registry import (
+        current_fingerprints,
+        reverify_band,
+    )
+
+    band = reverify_band()
+    assert band <= set(current_fingerprints()), "band names must be registered"

@@ -3,7 +3,17 @@
 With ``--artifact PATH`` it also writes a CORRECTNESS-shaped JSON
 (per-query rows/schema/hash match) covering ALL registered queries —
 the local-evidence twin of the driver's ~50-entry artifact, for the
-queries the capped window can't reach in a given round.
+queries the capped window can't reach in a given round. Each entry
+additionally carries the query's definition ``fingerprint`` (builder
+source + oracle SQL hash), which is what lets the registry compute
+the changed-since-green re-verify band instead of hand-maintaining
+it (``plans/registry.py::changed_since_green``).
+
+Importable: the per-query comparison lives in :func:`check_query`
+so the harness's record encoding is unit-testable (rows-only and
+errored entries must carry ``None`` match fields like the driver's
+artifact does, NOT ``False`` — a consumer filtering on
+``rows_match == False`` must see only real comparison failures).
 """
 import argparse
 import decimal
@@ -13,31 +23,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb
 import numpy as np
 import pandas as pd
-from pyspark.sql import SparkSession
-
-import __spark_entry__ as E
-from map_reduce_showcase_spark.plans import REGISTRY
-from map_reduce_showcase_spark.plans.registry import _load_all
-
-_load_all()
 
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
-)
-spark.sparkContext.setLogLevel("ERROR")
-
-con = duckdb.connect()
-con.execute("SET TimeZone='UTC'")
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 
 def coerce(v):
@@ -59,75 +49,119 @@ def value_hash(df: pd.DataFrame):
     return hash(tuple(rows))
 
 
-ap = argparse.ArgumentParser()
-ap.add_argument("--artifact", default=None, help="write per-query JSON here")
-args = ap.parse_args()
-
-# 1. entry smoke
-r = E.entry(spark).collect()
-assert len(r) > 0, "entry() returned no rows"
-print(f"entry OK: {len(r)} rows")
-
-# 2. per-query differential
-queries = E.queries()
-oracles = E.oracle_sql()
-fails = []
-records: dict[str, dict] = {}
-t0 = time.time()
-for i, (name, fn) in enumerate(queries.items()):
+def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
+    """Run one registered query against its oracle and return the
+    artifact record. Match fields start as ``None`` ("not
+    evaluated") and only become booleans when the corresponding
+    comparison actually ran — mirroring the driver's encoding, so
+    rows-only and errored entries can't be misread as triple
+    failures. Returns (record, failure_reason_or_None)."""
     rec = {
-        "rows_match": False,
-        "schema_match": False,
-        "hash_match": False,
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
         "spark_rows": None,
         "oracle_rows": None,
         "status": "checked",
         "err": None,
     }
-    records[name] = rec
     try:
-        got = fn(spark, SF).toPandas()
+        got = fn(spark, sf).toPandas()
     except Exception as exc:
         rec["err"] = f"spark err {type(exc).__name__}: {exc}"[:300]
-        fails.append((name, rec["err"]))
-        continue
+        return rec, rec["err"]
     rec["spark_rows"] = len(got)
     # vacuity gate: a 0-row frame hash-matches trivially (schema
     # proven, logic never executed on a row) — q8/q9/q11/q20 sat
     # green through four rounds this way. Queries whose emptiness
     # is semantically legitimate must carry the may_be_empty tag.
-    tags = REGISTRY[name].tags if name in REGISTRY else ()
     if len(got) == 0 and "may_be_empty" not in tags:
         rec["err"] = "vacuous: 0 rows without may_be_empty tag"
-        fails.append((name, rec["err"]))
-        continue
-    if name not in oracles:
+        return rec, rec["err"]
+    if oracle_sql is None:
         rec["status"] = "rows_only"
-        print(f"{i:3d} {name}: rows-only {len(got)}")
-        continue
+        return rec, None
     try:
-        want = con.execute(oracles[name]).fetchdf()
+        want = con.execute(oracle_sql).fetchdf()
     except Exception as exc:
         rec["err"] = f"oracle err {type(exc).__name__}: {exc}"[:300]
-        fails.append((name, rec["err"]))
-        continue
+        return rec, rec["err"]
     rec["oracle_rows"] = len(want)
     rec["rows_match"] = len(got) == len(want)
     rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
     if rec["rows_match"] and rec["schema_match"]:
         rec["hash_match"] = value_hash(got) == value_hash(want)
     if not rec["rows_match"]:
-        fails.append((name, f"rowcount {len(got)} vs {len(want)}"))
-    elif not rec["schema_match"]:
-        fails.append((name, f"cols {sorted(got.columns)} vs {sorted(want.columns)}"))
-    elif not rec["hash_match"]:
-        fails.append((name, "value hash mismatch"))
+        return rec, f"rowcount {len(got)} vs {len(want)}"
+    if not rec["schema_match"]:
+        return rec, f"cols {sorted(got.columns)} vs {sorted(want.columns)}"
+    if not rec["hash_match"]:
+        return rec, "value hash mismatch"
+    return rec, None
 
-print(f"\n{len(queries)} queries in {time.time()-t0:.0f}s; {len(fails)} failures")
-for name, why in fails:
-    print(f"FAIL {name}: {why}")
-if args.artifact:
-    with open(args.artifact, "w") as fh:
-        json.dump(records, fh, indent=1, sort_keys=False)
-    print(f"wrote {args.artifact} ({len(records)} entries)")
-sys.exit(1 if fails else 0)
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from map_reduce_showcase_spark.plans import REGISTRY
+    from map_reduce_showcase_spark.plans.registry import (
+        _load_all,
+        definition_fingerprint,
+    )
+
+    _load_all()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", default=None, help="write per-query JSON here")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    # 1. entry smoke
+    r = E.entry(spark).collect()
+    assert len(r) > 0, "entry() returned no rows"
+    print(f"entry OK: {len(r)} rows")
+
+    # 2. per-query differential
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    fails = []
+    records: dict[str, dict] = {}
+    t0 = time.time()
+    for i, (name, fn) in enumerate(queries.items()):
+        spec = REGISTRY.get(name)
+        rec, why = check_query(
+            name, fn, oracles.get(name), spec.tags if spec else (), spark, con
+        )
+        if spec is not None:
+            rec["fingerprint"] = definition_fingerprint(spec)
+        records[name] = rec
+        if why:
+            fails.append((name, why))
+        elif rec["status"] == "rows_only":
+            print(f"{i:3d} {name}: rows-only {rec['spark_rows']}")
+
+    print(f"\n{len(queries)} queries in {time.time()-t0:.0f}s; {len(fails)} failures")
+    for name, why in fails:
+        print(f"FAIL {name}: {why}")
+    if args.artifact:
+        with open(args.artifact, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=False)
+        print(f"wrote {args.artifact} ({len(records)} entries)")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
