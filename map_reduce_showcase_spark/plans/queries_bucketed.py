@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import sweep_stale_scratch
 from ..sources.sinks import write_bucketed
 from .queries_relational import _DISC_PRICE_SQL, disc_price
 from .registry import register, t
@@ -57,6 +58,12 @@ def ensure_bucketed(
         # SAME app id is still cleared first — saveAsTable refuses
         # with LOCATION_ALREADY_EXISTS otherwise.
         app = spark.sparkContext.applicationId
+        # app-id keying prevents cross-session rmtree races but means
+        # every session materializes its own copy; without this sweep
+        # finished sessions' copies accumulate unboundedly on a
+        # shared box. Day-old siblings are certainly-dead sessions
+        # (live concurrent ones have recent mtimes and are kept).
+        sweep_stale_scratch(f"{tempfile.gettempdir()}/mrs_bkt", keep={app})
         loc = f"{tempfile.gettempdir()}/mrs_bkt/{app}/{name}"
         shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(t(spark, sf_dir, table), name, bucket_col, N_BUCKETS, path=loc)

@@ -54,10 +54,38 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_groups",
     oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "exact", "may_be_empty"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (fingerprint, keeper=min id, copies)
+    over the RAW corpus — the production plan a registry reuser
+    gets: one hash-aggregate over 16-byte fingerprints, nothing
+    planted. The synthetic corpus contains zero verbatim duplicates
+    at any SF (verified by direct count), so this is expectedly
+    empty there — tagged ``may_be_empty``; the grouping/keeper
+    logic is exercised on REAL duplicate groups by the separately
+    registered planted-fixture twin
+    ``dedup_exact_groups_fixture`` (rounds 4–5 ran the fixture
+    under this name, which handed planted rows to anyone treating
+    the registry as production plans)."""
+    return exact_dup_groups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register(
+    "dedup_exact_groups_fixture",
+    oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+             text
       FROM documents WHERE doc_id % 50 = 0
     )
     SELECT md5({_NORM_SQL}) AS fp,
@@ -67,23 +95,25 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY fp
     HAVING COUNT(*) > 1
     """,
-    tags=("dedup", "exact"),
+    tags=("dedup", "exact", "planted-fixture"),
 )
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups (fingerprint, keeper=min id, copies).
-
-    The synthetic corpus contains zero verbatim duplicates at any
-    SF (verified by direct count), which through round 4 made this
-    query's grouping/keeper logic vacuously green over an empty
-    frame. The registered form therefore runs the operator on the
+def dedup_exact_groups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-vacuous evidence twin of ``dedup_exact_groups``: the
     corpus UNION ALL a deterministic replicated slice (every 50th
-    doc re-appended under an offset id) — a planted in-query
-    fixture that guarantees real duplicate groups at every SF while
-    the operator under test (``dedup/exact.py::exact_dup_groups``)
-    stays byte-identical to the production form."""
+    doc re-appended under an offset id), guaranteeing real
+    duplicate groups at every SF while the operator under test
+    (``dedup/exact.py::exact_dup_groups``) stays byte-identical to
+    the production form. The id offset is DERIVED as
+    ``max(doc_id) + 1`` (a broadcast single-row join, no data
+    shuffle) rather than a fixed constant, so replica ids can never
+    collide with corpus ids at any SF."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    replica = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("_off"))
+    replica = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
     )
     return exact_dup_groups(docs.unionByName(replica))
 
@@ -458,11 +488,22 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle discipline: deletion keys are xxhash64-ed to 8-byte longs
     at the scan, so the self-join and the candidate distinct() move
-    (long, long) rows, never strings — a hash collision can only add
-    a spurious candidate that the levenshtein verify rejects; names
-    re-attach AFTER the distinct via two broadcast joins against the
-    |customers|-row dimension. Measured 2.3x end-to-end vs joining
-    and distinct-ing the string pairs (5.1 -> 2.2 s at sf0.1).
+    (long, long) rows, never strings; names re-attach AFTER the
+    distinct via two broadcast joins against the |customers|-row
+    dimension. Measured 2.3x end-to-end vs joining and distinct-ing
+    the string pairs (5.1 -> 2.2 s at sf0.1). Collision semantics
+    are ASYMMETRIC between the two hashes: a BLOCK-key (kh)
+    collision only adds a spurious candidate pair that the
+    levenshtein verify rejects — harmless; a NAME-id (nh) collision
+    between two distinct names is a silent FALSE NEGATIVE — the
+    strict ``a.nh < b.nh`` canonicalization can never pair them
+    (and the re-attach fans that nh out to both names, each still
+    individually levenshtein-verified, so no wrong rows appear —
+    only the colliding pair itself is lost). Probability over the
+    whole catalog is ~C(n,2)/2^64 (~3e-9 at 100M distinct names),
+    which is the accepted trade for string-free shuffles; a
+    collision-intolerant deployment can re-attach by joining on the
+    name itself as tiebreak at the cost of shuffling strings.
 
     Duplicate-multiplicity defense (in the operator since round 5,
     previously only an operating note): m verbatim copies of a name
@@ -501,8 +542,10 @@ def fuzzy_name_match_groups(cust: DataFrame) -> DataFrame:
     names_dim = groups.select(nh.alias("nh"), "c_name", "m")
     # 2. deletion-neighborhood blocking over distinct names; keys and
     #    name ids are xxhash64 longs so the self-join and distinct
-    #    move (long, long) rows, never strings — a key collision only
-    #    adds a spurious candidate the levenshtein verify rejects
+    #    move (long, long) rows, never strings — a BLOCK-key (kh)
+    #    collision only adds a spurious candidate the levenshtein
+    #    verify rejects; a NAME-id (nh) collision is a ~2^-64 silent
+    #    false negative (see the registered query's docstring)
     keys = groups.select(
         nh.alias("nh"),
         F.explode(

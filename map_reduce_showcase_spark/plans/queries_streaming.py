@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import sweep_stale_scratch
 from ..streaming.demo import read_events_stream, streaming_tumbling_counts
 from ..streaming.stateful import streaming_user_totals_exact
 from .registry import register, t
@@ -67,7 +68,9 @@ def _source_signature(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
-def _stream_dirs(name: str, sf_dir: str, proj: str) -> tuple[str, str, bool]:
+def _stream_dirs(
+    spark: SparkSession, name: str, sf_dir: str, proj: str
+) -> tuple[str, str, bool]:
     """Deterministic, REUSED scratch dirs for a streaming query's
     (input replay, checkpoint) — keyed by query, a CONTENT signature
     of the source, and the query's input PROJECTION, so repeated
@@ -80,17 +83,59 @@ def _stream_dirs(name: str, sf_dir: str, proj: str) -> tuple[str, str, bool]:
     is True when a completed replay copy (Spark's _SUCCESS marker)
     already exists and the write can be skipped. The checkpoint is
     wiped before every run: resuming a finished availableNow
-    checkpoint would replay nothing and return an empty table."""
+    checkpoint would replay nothing and return an empty table.
+
+    Concurrency: /tmp is machine-shared, so the checkpoint dir is
+    keyed by THIS session's applicationId — two concurrent sessions
+    must not rmtree each other's live checkpoint mid-run (the same
+    hazard ``queries_bucketed.ensure_bucketed`` fixed for bucketed
+    tables); the shared replay copy is claimed atomically by
+    :func:`_ensure_replay`. Per-application dirs left by finished or
+    crashed sessions are swept best-effort once they age out."""
     import os
 
     tag = hashlib.md5(
         f"{_source_signature(sf_dir)}|{proj}".encode()
     ).hexdigest()[:12]
     base = f"{tempfile.gettempdir()}/mrs_stream_{name}_{tag}"
-    ckpt = f"{base}/ckpt"
+    app = spark.sparkContext.applicationId
+    ckpt = f"{base}/ckpt_{app}"
     shutil.rmtree(ckpt, ignore_errors=True)
+    sweep_stale_scratch(base, keep={f"ckpt_{app}", "in"})
     in_dir = f"{base}/in"
     return in_dir, ckpt, os.path.exists(f"{in_dir}/_SUCCESS")
+
+
+def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
+    """Materialize the SHARED replay copy exactly once across
+    concurrent sessions: ``write_fn`` writes into an application-id
+    staging dir, which is then atomically ``rename()``-d into place.
+    The first session wins the claim; losers discard their staging
+    copy and read the winner's (rename fails when the target
+    exists, and a completed rename implies a completed write — the
+    _SUCCESS marker was written inside the staging dir)."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    stage = f"{os.path.dirname(in_dir)}/in_stage_{app}"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_fn(stage)
+    try:
+        os.rename(stage, in_dir)
+        return
+    except OSError:
+        pass
+    # lost the claim, or a legacy partial copy occupies in_dir: a
+    # complete copy (_SUCCESS) is served as-is, a partial one is
+    # replaced by this session's complete staging copy
+    if not os.path.exists(f"{in_dir}/_SUCCESS"):
+        shutil.rmtree(in_dir, ignore_errors=True)
+        try:
+            os.rename(stage, in_dir)
+            return
+        except OSError:
+            pass
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 _QUERY_NAME = "mrs_streaming_smoke_sink"
@@ -123,14 +168,16 @@ def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     incrementally — state is (window × event_type) rows in the state
     store; swap source for Kafka and sink for foreachBatch and
     nothing else changes."""
-    in_dir, ckpt, copy_ready = _stream_dirs("tumbling", sf_dir, "*,ts:timestamp")
+    in_dir, ckpt, copy_ready = _stream_dirs(spark, "tumbling", sf_dir, "*,ts:timestamp")
     if not copy_ready:
-        (
-            t(spark, sf_dir, "events")
+        _ensure_replay(
+            spark,
+            in_dir,
+            lambda p: t(spark, sf_dir, "events")
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .repartition(4)
             .write.mode("overwrite")
-            .parquet(in_dir)
+            .parquet(p),
         )
     for q in spark.streams.active:
         if q.name == _QUERY_NAME:
@@ -180,15 +227,17 @@ def streaming_stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     ``GroupStateTimeout`` so idle keys expire instead of growing
     state with key cardinality forever."""
     in_dir, ckpt, copy_ready = _stream_dirs(
-        "stateful", sf_dir, "user_id:bigint,value:double"
+        spark, "stateful", sf_dir, "user_id:bigint,value:double"
     )
     if not copy_ready:
-        (
-            t(spark, sf_dir, "events")
+        _ensure_replay(
+            spark,
+            in_dir,
+            lambda p: t(spark, sf_dir, "events")
             .select("user_id", "value")
             .repartition(4)
             .write.mode("overwrite")
-            .parquet(in_dir)
+            .parquet(p),
         )
     for q in spark.streams.active:
         if q.name == _STATEFUL_QUERY_NAME:
@@ -267,15 +316,17 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     bounded-state variant is exercised in tests/test_streaming.py).
     """
     in_dir, ckpt, copy_ready = _stream_dirs(
-        "session", sf_dir, "user_id:bigint,ts:timestamp"
+        spark, "session", sf_dir, "user_id:bigint,ts:timestamp"
     )
     if not copy_ready:
-        (
-            t(spark, sf_dir, "events")
+        _ensure_replay(
+            spark,
+            in_dir,
+            lambda p: t(spark, sf_dir, "events")
             .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
             .repartition(4)
             .write.mode("overwrite")
-            .parquet(in_dir)
+            .parquet(p),
         )
     for q in spark.streams.active:
         if q.name == _SESSION_QUERY_NAME:
@@ -299,6 +350,84 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
     query.awaitTermination()
     return spark.table(_SESSION_QUERY_NAME).select(
         "user_id", "session_start", "n_events"
+    )
+
+
+_SSJOIN_QUERY_NAME = "mrs_streaming_ssjoin_sink"
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', p.ts) AS purchase_hour,
+           COUNT(*) AS n_matches,
+           COUNT(DISTINCT p.event_id) AS n_purchases_matched,
+           COUNT(DISTINCT p.user_id) AS n_users
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def streaming_stream_stream_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the driver surface: replay
+    events as a multi-batch file stream, join each purchase to the
+    same user's clicks in the preceding hour
+    (``streaming/demo.py::streaming_click_purchase_join``), and
+    aggregate the match list into an hourly census. An INNER
+    time-bounded join emits each match as soon as both rows are
+    buffered and never retracts, and the replay-wide watermark
+    evicts nothing, so the availableNow result equals the batch
+    interval join EXACTLY — which is why this query carries a full
+    DuckDB value-hash oracle instead of the rows-only check
+    (equivalence also pinned row-for-row by
+    ``tests/test_streaming.py::test_stream_stream_join_equals_batch``;
+    the bounded-state production shape with a real eviction horizon
+    is the late-data test).
+
+    Scale shape: both sides shuffle on user_id once; state holds
+    only rows inside watermark + horizon — the discipline that keeps
+    a 100 TB/day clickstream join's state finite."""
+    from ..streaming.demo import streaming_click_purchase_join
+
+    in_dir, ckpt, copy_ready = _stream_dirs(spark, "ssjoin", sf_dir, "*,ts:timestamp")
+    if not copy_ready:
+        _ensure_replay(
+            spark,
+            in_dir,
+            lambda p: t(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(p),
+        )
+    for q in spark.streams.active:
+        if q.name == _SSJOIN_QUERY_NAME:
+            q.stop()
+    query = (
+        streaming_click_purchase_join(
+            read_events_stream(spark, in_dir), watermark="90 days"
+        )
+        .writeStream.format("memory")
+        .queryName(_SSJOIN_QUERY_NAME)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(_SSJOIN_QUERY_NAME)
+        .groupBy(F.date_trunc("hour", "purchase_ts").alias("purchase_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.count_distinct("purchase_id").alias("n_purchases_matched"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
     )
 
 
@@ -332,15 +461,17 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming.stateful import streaming_user_sessions_with_timeout
 
     in_dir, ckpt, copy_ready = _stream_dirs(
-        "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
+        spark, "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
     )
     if not copy_ready:
-        (
-            t(spark, sf_dir, "events")
+        _ensure_replay(
+            spark,
+            in_dir,
+            lambda p: t(spark, sf_dir, "events")
             .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
             .repartitionByRange(4, "ts")
             .write.mode("overwrite")
-            .parquet(in_dir)
+            .parquet(p),
         )
     for q in spark.streams.active:
         if q.name == _TIMEOUT_QUERY_NAME:

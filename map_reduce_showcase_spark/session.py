@@ -22,6 +22,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def sweep_stale_scratch(base: str, keep: set[str], max_age_s: int = 86400) -> None:
+    """Best-effort reclamation of shared-/tmp scratch left by
+    finished or crashed sessions (old checkpoints, staging copies,
+    per-application bucketed-table materializations): anything under
+    ``base`` not named in ``keep`` and untouched for ``max_age_s``
+    seconds is removed. Never raises — reclamation must not fail the
+    query that triggered it. The age guard keeps it safe for LIVE
+    concurrent sessions: their dirs are recent by definition."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for entry in entries:
+        if entry in keep:
+            continue
+        p = os.path.join(base, entry)
+        try:
+            if time.time() - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def get_spark(
     app_name: str = "map-reduce-showcase-spark",
     master: str | None = None,

@@ -459,6 +459,10 @@ def test_reference_format_write_read_round_trip(spark, tmp_path):
     ]
 
     back = spark.read.format("lengthdelim").load(out)
+    # one input partition per mr-out file (the reference's own
+    # parallelism unit) — including any EMPTY files the writer owed
+    # for empty reduce partitions
+    assert back.rdd.getNumPartitions() == 4
     got = {
         r["word"]: r["cnt"]
         for r in back.select(

@@ -388,7 +388,7 @@ def test_event_time_timeout_evicts_idle_user_state(spark, tmp_path):
     assert all(not r["is_final"] for r in rows if r["user_id"] == 1)
 
 
-def test_stream_scratch_retires_on_source_change(tmp_path, sf_dir):
+def test_stream_scratch_retires_on_source_change(spark, tmp_path, sf_dir):
     """The streaming replay scratch dir is keyed by (source content
     signature, query projection): same content+projection → same dir
     (copy reused); touched/regenerated content, content rewritten
@@ -404,14 +404,17 @@ def test_stream_scratch_retires_on_source_change(tmp_path, sf_dir):
     src.mkdir()
     ev = src / "events.parquet"
     shutil.copy(f"{sf_dir}/events.parquet", ev)
-    d1, c1, ready1 = _stream_dirs("unittest", str(src), "a:int")
+    d1, c1, ready1 = _stream_dirs(spark, "unittest", str(src), "a:int")
     assert not ready1  # nothing materialized yet
-    d1b, _c, _r = _stream_dirs("unittest", str(src), "a:int")
+    # checkpoint dir is per-application: a concurrent session on
+    # this machine gets a different ckpt and can't rmtree this one
+    assert spark.sparkContext.applicationId in os.path.basename(c1)
+    d1b, _c, _r = _stream_dirs(spark, "unittest", str(src), "a:int")
     assert d1 == d1b  # unchanged source+projection → same scratch dir
-    dp, _c, _r = _stream_dirs("unittest", str(src), "a:int,b:string")
+    dp, _c, _r = _stream_dirs(spark, "unittest", str(src), "a:int,b:string")
     assert dp != d1  # edited projection → fresh dir (schema safety)
     os.utime(ev)  # simulate regeneration
-    d2, _c, _r = _stream_dirs("unittest", str(src), "a:int")
+    d2, _c, _r = _stream_dirs(spark, "unittest", str(src), "a:int")
     assert d2 != d1  # content signature moved → fresh dir
     # rewrite content but put the old mtime back (cp -p / rsync -a):
     # the tail byte sample must still retire the dir
@@ -422,5 +425,68 @@ def test_stream_scratch_retires_on_source_change(tmp_path, sf_dir):
         fh.seek(max(st.st_size - 16, 0))
         fh.write(bytes(b ^ 0xFF for b in tail))
     os.utime(ev, ns=(st.st_atime_ns, st.st_mtime_ns))
-    d3, _c, _r = _stream_dirs("unittest", str(src), "a:int")
+    d3, _c, _r = _stream_dirs(spark, "unittest", str(src), "a:int")
     assert d3 not in (d1, d2)  # footer bytes moved despite same size+mtime
+
+
+def test_sweep_stale_scratch_reclaims_only_aged_siblings(tmp_path):
+    """Shared-/tmp scratch hygiene: day-old per-application dirs are
+    reclaimed; recent dirs (live concurrent sessions) and explicitly
+    kept names survive; a missing base is a no-op."""
+    import os
+    import time
+
+    from map_reduce_showcase_spark.session import sweep_stale_scratch
+
+    base = tmp_path / "scratch"
+    for name in ("app_old", "app_recent", "app_mine"):
+        (base / name).mkdir(parents=True)
+        (base / name / "f").write_text("x")
+    old = time.time() - 2 * 86400
+    os.utime(base / "app_old", (old, old))
+    sweep_stale_scratch(str(base), keep={"app_mine"})
+    assert sorted(os.listdir(base)) == ["app_mine", "app_recent"]
+    # keep wins even over age
+    os.utime(base / "app_mine", (old, old))
+    sweep_stale_scratch(str(base), keep={"app_mine"})
+    assert "app_mine" in os.listdir(base)
+    sweep_stale_scratch(str(base / "does-not-exist"), keep=set())  # no raise
+
+
+def test_stream_replay_claim_is_atomic(spark, tmp_path):
+    """The shared replay copy is claimed via staged-write + rename:
+    the winner's complete copy is installed; a later writer keeps
+    the winner's copy and discards its own stage; a PARTIAL copy
+    occupying in_dir (no _SUCCESS — a crashed legacy writer) is
+    replaced, not served."""
+    import os
+
+    from map_reduce_showcase_spark.plans.queries_streaming import _ensure_replay
+
+    base = tmp_path / "scratch"
+    base.mkdir()
+    in_dir = str(base / "in")
+
+    def write_v1(p):
+        os.makedirs(p)
+        open(f"{p}/part-0", "w").write("v1")
+        open(f"{p}/_SUCCESS", "w").close()
+
+    _ensure_replay(spark, in_dir, write_v1)
+    assert open(f"{in_dir}/part-0").read() == "v1"
+
+    def write_v2(p):
+        os.makedirs(p)
+        open(f"{p}/part-0", "w").write("v2")
+        open(f"{p}/_SUCCESS", "w").close()
+
+    # loser path: in_dir already complete → keep v1, stage discarded
+    _ensure_replay(spark, in_dir, write_v2)
+    assert open(f"{in_dir}/part-0").read() == "v1"
+    assert not [e for e in os.listdir(base) if e.startswith("in_stage")]
+
+    # partial occupant (no _SUCCESS) must be replaced
+    os.remove(f"{in_dir}/_SUCCESS")
+    _ensure_replay(spark, in_dir, write_v2)
+    assert open(f"{in_dir}/part-0").read() == "v2"
+    assert os.path.exists(f"{in_dir}/_SUCCESS")

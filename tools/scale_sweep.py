@@ -92,6 +92,10 @@ QUERIES = [
     "pack_sequences_greedy",
     "graph_pagerank",
     "graph_kcore_peel",
+    # compact-forward triangle counting: its wedge bound (sum of
+    # min-degree-squared, not edge-pairs) is exactly the kind of
+    # claim the tail-leg detector should test at 16x
+    "graph_triangle_summary",
     "dedup_fuzzy_names",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -146,6 +150,27 @@ def _cipher_cols(r: int) -> tuple[str, str]:
     """Per-replica Caesar rotation of both alphabet cases."""
     k = r % 26
     return LOWER + UPPER, LOWER[k:] + LOWER[:k] + UPPER[k:] + UPPER[:k]
+
+
+def build_fingerprint() -> str:
+    """Hash of everything that determines the replica datasets'
+    CONTENT (the construction code and its constants). Stamped into
+    the scratch dir at --build and into the artifact at --run, so
+    times measured against different replica constructions can never
+    silently coexist in one SCALE_SWEEP.json — round 5 changed the
+    customer-name replication (ciphered → verbatim) and a later
+    ``--only`` merge would have mixed provenances undetected."""
+    import hashlib
+    import inspect
+
+    src = (
+        inspect.getsource(build)
+        + inspect.getsource(_cipher_cols)
+        + repr(STRIDE)
+        + repr(sorted(KEYS.items()))
+        + repr(FIXED)
+    )
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
 
 
 def build(spark, k: int) -> str:
@@ -314,11 +339,28 @@ def main() -> None:
     _load_all()
     spark = get_spark(app_name="mrs-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    stamp_path = os.path.join(SCRATCH, "BUILD_FP.txt")
     if args.build:
         for k in (1, 4, 16):
             out = build(spark, k)
             print(f"built {out}", file=sys.stderr)
+        with open(stamp_path, "w") as fh:
+            fh.write(build_fingerprint())
     if args.run:
+        # provenance gate: the data on disk must have been built by
+        # the CURRENT construction code — a stale scratch from an
+        # earlier round's build() yields non-comparable times
+        try:
+            with open(stamp_path) as fh:
+                disk_fp = fh.read().strip()
+        except OSError:
+            disk_fp = None
+        if disk_fp != build_fingerprint():
+            raise SystemExit(
+                "scratch replicas were built by a different build() "
+                f"(disk stamp {disk_fp!r} != current "
+                f"{build_fingerprint()!r}); re-run --build first"
+            )
         points = {
             "sf0.1": os.path.join(SCRATCH, "sf0.1"),
             "sf0.4": os.path.join(SCRATCH, "sf0.4"),
@@ -330,10 +372,20 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         if only:
             # merge: keep every other query's recorded times, replace
-            # only the re-measured ones, refit the whole table
+            # only the re-measured ones, refit the whole table — but
+            # ONLY when the prior artifact's times were measured
+            # against the same replica construction; otherwise the
+            # merged table would mix non-comparable provenances
             path = os.path.join(REPO, "SCALE_SWEEP.json")
             with open(path) as fh:
                 prior = json.load(fh)
+            if prior.get("build_fp") != build_fingerprint():
+                raise SystemExit(
+                    "--only merge refused: SCALE_SWEEP.json was "
+                    f"measured against build_fp {prior.get('build_fp')!r}, "
+                    f"current is {build_fingerprint()!r} — the replica "
+                    "construction changed, run the full sweep"
+                )
             merged = {q: v["times_sec"] for q, v in prior["queries"].items()}
             merged.update(results)
             results = merged
@@ -350,6 +402,7 @@ def main() -> None:
                 f"known-quadratic control trips it, endpoint alpha alone "
                 f"does not)."
             ),
+            "build_fp": build_fingerprint(),
             "tail_ratio_flag_threshold": TAIL_RATIO_FLAG,
             "queries": fitted,
             "flagged": sorted(q for q, v in fitted.items() if v["flag"]),
