@@ -87,6 +87,25 @@ def test_scale_sensitive_plans_avoid_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_exact_groups_fixture_offset_is_broadcast_single_row(spark, sf_dir):
+    """The derived max(doc_id)+1 offset must attach via a BROADCAST
+    nested-loop against a 1-row aggregate — never a data-sized
+    cartesian (the only legitimate NestedLoopJoin shape this repo
+    allows). Pin: exactly one BroadcastNestedLoopJoin, zero
+    CartesianProduct, and the broadcast side is the aggregate."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_exact_groups_fixture")
+    assert "CartesianProduct" not in plan
+    # formatted output lists each node twice (tree + detail); the
+    # "(N) <node>" detail header appears exactly once per node
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) == 1, plan
+    # the build side must be the single-row max aggregate, which
+    # means a BroadcastExchange feeding it exists in the same plan
+    assert "BroadcastExchange" in plan
+
+
 def test_grep_packed_is_nested_array_struct_agg(spark, sf_dir):
     """grep G4 parity: the aggregation genuinely builds
     ArrayType(StructType) (sort_array over collect_list(struct)) —
