@@ -428,3 +428,36 @@ def test_fuzzy_match_groups_match_python_model(spark, names):
         if _model_lev(a, b) == 1
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=64),
+            st.binary(min_size=0, max_size=64),
+        ),
+        min_size=0,
+        max_size=32,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_lengthdelim_codec_round_trips_arbitrary_bytes(tmp_path_factory, pairs):
+    """The reference-framing codec (u32-BE length prefix, alternating
+    key/value packets — src/codec/mod.rs:88-145) must round-trip ANY
+    byte payloads: empty keys, empty values, zero pairs, packets
+    containing bytes that look like length prefixes. The byte-compat
+    claim to the reference rests on this codec, so it gets the
+    adversarial-input treatment, not just the wc fixtures."""
+    from map_reduce_showcase_spark.sources.lengthdelim import (
+        read_kv_pairs,
+        write_kv_pairs,
+    )
+
+    path = str(tmp_path_factory.mktemp("ld") / "mr-out-0")
+    write_kv_pairs(path, pairs)
+    assert list(read_kv_pairs(path)) == pairs
+    # framing is self-describing: total file size is exactly
+    # sum(8 + len(k) + len(v)) — no padding, no terminator
+    import os
+
+    assert os.path.getsize(path) == sum(8 + len(k) + len(v) for k, v in pairs)
