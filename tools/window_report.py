@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Report the driver-window evidence policy for the CURRENT code.
+
+Prints the ~50-entry window the driver's CORRECTNESS artifact will
+record, band by band (sentinels / never-green / changed-since-green /
+stalest-green-first), plus the per-round staleness histogram of the
+truncation tail — the two numbers each round's planning needs
+(round 6 computed both inline twice; this makes it one command).
+
+Usage: python tools/window_report.py [--window 50]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_showcase_spark.plans.registry import (  # noqa: E402
+    _SENTINELS,
+    _latest_green_round,
+    query_map,
+    reverify_band,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args()
+
+    order = list(query_map())
+    green = _latest_green_round()
+    band2 = reverify_band()
+
+    def band(n: str) -> str:
+        if n in _SENTINELS:
+            return "sentinel"
+        if n not in green:
+            return "never-green"
+        if n in band2:
+            return "changed-since-green"
+        return f"green-r{green[n]}"
+
+    win, tail = order[: args.window], order[args.window :]
+    print(f"registry: {len(order)} queries; window: {len(win)}; tail: {len(tail)}")
+    print("\nwindow composition:")
+    for b, c in Counter(band(n) for n in win).most_common():
+        print(f"  {b:22s} {c}")
+    promoted = [n for n in win if band(n) in ("never-green", "changed-since-green")]
+    if promoted:
+        print("\nband 1+2 members (need driver proof this round):")
+        for n in promoted:
+            print(f"  {band(n):22s} {n}")
+    stale_tail = Counter(band(n) for n in tail)
+    print("\ntail staleness histogram (all must be some-round green):")
+    for b, c in sorted(stale_tail.items()):
+        print(f"  {b:22s} {c}")
+    unproven_tail = [n for n in tail if n not in green]
+    if unproven_tail:
+        print(f"\nWARNING: unproven queries in tail: {unproven_tail}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
