@@ -122,6 +122,15 @@ def main() -> None:
         "n_measured": len(times),
         "n_expected": len(headline),
         "sf": sf,
+        # Self-describing comparability: this is ONE fresh-JVM pass,
+        # and identical code measured 13.94-16.45 s across six fresh
+        # JVMs on this box (round 4, SCALING.md "noise band") — treat
+        # round-over-round total deltas inside ~±10% as box noise,
+        # and per-query deltas under ~2x between single runs as not
+        # attributable without an interleaved same-JVM A/B.
+        "runs_per_query": 1,
+        "noise_band_ref": "SCALING.md#noise-band",
+        "fresh_jvm_total_spread_sec": [13.94, 16.45],
     }
     if errors:
         out["errors"] = errors

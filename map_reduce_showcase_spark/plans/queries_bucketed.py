@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import sweep_stale_scratch
+from ..session import sweep_stale_scratch, touch_scratch
 from ..sources.sinks import write_bucketed
 from .queries_relational import _DISC_PRICE_SQL, disc_price
 from .registry import register, t
@@ -48,6 +48,13 @@ def ensure_bucketed(
     regenerations)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"mrs_bkt_{table}_{tag}"
+    app = spark.sparkContext.applicationId
+    # Stamp this application's scratch as in-use on EVERY call — also
+    # on the tableExists reuse path, where nothing else touches disk.
+    # A sibling session's sweep judges liveness by newest mtime, and
+    # a >24 h interactive session re-reading its day-old copy would
+    # otherwise look dead (reads don't move mtimes).
+    touch_scratch(f"{tempfile.gettempdir()}/mrs_bkt/{app}")
     if not spark.catalog.tableExists(name):
         # external table under the system temp dir: keeps driver-cwd
         # warehouse dirs out of the picture. The path is keyed by
@@ -57,7 +64,6 @@ def ensure_bucketed(
         # mid-write. A leftover directory from a crashed run of the
         # SAME app id is still cleared first — saveAsTable refuses
         # with LOCATION_ALREADY_EXISTS otherwise.
-        app = spark.sparkContext.applicationId
         # app-id keying prevents cross-session rmtree races but means
         # every session materializes its own copy; without this sweep
         # finished sessions' copies accumulate unboundedly on a

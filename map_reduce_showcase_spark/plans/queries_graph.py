@@ -80,9 +80,45 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     its orientation-smallest base edge), so no post-dedup is needed.
     The naive a<b<c 3-way join in the oracle is the verification-
     scale twin; the oriented plan is the one that survives 100 TB —
-    hot vertices never join against their full neighborhood. Output:
-    one summary row with the global clustering coefficient
+    hot vertices never join against their full neighborhood.
+    Adjacency arrays are chunk-capped at TRI_CHUNK_CAP (see
+    ``_triangle_summary``) so a hot pivot's intersection work spreads
+    across partitions instead of landing on one task. Output: one
+    summary row with the global clustering coefficient
     3 * triangles / wedges."""
+    return _triangle_summary(spark, sf_dir, TRI_CHUNK_CAP)
+
+
+#: max neighbors per oriented-adjacency chunk row (see ADJ_CHUNK_CAP
+#: for the PageRank twin). Orientation already caps out-degree at
+#: O(sqrt m) (97 at sf0.1), so chunking engages only when the data's
+#: densest pivots exceed the cap — at toy SF the modulus computes to
+#: 1 and the plan degenerates to the unchunked round-5 shape.
+TRI_CHUNK_CAP = 64
+
+
+def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
+    """Parameterized core of ``graph_triangle_summary``; the
+    ``chunk_cap`` knob exists so the bit-exactness invariant test can
+    force chunking at test SF (cap 2 vs default must produce
+    byte-identical counts — same discipline as
+    ``test_pagerank_chunk_cap_invariant``).
+
+    Chunked closing, alignment trick: both sides of the intersection
+    hash every neighbor w into chunk ``pmod(hash(w), K)`` with ONE
+    GLOBAL modulus ``K = ceil(max_outdeg / cap)`` (a broadcast 1-row
+    frame — no driver collect), so a common neighbor lands in the
+    SAME chunk id on both sides and the per-edge count decomposes
+    exactly: |N+(u) ∩ N+(v)| = Σ_c |chunk_c(u) ∩ chunk_c(v)|. The
+    closing join then matches on (vertex, chunk) instead of (vertex):
+    a hot pivot's d·|array| bytes stop concentrating in one hash
+    partition (the K chunk ids fan its reduce work out), per-row
+    array payloads shrink by K, and chunk pairs present on only one
+    side — which provably contain no common neighbor — never join at
+    all. Per-vertex moduli (ceil(od/cap), the PageRank scheme) would
+    NOT work here: the two sides of an intersection would disagree on
+    chunk boundaries, so the global-max modulus is the price of
+    alignment."""
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
 
     deg = (
@@ -127,13 +163,39 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all inside one codegen stage. Measured 1.5-2.5x faster at
     # sf0.1, and the advantage grows with density because shuffle
     # volume drops from O(wedges) rows to O(m · sqrt(m)) array bytes.
-    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    #
+    # Chunking (round 7): arrays are split by the aligned global
+    # modulus K = max(ceil(max_od / cap), 1) — see the docstring.
+    # nch is a broadcast 1-row frame so the modulus never touches the
+    # driver; with K = 1 the chunk column is constantly 0 and this IS
+    # the unchunked plan.
+    odeg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    # broadcast-of-single-row crossJoin: the standard collect-free
+    # scalar attach (same as _pagerank's normalizer). It plans as a
+    # BroadcastNestedLoopJoin over a 1-row build side — O(|E|), not
+    # all-pairs; the dedicated plan pin test allows exactly this node
+    # and nothing else nested-loop-shaped.
+    nch = F.broadcast(
+        odeg.agg(
+            F.greatest(
+                F.ceil(F.max("od") / F.lit(chunk_cap)).cast("int"), F.lit(1)
+            ).alias("k_chunks")
+        )
+    )
+    adj = (
+        oriented.crossJoin(nch)
+        .groupBy("u", F.pmod(F.hash("v"), F.col("k_chunks")).alias("c"))
+        .agg(F.collect_list("v").alias("nbrs"))
+    )
     au = adj.alias("au")
     av = adj.alias("av")
     triangles = (
         oriented.alias("o")
         .join(au, F.col("o.u") == F.col("au.u"))
-        .join(av, F.col("o.v") == F.col("av.u"))
+        .join(
+            av,
+            (F.col("o.v") == F.col("av.u")) & (F.col("au.c") == F.col("av.c")),
+        )
         .select(
             F.size(F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs"))).alias("k")
         )

@@ -113,8 +113,18 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
     The first session wins the claim; losers discard their staging
     copy and read the winner's (rename fails when the target
     exists, and a completed rename implies a completed write — the
-    _SUCCESS marker was written inside the staging dir)."""
+    _SUCCESS marker was written inside the staging dir).
+
+    Evicting a PARTIAL occupant (no _SUCCESS — a legacy or crashed
+    copy) is the one non-atomic step, so it runs under an O_EXCL lock
+    file with the _SUCCESS re-check INSIDE the lock: without it, two
+    losers can interleave so that B rmtree's the complete copy A just
+    renamed into place and A's already-started streaming read fails
+    mid-run (part filenames differ between writes). A lock older than
+    ``_EVICT_LOCK_MAX_AGE_S`` is presumed leaked by a crashed holder
+    and broken."""
     import os
+    import time
 
     app = spark.sparkContext.applicationId
     stage = f"{os.path.dirname(in_dir)}/in_stage_{app}"
@@ -125,17 +135,46 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
         return
     except OSError:
         pass
-    # lost the claim, or a legacy partial copy occupies in_dir: a
-    # complete copy (_SUCCESS) is served as-is, a partial one is
-    # replaced by this session's complete staging copy
-    if not os.path.exists(f"{in_dir}/_SUCCESS"):
-        shutil.rmtree(in_dir, ignore_errors=True)
+    # Lost the claim, or a partial copy occupies in_dir: a complete
+    # copy (_SUCCESS) is served as-is; a partial one is evicted under
+    # the lock and replaced by this session's complete staging copy.
+    lock = f"{os.path.dirname(in_dir)}/in_evict.lock"
+    for _ in range(5):
+        if os.path.exists(f"{in_dir}/_SUCCESS"):
+            break
         try:
-            os.rename(stage, in_dir)
-            return
+            if time.time() - os.path.getmtime(lock) > _EVICT_LOCK_MAX_AGE_S:
+                os.unlink(lock)  # leaked by a crashed holder
         except OSError:
             pass
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            time.sleep(0.2)  # another session is evicting; re-check
+            continue
+        try:
+            # re-check under the lock: a winner may have renamed a
+            # complete copy in since the unlocked check above
+            if not os.path.exists(f"{in_dir}/_SUCCESS"):
+                shutil.rmtree(in_dir, ignore_errors=True)
+                try:
+                    os.rename(stage, in_dir)
+                    return
+                except OSError:
+                    pass
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
     shutil.rmtree(stage, ignore_errors=True)
+
+
+#: eviction locks older than this are presumed leaked (holder
+#: crashed between O_EXCL create and unlink) and broken by the next
+#: contender — eviction itself is a sub-second rmtree+rename.
+_EVICT_LOCK_MAX_AGE_S = 60
 
 
 _QUERY_NAME = "mrs_streaming_smoke_sink"
@@ -496,6 +535,85 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         spark.table(_TIMEOUT_QUERY_NAME)
         .groupBy("is_final")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "streaming_exactly_once_restart",
+    oracle="""
+    SELECT CAST(1 + (user_id % 2) AS INT) AS phase,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "exactly-once", "restart"),
+)
+def streaming_exactly_once_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across RESTARTS, through the driver surface (the
+    last streaming behavior that previously had pytest-only
+    evidence — ``test_checkpoint_resume_processes_each_file_exactly_
+    once`` pins the mechanics; this runs them on real SF data): run
+    an availableNow file stream to completion, STOP, land a second
+    batch of files, and resume from the SAME checkpoint. The
+    checkpoint's file-source log must make the second run process
+    only the new files — zero reprocessing, zero loss — which is the
+    recovery contract a 100 TB/day ingest depends on.
+
+    Full value oracle, not rows-only: the phase split is
+    deterministic (phase 1 = even user_id, phase 2 = odd), so the
+    per-phase census over the sink equals a batch GROUP BY over the
+    whole events table — but ONLY if each row landed exactly once.
+    Any batch-1 reprocessing on restart doubles phase 1's n_rows;
+    any loss drops it; either breaks the hash match.
+
+    Scratch: arrivals/checkpoint/sink are all per-application (the
+    two-phase arrival order is per-invocation state, so unlike the
+    other streaming queries there is no shared replay copy to
+    claim); day-old siblings are swept."""
+    tag = hashlib.md5(
+        f"{_source_signature(sf_dir)}|user_id:bigint,phase:int@restart".encode()
+    ).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/mrs_stream_restart_{tag}"
+    app = spark.sparkContext.applicationId
+    arrivals, ckpt, out = f"{base}/arr_{app}", f"{base}/ckpt_{app}", f"{base}/out_{app}"
+    for d in (arrivals, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    sweep_stale_scratch(base, keep={f"arr_{app}", f"ckpt_{app}", f"out_{app}"})
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.lit(1) + F.pmod(F.col("user_id"), F.lit(2))).cast("int").alias("phase"),
+    )
+
+    def run_epoch() -> None:
+        stream = (
+            spark.readStream.schema("user_id BIGINT, phase INT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{arrivals}/*/")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("phase") == 1).write.mode("overwrite").parquet(f"{arrivals}/b1")
+    run_epoch()  # epoch 1: consumes batch 1, then the "cluster restarts"
+    ev.filter(F.col("phase") == 2).write.mode("overwrite").parquet(f"{arrivals}/b2")
+    run_epoch()  # epoch 2: same checkpoint — must pick up ONLY batch 2
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("phase")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("user_id").alias("n_users"),

@@ -91,11 +91,12 @@ def definition_fingerprint(spec: QuerySpec) -> str:
     changed-since-green queries automatically (round 5 kept a
     hand-maintained ``_REVERIFY`` frozenset for this; it went stale
     the moment the listed queries were re-proven, which is exactly
-    the failure mode a hand list has). Limitation, by design: edits
-    to a HELPER the builder calls don't move the fingerprint — the
-    local differential still proves such queries every round, and
-    helper-level rewrites in practice come with a builder/docstring
-    edit anyway."""
+    the failure mode a hand list has). Edits to a helper MODULE the
+    builder's module imports are covered by the companion
+    :func:`helper_fingerprint`; the residual blind spot is a
+    same-module private helper (e.g. ``_pagerank``) edited without
+    touching any builder — the every-round local differential still
+    proves those queries on current code."""
     import hashlib
     import inspect
 
@@ -106,24 +107,92 @@ def definition_fingerprint(spec: QuerySpec) -> str:
     return hashlib.sha256(f"{src}\x00{spec.oracle or ''}".encode()).hexdigest()[:16]
 
 
+_HELPER_FP_CACHE: dict[str, str] = {}
+
+
+def _helper_modules(builder_module: str) -> list[str]:
+    """The intra-package modules ``builder_module``'s globals import
+    — directly as modules or via functions/classes defined in them —
+    excluding the registry itself (pure infrastructure, imported by
+    every query module) and the builder's own module (hashing it
+    whole would promote every query in a file on any edit to one)."""
+    import sys
+    import types
+
+    pkg = __name__.rsplit(".", 2)[0]  # map_reduce_showcase_spark
+    mod = sys.modules.get(builder_module)
+    if mod is None:
+        return []
+    found: set[str] = set()
+    for val in vars(mod).values():
+        if isinstance(val, types.ModuleType):
+            name = getattr(val, "__name__", "")
+        else:
+            name = getattr(val, "__module__", "") or ""
+        if (
+            name.startswith(pkg + ".")
+            and name != builder_module
+            and name != __name__
+            and name in sys.modules
+        ):
+            found.add(name)
+    return sorted(found)
+
+
+def helper_fingerprint(spec: QuerySpec) -> str:
+    """Hash of the SOURCE of every intra-package helper module the
+    builder's module imports (``operators/``, ``dedup/``,
+    ``similarity/``, ``functions/``, ``streaming/``, ``sources/``,
+    ``multimodal/``, sibling ``plans`` modules, …) — closing the
+    round-6 blind spot where rewriting ``dedup/jaccard.py`` moved no
+    fingerprint and its dependent queries never auto-promoted into
+    the driver window. Recorded alongside ``fingerprint`` in each
+    LOCAL_DIFF entry from round 7 on; ``changed_since_green``
+    compares it only against snapshots that carry it (older
+    snapshots predate the field)."""
+    import hashlib
+    import inspect
+    import sys
+
+    parts: list[str] = []
+    for name in _helper_modules(spec.builder.__module__):
+        if name not in _HELPER_FP_CACHE:
+            try:
+                src = inspect.getsource(sys.modules[name])
+            except (OSError, TypeError):
+                src = f"<no-source:{name}>"
+            _HELPER_FP_CACHE[name] = hashlib.sha256(src.encode()).hexdigest()[:16]
+        parts.append(f"{name}={_HELPER_FP_CACHE[name]}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def current_fingerprints() -> dict[str, str]:
     """query name → fingerprint of the definition as it exists NOW."""
     _load_all()
     return {n: definition_fingerprint(s) for n, s in REGISTRY.items()}
 
 
-def _fingerprint_snapshots() -> dict[int, dict[str, str]]:
-    """round → {query: fingerprint-recorded-that-round}. Sources:
-    ``FINGERPRINTS_r*.json`` (flat maps; r5 is a one-off baseline
-    generated from the pristine round-5 code before any round-6
-    edits) and the per-entry ``fingerprint`` fields that
+def current_helper_fingerprints() -> dict[str, str]:
+    """query name → helper-module fingerprint as it exists NOW."""
+    _load_all()
+    return {n: helper_fingerprint(s) for n, s in REGISTRY.items()}
+
+
+def _fingerprint_snapshots() -> dict[int, dict[str, tuple[str, str | None]]]:
+    """round → {query: (fingerprint, helper_fingerprint-or-None)
+    recorded that round}. Sources: ``FINGERPRINTS_r*.json`` (flat
+    maps; r5 is a one-off baseline generated from the pristine
+    round-5 code before any round-6 edits) and the per-entry
+    ``fingerprint``/``helper_fingerprint`` fields that
     ``tools/drive_contract.py`` stamps into ``LOCAL_DIFF_r*.json``
-    from round 6 on."""
+    (``fingerprint`` from round 6 on, ``helper_fingerprint`` from
+    round 7 on — older snapshots carry None and the helper
+    comparison is skipped for them)."""
     import json
     import pathlib
     import re
 
-    snaps: dict[int, dict[str, str]] = {}
+    snaps: dict[int, dict[str, tuple[str, str | None]]] = {}
     repo = pathlib.Path(__file__).resolve().parent.parent.parent
     for art in sorted(repo.glob("FINGERPRINTS_r*.json")) + sorted(
         repo.glob("LOCAL_DIFF_r*.json")
@@ -139,29 +208,64 @@ def _fingerprint_snapshots() -> dict[int, dict[str, str]]:
         snap = snaps.setdefault(rnd, {})
         for n, e in data.items():
             if isinstance(e, str):  # FINGERPRINTS flat map
-                snap.setdefault(n, e)
+                snap.setdefault(n, (e, None))
             elif isinstance(e, dict) and e.get("fingerprint"):
-                snap.setdefault(n, e["fingerprint"])
+                snap.setdefault(n, (e["fingerprint"], e.get("helper_fingerprint")))
     return snaps
 
 
 def changed_since_green(
     green: dict[str, int],
-    snapshots: dict[int, dict[str, str]],
+    snapshots: dict[int, dict[str, str | tuple[str, str | None]]],
     current: dict[str, str],
+    current_helpers: dict[str, str] | None = None,
 ) -> set[str]:
     """Names whose definition changed AFTER their latest driver-green
     round — the old artifact certifies different code, so they must
     re-enter the driver window. Rule: take the EARLIEST fingerprint
     snapshot at round >= the green round; if it disagrees with the
-    current fingerprint, the definition moved since the proof. No
-    snapshot that late → assume unchanged (the snapshot era starts
-    at round 5; the every-round local differential proves current
-    code regardless)."""
+    current fingerprint — or, when both sides carry one, the
+    helper-module fingerprint — the definition moved since the
+    proof. No snapshot that late → assume unchanged.
+
+    Known era edges, accepted by design and covered every round by
+    the local differential (which proves ALL queries on current
+    code):
+
+    * The snapshot era starts at round 5 (and the helper field at
+      round 7): for a query whose latest green predates the first
+      snapshot carrying it, the band only certifies "unchanged since
+      that first snapshot" — an edit landed between the green round
+      and the snapshot era is invisible here.
+    * A round's snapshot is stamped when the LOCAL differential runs
+      (end of round, after all edits), not at the driver's run
+      earlier that round — an edit landed in that within-round gap is
+      recorded as "the green code". The window is closed procedurally
+      (the differential is generated LAST each round) rather than
+      structurally.
+
+    Names no longer in ``current`` are skipped: a removed or renamed
+    query has nothing to re-verify, and surfacing it here would make
+    the band contain unregistered names."""
     out: set[str] = set()
     for name, g in green.items():
+        if name not in current:
+            continue
         rounds = sorted(r for r, snap in snapshots.items() if r >= g and name in snap)
-        if rounds and snapshots[rounds[0]][name] != current.get(name, ""):
+        if not rounds:
+            continue
+        snap_val = snapshots[rounds[0]][name]
+        snap_fp, snap_helper = (
+            snap_val if isinstance(snap_val, tuple) else (snap_val, None)
+        )
+        if snap_fp != current[name]:
+            out.add(name)
+        elif (
+            snap_helper is not None
+            and current_helpers is not None
+            and name in current_helpers
+            and snap_helper != current_helpers[name]
+        ):
             out.add(name)
     return out
 
@@ -172,7 +276,10 @@ def reverify_band() -> set[str]:
     were re-proven)."""
     _load_all()
     return changed_since_green(
-        _latest_green_round(), _fingerprint_snapshots(), current_fingerprints()
+        _latest_green_round(),
+        _fingerprint_snapshots(),
+        current_fingerprints(),
+        current_helper_fingerprints(),
     )
 
 
@@ -210,7 +317,10 @@ def _export_ordered() -> list[QuerySpec]:
     specs = list(REGISTRY.values())
     green = _latest_green_round()
     reverify = changed_since_green(
-        green, _fingerprint_snapshots(), {s.name: definition_fingerprint(s) for s in specs}
+        green,
+        _fingerprint_snapshots(),
+        {s.name: definition_fingerprint(s) for s in specs},
+        {s.name: helper_fingerprint(s) for s in specs},
     )
     sentinel_pos = {n: i for i, n in enumerate(_SENTINELS)}
 

@@ -22,14 +22,65 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _newest_mtime(path: str, max_entries: int = 512) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself, every
+    dir, every file), scanning at most ``max_entries`` entries.
+
+    POSIX directory mtime only moves when a DIRECT child is added or
+    removed — a live Spark checkpoint appending offsets/commits files
+    two levels down, or a bucketed table whose files are merely being
+    READ, leaves the top-level mtime at creation time. Liveness must
+    therefore come from the newest nested mtime (plus the explicit
+    ``touch_scratch`` reuse stamps), not the root's own. The entry cap
+    keeps the scan bounded; hitting it returns "now" (treat an
+    unexpectedly huge tree as live — never sweep what we didn't fully
+    look at)."""
+    import time
+
+    newest = 0.0
+    seen = 0
+    stack = [path]
+    while stack:
+        p = stack.pop()
+        try:
+            newest = max(newest, os.lstat(p).st_mtime)
+        except OSError:
+            continue
+        seen += 1
+        if seen > max_entries:
+            return time.time()
+        if os.path.isdir(p) and not os.path.islink(p):
+            try:
+                stack.extend(os.path.join(p, c) for c in os.listdir(p))
+            except OSError:
+                pass
+    return newest
+
+
+def touch_scratch(path: str) -> None:
+    """Stamp ``path`` as in-use NOW (best-effort ``os.utime``): reuse
+    points call this so liveness means "last used", not "last
+    written" — a >24 h interactive session re-reading its day-old
+    bucketed copy refreshes the stamp and a sibling's sweep keeps
+    it."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass
+
+
 def sweep_stale_scratch(base: str, keep: set[str], max_age_s: int = 86400) -> None:
     """Best-effort reclamation of shared-/tmp scratch left by
     finished or crashed sessions (old checkpoints, staging copies,
     per-application bucketed-table materializations): anything under
-    ``base`` not named in ``keep`` and untouched for ``max_age_s``
+    ``base`` not named in ``keep`` and unused for ``max_age_s``
     seconds is removed. Never raises — reclamation must not fail the
-    query that triggered it. The age guard keeps it safe for LIVE
-    concurrent sessions: their dirs are recent by definition."""
+    query that triggered it. "Unused" is judged by the NEWEST mtime
+    found anywhere in the candidate tree (see ``_newest_mtime`` — a
+    root dir's own mtime goes stale while nested checkpoint files
+    keep being written) combined with the ``touch_scratch`` stamps
+    that reuse paths refresh, so a LIVE long-running session's
+    scratch is never swept mid-read by a sibling."""
     import shutil
     import time
 
@@ -42,7 +93,7 @@ def sweep_stale_scratch(base: str, keep: set[str], max_age_s: int = 86400) -> No
             continue
         p = os.path.join(base, entry)
         try:
-            if time.time() - os.path.getmtime(p) > max_age_s:
+            if time.time() - _newest_mtime(p) > max_age_s:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

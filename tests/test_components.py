@@ -63,3 +63,26 @@ def test_pagerank_chunk_cap_invariant(spark, sf_dir):
     base = [tuple(r) for r in _pagerank(spark, sf_dir, ADJ_CHUNK_CAP).collect()]
     chunked = [tuple(r) for r in _pagerank(spark, sf_dir, 2).collect()]
     assert base == chunked
+
+
+def test_triangle_chunk_cap_invariant(spark, sf_dir):
+    """The triangle count must be chunking-invariant to the bit:
+    both sides of the closing intersection hash neighbors with ONE
+    global modulus, so |N+(u) ∩ N+(v)| = Σ_c |chunk_c(u) ∩
+    chunk_c(v)| exactly — no neighbor double-counted (it lives in
+    one chunk per side) and none lost (a common neighbor's chunk id
+    matches by construction). cap=2 forces K = ceil(max_od/2) > 1 at
+    sf0.001 — every pivot splits; the default cap computes K=1 there
+    (the unchunked round-5 plan). Identical summary rows prove the
+    hot-pivot defense never changes the answer — the
+    ``test_pagerank_chunk_cap_invariant`` discipline applied to the
+    wedge path."""
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        TRI_CHUNK_CAP,
+        _triangle_summary,
+    )
+
+    base = [tuple(r) for r in _triangle_summary(spark, sf_dir, TRI_CHUNK_CAP).collect()]
+    chunked = [tuple(r) for r in _triangle_summary(spark, sf_dir, 2).collect()]
+    assert base == chunked
+    assert base[0][3] > 0  # vacuity guard: triangles actually exist

@@ -180,9 +180,9 @@ def test_changed_since_green_auto_promotes():
     were re-proven — this mechanism replaces it)."""
     from map_reduce_showcase_spark.plans.registry import changed_since_green
 
-    green = {"q_edited": 4, "q_stable": 4, "q_pre_snapshot_era": 2}
+    green = {"q_edited": 4, "q_stable": 4, "q_pre_snapshot_era": 2, "q_removed": 4}
     snapshots = {
-        5: {"q_edited": "aaaa", "q_stable": "bbbb"},
+        5: {"q_edited": "aaaa", "q_stable": "bbbb", "q_removed": "eeee"},
         6: {"q_edited": "cccc", "q_stable": "bbbb"},
     }
     current = {"q_edited": "cccc", "q_stable": "bbbb", "q_pre_snapshot_era": "dddd"}
@@ -191,9 +191,84 @@ def test_changed_since_green_auto_promotes():
     # q_stable: unchanged across the era → stays proven
     # q_pre_snapshot_era: green predates every snapshot... but r5/r6
     # snapshots don't carry it, so no verdict is possible → unchanged
+    # q_removed: green once, since deleted from the registry — removal
+    # is not a re-verify case and the band must only contain
+    # registered names
     assert changed_since_green(green, snapshots, current) == {"q_edited"}
     # never-driver-green queries are band 1's concern, not this band's
     assert changed_since_green({}, snapshots, current) == set()
+
+
+def test_changed_since_green_sees_helper_module_edits():
+    """Round 6's documented blind spot: a rewrite of a helper module
+    the builder imports (``dedup/jaccard.py``) moved no fingerprint.
+    From round 7 snapshots carry a helper_fingerprint; a mismatch on
+    EITHER component promotes, and pre-r7 snapshots (plain-string or
+    helper=None) simply skip the helper comparison."""
+    from map_reduce_showcase_spark.plans.registry import changed_since_green
+
+    green = {"q_helper_edited": 7, "q_both_stable": 7, "q_pre_helper_era": 6}
+    snapshots = {
+        6: {"q_pre_helper_era": ("ffff", None)},  # no helper field yet
+        7: {
+            "q_helper_edited": ("aaaa", "h-old"),
+            "q_both_stable": ("bbbb", "h-same"),
+        },
+    }
+    current = {"q_helper_edited": "aaaa", "q_both_stable": "bbbb", "q_pre_helper_era": "ffff"}
+    helpers = {
+        "q_helper_edited": "h-NEW",  # builder untouched, helper rewritten
+        "q_both_stable": "h-same",
+        "q_pre_helper_era": "h-whatever",  # no snapshot helper → skipped
+    }
+    assert changed_since_green(green, snapshots, current, helpers) == {
+        "q_helper_edited"
+    }
+    # without current helper fps (older callers) the comparison is
+    # definition-only — same behavior as round 6
+    assert changed_since_green(green, snapshots, current) == set()
+
+
+def test_helper_fingerprint_moves_when_imported_helper_source_moves():
+    """The done-criterion for the blind-spot fix, run for real: edit
+    ``dedup/jaccard.py`` on disk (append a comment) and the helper
+    fingerprint of the containment queries — whose builders are
+    untouched — must move, with zero registry edits. Restores the
+    file bytes in all cases."""
+    import linecache
+    import pathlib
+
+    from map_reduce_showcase_spark.plans.registry import (
+        _HELPER_FP_CACHE,
+        REGISTRY,
+        _load_all,
+        definition_fingerprint,
+        helper_fingerprint,
+    )
+
+    _load_all()
+    spec = REGISTRY["dedup_ngram_jaccard"]
+    target = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "map_reduce_showcase_spark"
+        / "dedup"
+        / "jaccard.py"
+    )
+    original = target.read_bytes()
+    _HELPER_FP_CACHE.clear()
+    linecache.clearcache()
+    fp_before, helper_before = definition_fingerprint(spec), helper_fingerprint(spec)
+    try:
+        target.write_bytes(original + b"\n# helper-rewrite stand-in\n")
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+        assert definition_fingerprint(spec) == fp_before  # builder untouched
+        assert helper_fingerprint(spec) != helper_before  # helper edit seen
+    finally:
+        target.write_bytes(original)
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+    assert helper_fingerprint(spec) == helper_before  # restored
 
 
 def test_harness_record_encoding_matches_driver(spark, oracle, sf_dir):

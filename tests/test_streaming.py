@@ -334,6 +334,35 @@ def test_checkpoint_resume_processes_each_file_exactly_once(spark, sf_dir, tmp_p
     assert got == want
 
 
+def test_exactly_once_restart_driver_query(spark, sf_dir):
+    """The registered driver-surface twin of the checkpoint-resume
+    test: its per-phase census must equal the batch GROUP BY over
+    the whole events table (each row landed exactly once across the
+    two availableNow epochs), with both phases present."""
+    from map_reduce_showcase_spark.plans.queries_streaming import (
+        streaming_exactly_once_restart,
+    )
+
+    got = {
+        r["phase"]: (r["n_rows"], r["n_users"])
+        for r in streaming_exactly_once_restart(spark, sf_dir).collect()
+    }
+    want = {
+        r["phase"]: (r["n_rows"], r["n_users"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            (1 + F.pmod(F.col("user_id"), F.lit(2))).cast("int").alias("phase")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    assert set(got) == {1, 2}
+    assert got == want
+
+
 def test_event_time_timeout_evicts_idle_user_state(spark, tmp_path):
     """Watermark-driven state eviction for the custom stateful
     operator: user 2 goes idle; when user 1's later events advance
@@ -429,12 +458,24 @@ def test_stream_scratch_retires_on_source_change(spark, tmp_path, sf_dir):
     assert d3 not in (d1, d2)  # footer bytes moved despite same size+mtime
 
 
-def test_sweep_stale_scratch_reclaims_only_aged_siblings(tmp_path):
-    """Shared-/tmp scratch hygiene: day-old per-application dirs are
-    reclaimed; recent dirs (live concurrent sessions) and explicitly
-    kept names survive; a missing base is a no-op."""
+def _age_tree(path, age_s=2 * 86400):
+    """Set every mtime under ``path`` (dirs and files) to ``age_s``
+    seconds ago — simulating a tree nobody wrote OR used since."""
     import os
     import time
+
+    old = time.time() - age_s
+    for root, dirs, files in os.walk(path, topdown=False):
+        for n in files + dirs:
+            os.utime(os.path.join(root, n), (old, old))
+    os.utime(path, (old, old))
+
+
+def test_sweep_stale_scratch_reclaims_only_aged_siblings(tmp_path):
+    """Shared-/tmp scratch hygiene: dirs whose ENTIRE tree aged out
+    are reclaimed; recent dirs (live concurrent sessions) and
+    explicitly kept names survive; a missing base is a no-op."""
+    import os
 
     from map_reduce_showcase_spark.session import sweep_stale_scratch
 
@@ -442,15 +483,48 @@ def test_sweep_stale_scratch_reclaims_only_aged_siblings(tmp_path):
     for name in ("app_old", "app_recent", "app_mine"):
         (base / name).mkdir(parents=True)
         (base / name / "f").write_text("x")
-    old = time.time() - 2 * 86400
-    os.utime(base / "app_old", (old, old))
+    _age_tree(base / "app_old")
     sweep_stale_scratch(str(base), keep={"app_mine"})
     assert sorted(os.listdir(base)) == ["app_mine", "app_recent"]
     # keep wins even over age
-    os.utime(base / "app_mine", (old, old))
+    _age_tree(base / "app_mine")
     sweep_stale_scratch(str(base), keep={"app_mine"})
     assert "app_mine" in os.listdir(base)
     sweep_stale_scratch(str(base / "does-not-exist"), keep=set())  # no raise
+
+
+def test_sweep_liveness_is_usage_based(tmp_path):
+    """A candidate is swept only when old AND unused. POSIX dir mtime
+    alone is NOT liveness — it goes stale while nested checkpoint
+    files keep being written (offsets/commits land two levels down)
+    and never moves on reads at all — so liveness is the NEWEST
+    nested mtime plus the ``touch_scratch`` stamp reuse paths
+    refresh (``ensure_bucketed`` re-reading a day-old bucketed
+    copy)."""
+    import os
+    import time
+
+    from map_reduce_showcase_spark.session import sweep_stale_scratch, touch_scratch
+
+    base = tmp_path / "scratch"
+    for name in ("ckpt_live", "bkt_touched", "app_dead"):
+        (base / name / "sub").mkdir(parents=True)
+        (base / name / "sub" / "f").write_text("x")
+        _age_tree(base / name)
+    # live checkpoint: top dir old, but a NESTED commit file is fresh
+    (base / "ckpt_live" / "sub" / "commits").write_text("b1")
+    # day-old bucketed copy, just re-read: the reuse path stamps it
+    touch_scratch(str(base / "bkt_touched"))
+    sweep_stale_scratch(str(base), keep=set())
+    assert sorted(os.listdir(base)) == ["bkt_touched", "ckpt_live"]
+    # the stamp is "last used", so it decays: re-age and it sweeps
+    _age_tree(base / "bkt_touched")
+    old = time.time() - 2 * 86400
+    os.utime(base / "ckpt_live" / "sub" / "commits", (old, old))
+    _age_tree(base / "ckpt_live")
+    sweep_stale_scratch(str(base), keep=set())
+    assert os.listdir(base) == []
+    touch_scratch(str(base / "nonexistent"))  # best-effort: no raise
 
 
 def test_stream_replay_claim_is_atomic(spark, tmp_path):
@@ -490,3 +564,44 @@ def test_stream_replay_claim_is_atomic(spark, tmp_path):
     _ensure_replay(spark, in_dir, write_v2)
     assert open(f"{in_dir}/part-0").read() == "v2"
     assert os.path.exists(f"{in_dir}/_SUCCESS")
+    assert not os.path.exists(str(base / "in_evict.lock"))  # lock released
+
+
+def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path):
+    """Evicting a partial replay occupant is guarded by an O_EXCL
+    lock with the _SUCCESS re-check inside it: while another session
+    holds a FRESH lock, this session must not rmtree (the holder may
+    be mid-rename of a complete copy — the round-6 race); a lock
+    older than the leak threshold is presumed crashed and broken."""
+    import os
+    import time
+
+    from map_reduce_showcase_spark.plans.queries_streaming import _ensure_replay
+
+    base = tmp_path / "scratch"
+    base.mkdir()
+    in_dir = str(base / "in")
+    os.makedirs(in_dir)
+    open(f"{in_dir}/part-0", "w").write("partial")  # no _SUCCESS
+
+    def write_v2(p):
+        os.makedirs(p)
+        open(f"{p}/part-0", "w").write("v2")
+        open(f"{p}/_SUCCESS", "w").close()
+
+    lock = str(base / "in_evict.lock")
+    open(lock, "w").close()  # fresh: held by a live evictor
+    _ensure_replay(spark, in_dir, write_v2)
+    # gave up without touching the occupant or breaking the lock
+    assert open(f"{in_dir}/part-0").read() == "partial"
+    assert os.path.exists(lock)
+    assert not [e for e in os.listdir(base) if e.startswith("in_stage")]
+
+    # a leaked lock (holder crashed long ago) is broken and eviction
+    # proceeds
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    _ensure_replay(spark, in_dir, write_v2)
+    assert open(f"{in_dir}/part-0").read() == "v2"
+    assert os.path.exists(f"{in_dir}/_SUCCESS")
+    assert not os.path.exists(lock)

@@ -18,10 +18,11 @@ artifact does, NOT ``False`` — a consumer filtering on
 import argparse
 import decimal
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pandas as pd
@@ -109,6 +110,7 @@ def main() -> int:
     from map_reduce_showcase_spark.plans.registry import (
         _load_all,
         definition_fingerprint,
+        helper_fingerprint,
     )
 
     _load_all()
@@ -147,6 +149,10 @@ def main() -> int:
         )
         if spec is not None:
             rec["fingerprint"] = definition_fingerprint(spec)
+            # helper-module source hash (round 7 on): lets the
+            # registry auto-promote queries whose builder is
+            # untouched but whose imported helper was rewritten
+            rec["helper_fingerprint"] = helper_fingerprint(spec)
         records[name] = rec
         if why:
             fails.append((name, why))

@@ -12,10 +12,11 @@ Usage: python tools/window_report.py [--window 50]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from map_reduce_showcase_spark.plans.registry import (  # noqa: E402
     _SENTINELS,
@@ -67,4 +68,11 @@ if __name__ == "__main__":
     try:
         main()
     except BrokenPipeError:  # e.g. piped into head
-        sys.exit(0)
+        # Point stdout at devnull BEFORE exiting: the interpreter
+        # flushes the wrapper at shutdown, and without this the flush
+        # re-raises and prints "Exception ignored in: <_io...>".
+        # Exit non-zero — a truncated report may have swallowed the
+        # unproven-tail warning, so it must not read as a clean pass.
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        sys.exit(1)
