@@ -82,19 +82,28 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale twin; the oriented plan is the one that survives 100 TB —
     hot vertices never join against their full neighborhood.
     Adjacency arrays are chunk-capped at TRI_CHUNK_CAP (see
-    ``_triangle_summary``) so a hot pivot's intersection work spreads
-    across partitions instead of landing on one task. Output: one
-    summary row with the global clustering coefficient
+    ``_triangle_summary``) so a single celebrity pivot can never
+    concentrate its whole intersection workload in one task. Output:
+    one summary row with the global clustering coefficient
     3 * triangles / wedges."""
     return _triangle_summary(spark, sf_dir, TRI_CHUNK_CAP)
 
 
-#: max neighbors per oriented-adjacency chunk row (see ADJ_CHUNK_CAP
-#: for the PageRank twin). Orientation already caps out-degree at
-#: O(sqrt m) (97 at sf0.1), so chunking engages only when the data's
-#: densest pivots exceed the cap — at toy SF the modulus computes to
-#: 1 and the plan degenerates to the unchunked round-5 shape.
-TRI_CHUNK_CAP = 64
+#: max neighbors per oriented-adjacency chunk row — the celebrity-
+#: pivot defense, same constant as PageRank's ADJ_CHUNK_CAP.
+#: Orientation already caps out-degree at O(sqrt m) (97 at sf0.1,
+#: a few hundred at the 16x sweep point), so at every measured
+#: distribution the modulus computes to 1 and the plan is EXACTLY
+#: the round-6 unchunked shape; chunking engages only past 4096
+#: out-neighbors, where one row would otherwise carry a ~32 KB+
+#: array times its full edge fan-in into a single hash partition.
+#: Deliberately NOT lower: an interleaved same-JVM A/B (round 7,
+#: SCALING.md) measured cap=64 (K=4-6 at the sweep points) a
+#: consistent 12-27% SLOWER — sub-cap degrees are tiny, so eager
+#: chunking only multiplies closing-join rows without relieving any
+#: hot task. The cap-2 invariant test keeps the engaged path
+#: bit-exact so the defense is proven, not latent.
+TRI_CHUNK_CAP = 4096
 
 
 def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
