@@ -81,9 +81,11 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive a<b<c 3-way join in the oracle is the verification-
     scale twin; the oriented plan is the one that survives 100 TB —
     hot vertices never join against their full neighborhood.
-    Adjacency arrays are chunk-capped at TRI_CHUNK_CAP (see
-    ``_triangle_summary``) so a single celebrity pivot can never
-    concentrate its whole intersection workload in one task. Output:
+    The celebrity-pivot chunk defense (see ``_triangle_summary``)
+    ENGAGES only when some oriented out-degree exceeds
+    TRI_CHUNK_CAP — a driver-side plan-shape choice off one 1-row
+    aggregate; at every measured degree distribution the query runs
+    the plain unchunked plan with zero scaffolding cost. Output:
     one summary row with the global clustering coefficient
     3 * triangles / wedges."""
     return _triangle_summary(spark, sf_dir, TRI_CHUNK_CAP)
@@ -93,41 +95,35 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pivot defense, same constant as PageRank's ADJ_CHUNK_CAP.
 #: Orientation already caps out-degree at O(sqrt m) (97 at sf0.1,
 #: a few hundred at the 16x sweep point), so at every measured
-#: distribution the modulus computes to 1 and the plan is EXACTLY
-#: the round-6 unchunked shape; chunking engages only past 4096
-#: out-neighbors, where one row would otherwise carry a ~32 KB+
-#: array times its full edge fan-in into a single hash partition.
-#: Deliberately NOT lower: an interleaved same-JVM A/B (round 7,
-#: SCALING.md) measured cap=64 (K=4-6 at the sweep points) a
-#: consistent 12-27% SLOWER — sub-cap degrees are tiny, so eager
-#: chunking only multiplies closing-join rows without relieving any
-#: hot task. The cap-2 invariant test keeps the engaged path
-#: bit-exact so the defense is proven, not latent.
+#: distribution K computes to 1 and the emitted plan is EXACTLY the
+#: round-6 unchunked shape (round 8 made that literal: K is chosen
+#: driver-side and the K=1 branch contains none of the chunk
+#: machinery — round 7 ran the modulus attach unconditionally and
+#: paid ~+24% for it at the 16x sweep point, tripping the sweep
+#: flag). Chunking engages only past 4096 out-neighbors, where one
+#: row would otherwise carry a ~32 KB+ array times its full edge
+#: fan-in into a single hash partition. Deliberately NOT lower: an
+#: interleaved same-JVM A/B (round 7, SCALING.md) measured cap=64
+#: (K=4-6 at the sweep points) a consistent 12-27% SLOWER —
+#: sub-cap degrees are tiny, so eager chunking only multiplies
+#: closing-join rows without relieving any hot task. The cap-2
+#: invariant test keeps the engaged path bit-exact so the defense
+#: is proven, not latent.
 TRI_CHUNK_CAP = 4096
 
 
-def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
-    """Parameterized core of ``graph_triangle_summary``; the
-    ``chunk_cap`` knob exists so the bit-exactness invariant test can
-    force chunking at test SF (cap 2 vs default must produce
-    byte-identical counts — same discipline as
-    ``test_pagerank_chunk_cap_invariant``).
+def _oriented_graph(spark: SparkSession, sf_dir: str):
+    """(degree frame, degree-oriented edge frame), both
+    localCheckpoint-ed — shared by the triangle closing and by the
+    sweep's wedge-work probe so the two measure the SAME graph.
 
-    Chunked closing, alignment trick: both sides of the intersection
-    hash every neighbor w into chunk ``pmod(hash(w), K)`` with ONE
-    GLOBAL modulus ``K = ceil(max_outdeg / cap)`` (a broadcast 1-row
-    frame — no driver collect), so a common neighbor lands in the
-    SAME chunk id on both sides and the per-edge count decomposes
-    exactly: |N+(u) ∩ N+(v)| = Σ_c |chunk_c(u) ∩ chunk_c(v)|. The
-    closing join then matches on (vertex, chunk) instead of (vertex):
-    a hot pivot's d·|array| bytes stop concentrating in one hash
-    partition (the K chunk ids fan its reduce work out), per-row
-    array payloads shrink by K, and chunk pairs present on only one
-    side — which provably contain no common neighbor — never join at
-    all. Per-vertex moduli (ceil(od/cap), the PageRank scheme) would
-    NOT work here: the two sides of an intersection would disagree on
-    chunk boundaries, so the global-max modulus is the price of
-    alignment."""
+    deg is |V| rows, used four times downstream (two orientation
+    broadcasts, the wedge aggregate, the plan-choice bound) —
+    checkpointed so the 2|E|-row endpoint shuffle is paid exactly
+    once. Orientation is by (degree, id): attach each endpoint's
+    degree via a broadcast join — the degree table is tiny next to
+    |E| and at true scale stays broadcastable far longer than the
+    edge list stays joinable."""
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
 
     deg = (
@@ -135,12 +131,9 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
         .unionAll(edges.select(F.col("dst").alias("vertex")))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
 
-    # Orient by (degree, id): attach each endpoint's degree via a
-    # broadcast join — the degree table is |V| rows (tiny next to
-    # |E|) and at true scale stays broadcastable far longer than the
-    # edge list stays joinable.
     ds = F.broadcast(deg).alias("ds")
     dd = F.broadcast(deg).alias("dd")
     oriented = (
@@ -159,6 +152,76 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
         .select(F.col("edge.u").alias("u"), F.col("edge.v").alias("v"))
         .localCheckpoint()
     )
+    return deg, oriented
+
+
+def triangle_wedge_work(spark: SparkSession, sf_dir: str) -> int:
+    """The triangle closing's INTRINSIC candidate-intersection work
+    at this SF: Σ over closing-join input rows of the two adjacency
+    array lengths, i.e. Σ over oriented edges u→v with od(v) > 0 of
+    (od(u) + od(v)) — exactly the element count a sorted-merge
+    array_intersect walks, and exactly the inner-join semantics of
+    the closing (edges whose head has no out-neighbors join
+    nothing and cost nothing). The scale sweep records this per sf
+    point so "the time tail tracks the wedge bound" is a measured
+    claim: a flat time-per-unit across 1x/4x/16x means the plan is
+    linear in intrinsic work even where raw wall-time grows
+    superlinearly with sf (replica densification grows the wedge
+    bound itself faster than |E|)."""
+    _, oriented = _oriented_graph(spark, sf_dir)
+    odeg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    a = odeg.alias("a")
+    b = odeg.alias("b")
+    row = (
+        oriented.alias("o")
+        .join(a, F.col("o.u") == F.col("a.u"))
+        .join(b, F.col("o.v") == F.col("b.u"))
+        .select((F.col("a.od") + F.col("b.od")).alias("w"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("work_units"))
+        .first()
+    )
+    return int(row[0])
+
+
+def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
+    """Parameterized core of ``graph_triangle_summary``; the
+    ``chunk_cap`` knob exists so the bit-exactness invariant test can
+    force chunking at test SF (cap 2 vs default must produce
+    byte-identical counts — same discipline as
+    ``test_pagerank_chunk_cap_invariant``).
+
+    Plan choice (round 8): K = ceil(max_outdeg / cap) is computed
+    FIRST, as a driver-side ``.first()`` on a 1-row aggregate over
+    the checkpointed oriented edges. Collecting one row to pick a
+    plan shape is adaptive execution, not a driver bottleneck — it
+    is exactly what AQE does with runtime statistics, and at 100 TB
+    it is one aggregate over data the closing join reads anyway.
+    With K == 1 (every measured distribution) the emitted plan is
+    the round-6 unchunked closing, with no odeg re-aggregation, no
+    modulus column, no widened join key — round 7 ran that
+    scaffolding unconditionally and measured ~+24% on identical
+    data (SCALE_SWEEP tail 4.09, flagged). A cheap upper bound
+    (max UNDIRECTED degree, an aggregate over the |V|-row degree
+    frame built anyway) short-circuits the exact out-degree pass in
+    the common case: out-degree ≤ degree, so bound ≤ cap proves
+    K == 1 without touching the edge list again.
+
+    Chunked closing (engaged path), alignment trick: both sides of
+    the intersection hash every neighbor w into chunk
+    ``pmod(hash(w), K)`` with ONE GLOBAL modulus (a literal — K is
+    already known on the driver), so a common neighbor lands in the
+    SAME chunk id on both sides and the per-edge count decomposes
+    exactly: |N+(u) ∩ N+(v)| = Σ_c |chunk_c(u) ∩ chunk_c(v)|. The
+    closing join then matches on (vertex, chunk) instead of (vertex):
+    a hot pivot's d·|array| bytes stop concentrating in one hash
+    partition (the K chunk ids fan its reduce work out), per-row
+    array payloads shrink by K, and chunk pairs present on only one
+    side — which provably contain no common neighbor — never join at
+    all. Per-vertex moduli (ceil(od/cap), the PageRank scheme) would
+    NOT work here: the two sides of an intersection would disagree on
+    chunk boundaries, so the global-max modulus is the price of
+    alignment."""
+    deg, oriented = _oriented_graph(spark, sf_dir)
 
     # Compact-forward closing: instead of materializing the wedge
     # stream as ROWS (sum outdeg² of them — 41M at sf0.1 vs 1.2M
@@ -173,43 +236,69 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
     # sf0.1, and the advantage grows with density because shuffle
     # volume drops from O(wedges) rows to O(m · sqrt(m)) array bytes.
     #
-    # Chunking (round 7): arrays are split by the aligned global
-    # modulus K = max(ceil(max_od / cap), 1) — see the docstring.
-    # nch is a broadcast 1-row frame so the modulus never touches the
-    # driver; with K = 1 the chunk column is constantly 0 and this IS
-    # the unchunked plan.
-    odeg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
-    # broadcast-of-single-row crossJoin: the standard collect-free
-    # scalar attach (same as _pagerank's normalizer). It plans as a
-    # BroadcastNestedLoopJoin over a 1-row build side — O(|E|), not
-    # all-pairs; the dedicated plan pin test allows exactly this node
-    # and nothing else nested-loop-shaped.
-    nch = F.broadcast(
-        odeg.agg(
-            F.greatest(
-                F.ceil(F.max("od") / F.lit(chunk_cap)).cast("int"), F.lit(1)
-            ).alias("k_chunks")
+    # Plan choice (round 8): pick K on the driver from 1-row
+    # aggregates, so the K=1 plan carries ZERO chunk scaffolding.
+    # Cheap gate first: out-degree ≤ undirected degree, so if the
+    # max over the (checkpointed, |V|-row) degree frame is within
+    # the cap, K=1 is proven without another pass over the edges;
+    # only a genuinely skewed distribution pays the exact
+    # out-degree aggregate.
+    max_deg = deg.agg(F.max("d")).first()[0] or 0
+    if max_deg <= chunk_cap:
+        k_chunks = 1
+    else:
+        max_od = (
+            oriented.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .agg(F.max("od"))
+            .first()[0]
+            or 0
         )
-    )
-    adj = (
-        oriented.crossJoin(nch)
-        .groupBy("u", F.pmod(F.hash("v"), F.col("k_chunks")).alias("c"))
-        .agg(F.collect_list("v").alias("nbrs"))
-    )
-    au = adj.alias("au")
-    av = adj.alias("av")
-    triangles = (
-        oriented.alias("o")
-        .join(au, F.col("o.u") == F.col("au.u"))
-        .join(
-            av,
-            (F.col("o.v") == F.col("av.u")) & (F.col("au.c") == F.col("av.c")),
+        k_chunks = max(-(-max_od // chunk_cap), 1)
+
+    if k_chunks == 1:
+        # the round-6 plan, verbatim: group once per vertex, close
+        # on the vertex key alone.
+        adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+        au = adj.alias("au")
+        av = adj.alias("av")
+        triangles = (
+            oriented.alias("o")
+            .join(au, F.col("o.u") == F.col("au.u"))
+            .join(av, F.col("o.v") == F.col("av.u"))
+            .select(
+                F.size(
+                    F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs"))
+                ).alias("k")
+            )
+            .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))
         )
-        .select(
-            F.size(F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs"))).alias("k")
+    else:
+        # engaged celebrity defense: aligned global modulus (a
+        # literal — K is already on the driver), closing join on
+        # (vertex, chunk). See the docstring for the exactness
+        # argument; the cap-2 invariant test pins it to the bit.
+        adj = (
+            oriented.groupBy(
+                "u", F.pmod(F.hash("v"), F.lit(k_chunks)).alias("c")
+            ).agg(F.collect_list("v").alias("nbrs"))
         )
-        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))
-    )
+        au = adj.alias("au")
+        av = adj.alias("av")
+        triangles = (
+            oriented.alias("o")
+            .join(au, F.col("o.u") == F.col("au.u"))
+            .join(
+                av,
+                (F.col("o.v") == F.col("av.u")) & (F.col("au.c") == F.col("av.c")),
+            )
+            .select(
+                F.size(
+                    F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs"))
+                ).alias("k")
+            )
+            .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))
+        )
 
     # Degree sum is 2|E|, so the edge count falls out of the same
     # aggregate — one 1-row frame instead of two. The combine with

@@ -106,7 +106,7 @@ def _stream_dirs(
     return in_dir, ckpt, os.path.exists(f"{in_dir}/_SUCCESS")
 
 
-def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
+def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
     """Materialize the SHARED replay copy exactly once across
     concurrent sessions: ``write_fn`` writes into an application-id
     staging dir, which is then atomically ``rename()``-d into place.
@@ -115,6 +115,14 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
     exists, and a completed rename implies a completed write — the
     _SUCCESS marker was written inside the staging dir).
 
+    Returns the directory to stream from. That is ``in_dir`` in
+    every resolved outcome; when the claim CANNOT be resolved —
+    the eviction lock is still held at the lock-leak deadline and
+    no complete shared copy ever appeared — the session's own
+    complete staging copy is returned instead, so the caller never
+    streams from a partial source (round 7 silently discarded the
+    staging copy here and read whatever occupied ``in_dir``).
+
     Evicting a PARTIAL occupant (no _SUCCESS — a legacy or crashed
     copy) is the one non-atomic step, so it runs under an O_EXCL lock
     file with the _SUCCESS re-check INSIDE the lock: without it, two
@@ -122,9 +130,14 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
     renamed into place and A's already-started streaming read fails
     mid-run (part filenames differ between writes). A lock older than
     ``_EVICT_LOCK_MAX_AGE_S`` is presumed leaked by a crashed holder
-    and broken."""
+    and broken compare-and-swap style: renamed to a contender-unique
+    name first, then the RENAMED file unlinked — two contenders
+    racing the age check can't both succeed (one rename gets ENOENT),
+    so a freshly created replacement lock is never destroyed by the
+    slower breaker (the round-7 TOCTOU)."""
     import os
     import time
+    import uuid
 
     app = spark.sparkContext.applicationId
     stage = f"{os.path.dirname(in_dir)}/in_stage_{app}"
@@ -132,19 +145,29 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
     write_fn(stage)
     try:
         os.rename(stage, in_dir)
-        return
+        return in_dir
     except OSError:
         pass
     # Lost the claim, or a partial copy occupies in_dir: a complete
     # copy (_SUCCESS) is served as-is; a partial one is evicted under
     # the lock and replaced by this session's complete staging copy.
+    # Keep contending until the lock-leak deadline — a healthy
+    # holder's eviction is sub-second, so in practice this resolves
+    # in one or two iterations.
     lock = f"{os.path.dirname(in_dir)}/in_evict.lock"
-    for _ in range(5):
+    deadline = time.time() + _EVICT_LOCK_MAX_AGE_S + 5
+    while time.time() < deadline:
         if os.path.exists(f"{in_dir}/_SUCCESS"):
-            break
+            shutil.rmtree(stage, ignore_errors=True)
+            return in_dir
         try:
             if time.time() - os.path.getmtime(lock) > _EVICT_LOCK_MAX_AGE_S:
-                os.unlink(lock)  # leaked by a crashed holder
+                # CAS-style break: claim the stale lock by renaming
+                # it to a unique name; only the claimed file is
+                # unlinked, never a successor lock.
+                claimed = f"{lock}.stale_{uuid.uuid4().hex}"
+                os.rename(lock, claimed)
+                os.unlink(claimed)
         except OSError:
             pass
         try:
@@ -159,8 +182,11 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
                 shutil.rmtree(in_dir, ignore_errors=True)
                 try:
                     os.rename(stage, in_dir)
-                    return
+                    return in_dir
                 except OSError:
+                    # a fast-path winner renamed its complete copy
+                    # in between our rmtree and rename; the loop's
+                    # top re-check will serve it
                     pass
         finally:
             os.close(fd)
@@ -168,7 +194,17 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> None:
                 os.unlink(lock)
             except OSError:
                 pass
-    shutil.rmtree(stage, ignore_errors=True)
+    # Unresolved: never stream a partial in_dir — serve this
+    # session's own complete copy (per-application, so no other
+    # session will evict it mid-read; the scratch sweep reclaims it
+    # once it ages out).
+    if os.path.exists(f"{stage}/_SUCCESS"):
+        return stage
+    raise RuntimeError(
+        f"replay source unresolved: {in_dir} has no _SUCCESS, the "
+        f"eviction lock never released within {_EVICT_LOCK_MAX_AGE_S}s, "
+        f"and the staging copy {stage} is incomplete"
+    )
 
 
 #: eviction locks older than this are presumed leaked (holder
@@ -209,7 +245,7 @@ def streaming_tumbling_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
     nothing else changes."""
     in_dir, ckpt, copy_ready = _stream_dirs(spark, "tumbling", sf_dir, "*,ts:timestamp")
     if not copy_ready:
-        _ensure_replay(
+        in_dir = _ensure_replay(
             spark,
             in_dir,
             lambda p: t(spark, sf_dir, "events")
@@ -269,7 +305,7 @@ def streaming_stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFra
         spark, "stateful", sf_dir, "user_id:bigint,value:double"
     )
     if not copy_ready:
-        _ensure_replay(
+        in_dir = _ensure_replay(
             spark,
             in_dir,
             lambda p: t(spark, sf_dir, "events")
@@ -358,7 +394,7 @@ def streaming_session_counts_query(spark: SparkSession, sf_dir: str) -> DataFram
         spark, "session", sf_dir, "user_id:bigint,ts:timestamp"
     )
     if not copy_ready:
-        _ensure_replay(
+        in_dir = _ensure_replay(
             spark,
             in_dir,
             lambda p: t(spark, sf_dir, "events")
@@ -435,7 +471,7 @@ def streaming_stream_stream_join_query(spark: SparkSession, sf_dir: str) -> Data
 
     in_dir, ckpt, copy_ready = _stream_dirs(spark, "ssjoin", sf_dir, "*,ts:timestamp")
     if not copy_ready:
-        _ensure_replay(
+        in_dir = _ensure_replay(
             spark,
             in_dir,
             lambda p: t(spark, sf_dir, "events")
@@ -503,7 +539,7 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
         spark, "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
     )
     if not copy_ready:
-        _ensure_replay(
+        in_dir = _ensure_replay(
             spark,
             in_dir,
             lambda p: t(spark, sf_dir, "events")

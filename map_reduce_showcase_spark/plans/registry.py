@@ -107,49 +107,87 @@ def definition_fingerprint(spec: QuerySpec) -> str:
     return hashlib.sha256(f"{src}\x00{spec.oracle or ''}".encode()).hexdigest()[:16]
 
 
+# Per-module source hashes, cached for the PROCESS LIFETIME: a
+# long-lived session that edits a helper on disk won't see its own
+# band move until restart (fine for the driver and the round tools,
+# which are fresh processes; tests that edit helpers on disk clear
+# this cache explicitly).
 _HELPER_FP_CACHE: dict[str, str] = {}
+# builder module -> its transitive helper closure (also process-
+# lifetime; the import graph is fixed once modules are loaded).
+_HELPER_CLOSURE_CACHE: dict[str, tuple[str, ...]] = {}
+
+#: helper-fingerprint algorithm era, prefixed into every emitted
+#: value. Round 7 recorded direct-imports-only hashes ("h1", bare
+#: hex); round 8 widened the walk to the transitive closure, which
+#: moves EVERY query's helper hash — era-gating the comparison in
+#: ``changed_since_green`` keeps that algorithm change from reading
+#: as 170 simultaneous code edits. Bump this whenever the hashing
+#: scheme itself changes.
+_HELPER_FP_ERA = "h2"
 
 
 def _helper_modules(builder_module: str) -> list[str]:
-    """The intra-package modules ``builder_module``'s globals import
-    — directly as modules or via functions/classes defined in them —
-    excluding the registry itself (pure infrastructure, imported by
-    every query module) and the builder's own module (hashing it
-    whole would promote every query in a file on any edit to one)."""
+    """The intra-package modules whose source feeds the helper
+    fingerprint: the TRANSITIVE closure (fixed-point over each
+    module's globals — modules imported directly, plus the defining
+    modules of imported functions/classes) reachable from
+    ``builder_module``. Round 7 walked one hop only, which left
+    helpers-of-helpers invisible — concretely ``sources/tables.py``,
+    the loader every query funnels through via ``registry.t``, was
+    reachable only THROUGH the registry module and so never moved
+    any fingerprint. The walk now traverses the registry (and the
+    builder's own module) without hashing them: the registry is
+    infrastructure imported by everything (hashing it would promote
+    every query on any registry edit), but what it imports —
+    ``sources/tables.py`` — is data-path code and is hashed.
+
+    Known residual: values imported BY VALUE that carry no
+    ``__module__`` (module-level constants, SQL string fragments)
+    don't reveal their defining module; if a module is imported
+    ONLY that way, its edits stay invisible to this walk and are
+    caught by the round-end local differential instead."""
     import sys
     import types
 
+    if builder_module in _HELPER_CLOSURE_CACHE:
+        return list(_HELPER_CLOSURE_CACHE[builder_module])
     pkg = __name__.rsplit(".", 2)[0]  # map_reduce_showcase_spark
-    mod = sys.modules.get(builder_module)
-    if mod is None:
-        return []
-    found: set[str] = set()
-    for val in vars(mod).values():
-        if isinstance(val, types.ModuleType):
-            name = getattr(val, "__name__", "")
-        else:
-            name = getattr(val, "__module__", "") or ""
-        if (
-            name.startswith(pkg + ".")
-            and name != builder_module
-            and name != __name__
-            and name in sys.modules
-        ):
-            found.add(name)
-    return sorted(found)
+    seen: set[str] = set()
+    queue = [builder_module]
+    while queue:
+        current = queue.pop()
+        if current in seen:
+            continue
+        seen.add(current)
+        mod = sys.modules.get(current)
+        if mod is None:
+            continue
+        for val in vars(mod).values():
+            if isinstance(val, types.ModuleType):
+                name = getattr(val, "__name__", "")
+            else:
+                name = getattr(val, "__module__", "") or ""
+            if name.startswith(pkg + ".") and name in sys.modules and name not in seen:
+                queue.append(name)
+    found = sorted(seen - {builder_module, __name__})
+    _HELPER_CLOSURE_CACHE[builder_module] = tuple(found)
+    return found
 
 
 def helper_fingerprint(spec: QuerySpec) -> str:
-    """Hash of the SOURCE of every intra-package helper module the
-    builder's module imports (``operators/``, ``dedup/``,
-    ``similarity/``, ``functions/``, ``streaming/``, ``sources/``,
-    ``multimodal/``, sibling ``plans`` modules, …) — closing the
-    round-6 blind spot where rewriting ``dedup/jaccard.py`` moved no
-    fingerprint and its dependent queries never auto-promoted into
-    the driver window. Recorded alongside ``fingerprint`` in each
-    LOCAL_DIFF entry from round 7 on; ``changed_since_green``
-    compares it only against snapshots that carry it (older
-    snapshots predate the field)."""
+    """Era-prefixed hash of the SOURCE of every intra-package helper
+    module transitively reachable from the builder's module
+    (``operators/``, ``dedup/``, ``similarity/``, ``functions/``,
+    ``streaming/``, ``sources/``, ``multimodal/``, sibling ``plans``
+    modules, …) — closing the round-6 blind spot where rewriting
+    ``dedup/jaccard.py`` moved no fingerprint, and the round-7 one
+    where a helper-of-a-helper (``sources/tables.py``) didn't.
+    Recorded alongside ``fingerprint`` in each LOCAL_DIFF entry from
+    round 7 on; ``changed_since_green`` compares two helper values
+    only when they carry the same era prefix (r7 snapshots are
+    "h1"-era bare hashes and are skipped — the walk they hash is not
+    the walk run today)."""
     import hashlib
     import inspect
     import sys
@@ -163,7 +201,14 @@ def helper_fingerprint(spec: QuerySpec) -> str:
                 src = f"<no-source:{name}>"
             _HELPER_FP_CACHE[name] = hashlib.sha256(src.encode()).hexdigest()[:16]
         parts.append(f"{name}={_HELPER_FP_CACHE[name]}")
-    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    return f"{_HELPER_FP_ERA}:{digest}"
+
+
+def _helper_fp_era(value: str) -> str:
+    """Era of a recorded helper fingerprint; bare 16-hex values
+    predate the prefix (round 7's direct-imports walk)."""
+    return value.split(":", 1)[0] if ":" in value else "h1"
 
 
 def current_fingerprints() -> dict[str, str]:
@@ -208,9 +253,20 @@ def _fingerprint_snapshots() -> dict[int, dict[str, tuple[str, str | None]]]:
         snap = snaps.setdefault(rnd, {})
         for n, e in data.items():
             if isinstance(e, str):  # FINGERPRINTS flat map
-                snap.setdefault(n, (e, None))
+                fp, helper = e, None
             elif isinstance(e, dict) and e.get("fingerprint"):
-                snap.setdefault(n, (e["fingerprint"], e.get("helper_fingerprint")))
+                fp, helper = e["fingerprint"], e.get("helper_fingerprint")
+            else:
+                continue
+            if n not in snap:
+                snap[n] = (fp, helper)
+            elif snap[n][1] is None and helper is not None:
+                # a round with both a flat FINGERPRINTS map and a
+                # LOCAL_DIFF: keep the first source's definition
+                # fingerprint, fill the helper slot the later source
+                # carries — dropping it would silently skip the
+                # helper comparison for that round
+                snap[n] = (snap[n][0], helper)
     return snaps
 
 
@@ -264,6 +320,7 @@ def changed_since_green(
             snap_helper is not None
             and current_helpers is not None
             and name in current_helpers
+            and _helper_fp_era(snap_helper) == _helper_fp_era(current_helpers[name])
             and snap_helper != current_helpers[name]
         ):
             out.add(name)

@@ -22,36 +22,48 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _newest_mtime(path: str, max_entries: int = 512) -> float:
-    """Newest mtime anywhere under ``path`` (the path itself, every
-    dir, every file), scanning at most ``max_entries`` entries.
+def _newest_mtime(path: str, max_entries: int = 4096) -> float:
+    """Newest mtime in the breadth-first prefix of ``path``'s tree
+    (the path itself, dirs, files), scanning at most ``max_entries``
+    entries.
 
     POSIX directory mtime only moves when a DIRECT child is added or
     removed — a live Spark checkpoint appending offsets/commits files
     two levels down, or a bucketed table whose files are merely being
     READ, leaves the top-level mtime at creation time. Liveness must
     therefore come from the newest nested mtime (plus the explicit
-    ``touch_scratch`` reuse stamps), not the root's own. The entry cap
-    keeps the scan bounded; hitting it returns "now" (treat an
-    unexpectedly huge tree as live — never sweep what we didn't fully
-    look at)."""
-    import time
+    ``touch_scratch`` reuse stamps), not the root's own.
+
+    On hitting the cap the decision comes from the sampled prefix
+    instead of defaulting to "live": round 7 returned time.time()
+    here, which made any tree larger than the cap immortal — a
+    crashed session's big checkpoint was never reclaimed, exactly
+    the unbounded /tmp growth the sweep exists to prevent. BFS makes
+    the sample the shallow prefix, where every liveness signal this
+    package emits actually lives: ``touch_scratch`` stamps the ROOT,
+    streaming checkpoints keep ``offsets/``/``commits/`` fresh one
+    level down, and parquet writers touch the table dir itself. A
+    hypothetical live tree whose only fresh mtimes sit deeper than
+    the first ``max_entries`` BFS entries could be mis-swept; no
+    scratch layout here has that shape, and reuse paths re-stamp the
+    root precisely so the shallow sample is authoritative."""
+    from collections import deque
 
     newest = 0.0
     seen = 0
-    stack = [path]
-    while stack:
-        p = stack.pop()
+    queue = deque([path])
+    while queue:
+        p = queue.popleft()
         try:
             newest = max(newest, os.lstat(p).st_mtime)
         except OSError:
             continue
         seen += 1
         if seen > max_entries:
-            return time.time()
+            break
         if os.path.isdir(p) and not os.path.islink(p):
             try:
-                stack.extend(os.path.join(p, c) for c in os.listdir(p))
+                queue.extend(os.path.join(p, c) for c in sorted(os.listdir(p)))
             except OSError:
                 pass
     return newest

@@ -180,24 +180,17 @@ def test_blocked_joins_avoid_cartesian(spark, sf_dir, name):
 
 
 def test_triangle_joins_avoid_cartesian(spark, sf_dir):
-    """The triangle closing must stay equi-joins on the DATA paths:
-    no CartesianProduct anywhere, and the only nested-loop nodes
-    allowed are the broadcast single-row chunk-modulus attaches
-    (k_chunks — O(|E|) scalar fan-outs, the same shape as
-    _pagerank's normalizer), never a join between two data-sized
-    relations. The (vertex, chunk) closing joins themselves must
-    remain hash/merge equi-joins."""
+    """The triangle closing must stay pure equi-joins: no
+    CartesianProduct and no nested-loop node of ANY kind. Round 8
+    moved the chunk-modulus choice to the driver (one 1-row
+    ``.first()``), so even the scalar-attach BroadcastNestedLoopJoin
+    that round 7 allowed is gone — K is a literal and the K=1 plan
+    is the bare round-6 closing. The engaged (K>1) path's
+    correctness is pinned separately by
+    ``test_triangle_chunk_cap_invariant``."""
     plan = _plan(spark, sf_dir, "graph_triangle_summary")
     assert "CartesianProduct" not in plan
-    # every nested-loop node must be the 1-row k_chunks attach: the
-    # adjacency build runs once per side (au/av), so at most two
-    # (formatted explain repeats nodes; count the detail headers)
-    import re
-
-    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE))
-    assert n_nlj <= 2, plan
-    if "BroadcastNestedLoopJoin" in plan:
-        assert "k_chunks" in plan, "NLJ present but not the modulus attach"
+    assert "BroadcastNestedLoopJoin" not in plan
     # the data-sized closing joins are real equi-joins
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 

@@ -493,6 +493,37 @@ def test_sweep_stale_scratch_reclaims_only_aged_siblings(tmp_path):
     sweep_stale_scratch(str(base / "does-not-exist"), keep=set())  # no raise
 
 
+def test_sweep_capped_scan_still_reclaims_big_dead_trees(tmp_path, monkeypatch):
+    """Round 7's cap behavior made any tree with more entries than
+    the scan cap immortal (`_newest_mtime` returned time.time() on
+    hitting it) — a crashed session's large checkpoint accumulated
+    in /tmp forever. Now the decision comes from the BFS-sampled
+    prefix: an entirely aged big tree is reclaimed; a big tree whose
+    shallow prefix carries a fresh liveness signal (the root
+    ``touch_scratch`` stamp every reuse path refreshes) survives."""
+    import functools
+    import os
+
+    from map_reduce_showcase_spark import session as sess
+
+    base = tmp_path / "scratch"
+    for name in ("big_dead", "big_live"):
+        d = base / name
+        for sub in range(8):
+            (d / f"sub{sub}").mkdir(parents=True)
+            for f in range(8):
+                (d / f"sub{sub}" / f"f{f}").write_text("x")
+        _age_tree(d)
+    # 1 root + 8 dirs + 64 files = 73 entries per tree; cap below it
+    real_newest = sess._newest_mtime
+    monkeypatch.setattr(
+        sess, "_newest_mtime", functools.partial(real_newest, max_entries=16)
+    )
+    sess.touch_scratch(str(base / "big_live"))  # fresh root stamp
+    sess.sweep_stale_scratch(str(base), keep=set())
+    assert sorted(os.listdir(base)) == ["big_live"]
+
+
 def test_sweep_liveness_is_usage_based(tmp_path):
     """A candidate is swept only when old AND unused. POSIX dir mtime
     alone is NOT liveness — it goes stale while nested checkpoint
@@ -567,17 +598,20 @@ def test_stream_replay_claim_is_atomic(spark, tmp_path):
     assert not os.path.exists(str(base / "in_evict.lock"))  # lock released
 
 
-def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path):
+def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path, monkeypatch):
     """Evicting a partial replay occupant is guarded by an O_EXCL
     lock with the _SUCCESS re-check inside it: while another session
-    holds a FRESH lock, this session must not rmtree (the holder may
-    be mid-rename of a complete copy — the round-6 race); a lock
-    older than the leak threshold is presumed crashed and broken."""
+    holds a FRESH lock, this session contends instead of rmtree-ing
+    (the holder may be mid-rename of a complete copy — the round-6
+    race); once the lock crosses the leak threshold it is presumed
+    crashed, broken CAS-style, and eviction proceeds — the caller
+    ends up streaming the complete copy either way."""
     import os
     import time
 
-    from map_reduce_showcase_spark.plans.queries_streaming import _ensure_replay
+    from map_reduce_showcase_spark.plans import queries_streaming as qs
 
+    monkeypatch.setattr(qs, "_EVICT_LOCK_MAX_AGE_S", 2)
     base = tmp_path / "scratch"
     base.mkdir()
     in_dir = str(base / "in")
@@ -591,17 +625,85 @@ def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path):
 
     lock = str(base / "in_evict.lock")
     open(lock, "w").close()  # fresh: held by a live evictor
-    _ensure_replay(spark, in_dir, write_v2)
-    # gave up without touching the occupant or breaking the lock
-    assert open(f"{in_dir}/part-0").read() == "partial"
-    assert os.path.exists(lock)
-    assert not [e for e in os.listdir(base) if e.startswith("in_stage")]
-
-    # a leaked lock (holder crashed long ago) is broken and eviction
-    # proceeds
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
-    _ensure_replay(spark, in_dir, write_v2)
+    t0 = time.time()
+    out = qs._ensure_replay(spark, in_dir, write_v2)
+    waited = time.time() - t0
+    # contended (did not evict instantly under a fresh lock), then
+    # broke the now-stale lock and installed the complete copy
+    assert waited >= 1.0, "evicted under a fresh lock without contending"
+    assert out == in_dir
     assert open(f"{in_dir}/part-0").read() == "v2"
     assert os.path.exists(f"{in_dir}/_SUCCESS")
     assert not os.path.exists(lock)
+
+    # a pre-aged leaked lock (holder crashed long ago) is broken
+    # immediately and eviction proceeds
+    os.remove(f"{in_dir}/_SUCCESS")
+    open(f"{in_dir}/part-0", "w").write("partial")
+    open(lock, "w").close()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    out = qs._ensure_replay(spark, in_dir, write_v2)
+    assert out == in_dir
+    assert open(f"{in_dir}/part-0").read() == "v2"
+    assert os.path.exists(f"{in_dir}/_SUCCESS")
+    assert not os.path.exists(lock)
+
+
+def test_stream_replay_unresolved_lock_serves_own_complete_copy(
+    spark, tmp_path, monkeypatch
+):
+    """The round-7 fall-through read WRONG ROWS: when every lock
+    attempt failed and no _SUCCESS ever appeared, the loser discarded
+    its complete staging copy and the caller streamed the partial
+    occupant. Now the deadline path returns the session's own
+    complete staging copy — a held-forever lock (refreshed by a live
+    holder for the whole window) must never lead to a partial
+    source."""
+    import os
+    import threading
+    import time
+
+    from map_reduce_showcase_spark.plans import queries_streaming as qs
+
+    monkeypatch.setattr(qs, "_EVICT_LOCK_MAX_AGE_S", 1)
+    base = tmp_path / "scratch"
+    base.mkdir()
+    in_dir = str(base / "in")
+    os.makedirs(in_dir)
+    open(f"{in_dir}/part-0", "w").write("partial")  # no _SUCCESS
+
+    lock = str(base / "in_evict.lock")
+    open(lock, "w").close()
+    stop = threading.Event()
+
+    def keep_fresh():
+        # a live holder: refresh the lock's mtime so the age check
+        # never classifies it as leaked
+        while not stop.is_set():
+            try:
+                now = time.time()
+                os.utime(lock, (now, now))
+            except OSError:
+                pass
+            time.sleep(0.1)
+
+    holder = threading.Thread(target=keep_fresh, daemon=True)
+    holder.start()
+    try:
+        def write_v2(p):
+            os.makedirs(p)
+            open(f"{p}/part-0", "w").write("v2")
+            open(f"{p}/_SUCCESS", "w").close()
+
+        out = qs._ensure_replay(spark, in_dir, write_v2)
+    finally:
+        stop.set()
+        holder.join()
+    # deadline exhausted: the session serves its OWN complete copy,
+    # never the partial occupant
+    assert out != in_dir
+    assert os.path.basename(out).startswith("in_stage")
+    assert open(f"{out}/part-0").read() == "v2"
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert open(f"{in_dir}/part-0").read() == "partial"  # untouched

@@ -146,6 +146,23 @@ def _control_quadratic_blocking(spark, sf_dir):
 CONTROLS = {"control_quadratic_blocking": _control_quadratic_blocking}
 
 
+def _work_measures():
+    """query -> callable(spark, sf_dir) -> int units of INTRINSIC
+    work at that scale point. Recorded alongside wall time so a
+    query whose intrinsic work grows superlinearly with sf by
+    construction (replica densification grows the triangle wedge
+    bound faster than |E|) can be adjudicated on time-per-unit:
+    flat time/unit across the curve = plan linear in its own work,
+    even where the raw time tail is inflated by the work growth
+    itself. Lazy import: queries_graph pulls the registry, which
+    _load_all() has already populated by the time run() calls this."""
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        triangle_wedge_work,
+    )
+
+    return {"graph_triangle_summary": triangle_wedge_work}
+
+
 def _cipher_cols(r: int) -> tuple[str, str]:
     """Per-replica Caesar rotation of both alphabet cases."""
     k = r % 26
@@ -224,10 +241,14 @@ def build(spark, k: int) -> str:
     return out_dir
 
 
-def run(spark, points: dict[str, str], reps: int, only: set[str] | None = None) -> dict:
+def run(
+    spark, points: dict[str, str], reps: int, only: set[str] | None = None
+) -> tuple[dict, dict]:
     """Time each query at each scale point; min over ``reps`` runs
     (min is the noise-robust estimator for a shared box — GC pauses
-    and page-cache misses only ever ADD time)."""
+    and page-cache misses only ever ADD time). Returns
+    ``(times, work_units)`` — the second dict holds per-sf intrinsic
+    work counts for the queries in ``_work_measures()``."""
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
     names = QUERIES + sorted(CONTROLS)
     if only is not None:
@@ -267,10 +288,30 @@ def run(spark, points: dict[str, str], reps: int, only: set[str] | None = None) 
                     f"{str(exc)[:200]}",
                     file=sys.stderr,
                 )
-    return results
+    work: dict[str, dict[str, int | None]] = {}
+    for q, fn in _work_measures().items():
+        if q not in names:
+            continue
+        work[q] = {}
+        for label, sf_dir in points.items():
+            try:
+                work[q][label] = fn(spark, sf_dir)
+                print(
+                    f"  {label} {q}: work_units={work[q][label]}",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001
+                work[q][label] = None
+                print(
+                    f"  {label} {q}: work probe FAILED "
+                    f"{type(exc).__name__}: {str(exc)[:200]}",
+                    file=sys.stderr,
+                )
+    return results, work
 
 
-def fit(results: dict) -> dict:
+def fit(results: dict, work: dict | None = None) -> dict:
+    work = work or {}
     out = {}
     for q, times in results.items():
         t1, t4, t16 = (times.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
@@ -300,6 +341,22 @@ def fit(results: dict) -> dict:
                 and q not in EXPECTED_QUADRATIC
             ),
         }
+        if q in work:
+            # intrinsic-work normalization: a query whose work grows
+            # superlinearly with sf BY CONSTRUCTION (densification)
+            # is adjudicated on time-per-unit — flat tail_time_per_work
+            # (~1.0) means the plan is linear in its own work even
+            # where the raw time tail is inflated by work growth.
+            w = work[q]
+            w1, w4, w16 = (w.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
+            w_tail = _ratio(w16, w4)
+            out[q]["work_units"] = w
+            out[q]["leg_work_ratios_4x"] = {
+                "head": round(_ratio(w4, w1), 2) if _ratio(w4, w1) else None,
+                "tail": round(w_tail, 2) if w_tail else None,
+            }
+            tpw = _ratio(tail, w_tail)
+            out[q]["tail_time_per_work"] = round(tpw, 2) if tpw else None
     return out
 
 
@@ -327,7 +384,14 @@ def main() -> None:
         path = os.path.join(REPO, "SCALE_SWEEP.json")
         with open(path) as fh:
             prior = json.load(fh)
-        fitted = fit({q: v["times_sec"] for q, v in prior["queries"].items()})
+        fitted = fit(
+            {q: v["times_sec"] for q, v in prior["queries"].items()},
+            {
+                q: v["work_units"]
+                for q, v in prior["queries"].items()
+                if "work_units" in v
+            },
+        )
         prior["queries"] = fitted
         prior["tail_ratio_flag_threshold"] = TAIL_RATIO_FLAG
         prior.pop("alpha_flag_threshold", None)
@@ -368,7 +432,7 @@ def main() -> None:
         }
         only = set(args.only.split(",")) if args.only else None
         spark.sparkContext.setLogLevel("FATAL")
-        results = run(spark, points, args.reps, only)
+        results, work = run(spark, points, args.reps, only)
         spark.sparkContext.setLogLevel("ERROR")
         if only:
             # merge: keep every other query's recorded times, replace
@@ -389,7 +453,14 @@ def main() -> None:
             merged = {q: v["times_sec"] for q, v in prior["queries"].items()}
             merged.update(results)
             results = merged
-        fitted = fit(results)
+            merged_work = {
+                q: v["work_units"]
+                for q, v in prior["queries"].items()
+                if "work_units" in v
+            }
+            merged_work.update(work)
+            work = merged_work
+        fitted = fit(results, work)
         payload = {
             "protocol": (
                 f"min of {args.reps} runs per (query, sf); k-replica data "

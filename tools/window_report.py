@@ -63,6 +63,36 @@ def main() -> None:
         print(f"\nWARNING: unproven queries in tail: {unproven_tail}")
         sys.exit(1)
 
+    # Structural guard (round-7 lesson: the builder skipped the
+    # round-end local differential and only a judge-run artifact kept
+    # the fingerprint band from going blind for every query greened
+    # that round): if the newest CORRECTNESS round has no matching
+    # LOCAL_DIFF, say so loudly every time this report is consulted.
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _rounds(pattern: str) -> set[int]:
+        out = set()
+        for p in glob.glob(os.path.join(repo, pattern)):
+            m = re.search(r"r(\d+)\.json$", p)
+            if m:
+                out.add(int(m.group(1)))
+        return out
+
+    corr = _rounds("CORRECTNESS_r*.json")
+    if corr:
+        latest = max(corr)
+        if latest not in _rounds("LOCAL_DIFF_r*.json"):
+            print(
+                f"\nWARNING: LOCAL_DIFF_r{latest:02d}.json is missing — "
+                f"generate it LAST this round "
+                f"(python tools/drive_contract.py --artifact "
+                f"LOCAL_DIFF_r{latest:02d}.json), or the fingerprint "
+                f"band has no snapshot for anything greened in r{latest}."
+            )
+
 
 if __name__ == "__main__":
     try:
