@@ -124,20 +124,28 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
     staging copy here and read whatever occupied ``in_dir``).
 
     Evicting a PARTIAL occupant (no _SUCCESS — a legacy or crashed
-    copy) is the one non-atomic step, so it runs under an O_EXCL lock
-    file with the _SUCCESS re-check INSIDE the lock: without it, two
-    losers can interleave so that B rmtree's the complete copy A just
-    renamed into place and A's already-started streaming read fails
-    mid-run (part filenames differ between writes). A lock older than
-    ``_EVICT_LOCK_MAX_AGE_S`` is presumed leaked by a crashed holder
-    and broken compare-and-swap style: renamed to a contender-unique
-    name first, then the RENAMED file unlinked — two contenders
-    racing the age check can't both succeed (one rename gets ENOENT),
-    so a freshly created replacement lock is never destroyed by the
-    slower breaker (the round-7 TOCTOU)."""
+    copy) is the one non-atomic step, so it runs under an exclusive
+    ``flock`` on a lock FILE with the _SUCCESS re-check INSIDE the
+    lock: without it, two losers can interleave so that B rmtree's
+    the complete copy A just renamed into place and A's
+    already-started streaming read fails mid-run (part filenames
+    differ between writes). ``flock`` (kernel advisory lock on the
+    inode) replaces round 8's path-based lockfile-plus-age-break
+    protocol, whose stale-lock break was CAS-*style* but still
+    path-based — a contender whose age check raced another breaker
+    could rename away a freshly created successor lock (ADVICE r8).
+    With ``flock`` that class is gone: a crashed holder's lock is
+    released by the kernel with its process (no leak, so no age
+    heuristic and no break step), and mutual exclusion is on the
+    inode, not the path. The lock file itself is inert and never
+    unlinked — unlinking would let a later contender lock a NEW
+    inode while an old fd still holds the old one, silently
+    splitting the mutex. The replay scratch lives on node-local
+    ``/tmp`` (contending sessions share the box), where ``flock``
+    semantics are exact."""
+    import fcntl
     import os
     import time
-    import uuid
 
     app = spark.sparkContext.applicationId
     stage = f"{os.path.dirname(in_dir)}/in_stage_{app}"
@@ -151,28 +159,21 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
     # Lost the claim, or a partial copy occupies in_dir: a complete
     # copy (_SUCCESS) is served as-is; a partial one is evicted under
     # the lock and replaced by this session's complete staging copy.
-    # Keep contending until the lock-leak deadline — a healthy
-    # holder's eviction is sub-second, so in practice this resolves
-    # in one or two iterations.
+    # Keep contending until the deadline — a healthy holder's
+    # eviction is sub-second, so in practice this resolves in one or
+    # two iterations; the deadline only guards against a LIVE holder
+    # stuck longer than any sane eviction.
     lock = f"{os.path.dirname(in_dir)}/in_evict.lock"
-    deadline = time.time() + _EVICT_LOCK_MAX_AGE_S + 5
+    deadline = time.time() + _EVICT_WAIT_MAX_S
     while time.time() < deadline:
         if os.path.exists(f"{in_dir}/_SUCCESS"):
             shutil.rmtree(stage, ignore_errors=True)
             return in_dir
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
         try:
-            if time.time() - os.path.getmtime(lock) > _EVICT_LOCK_MAX_AGE_S:
-                # CAS-style break: claim the stale lock by renaming
-                # it to a unique name; only the claimed file is
-                # unlinked, never a successor lock.
-                claimed = f"{lock}.stale_{uuid.uuid4().hex}"
-                os.rename(lock, claimed)
-                os.unlink(claimed)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
-            pass
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except OSError:
+            os.close(fd)
             time.sleep(0.2)  # another session is evicting; re-check
             continue
         try:
@@ -189,11 +190,7 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
                     # top re-check will serve it
                     pass
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            os.close(fd)  # closing the fd releases the flock
     # Unresolved: never stream a partial in_dir — serve this
     # session's own complete copy (per-application, so no other
     # session will evict it mid-read; the scratch sweep reclaims it
@@ -202,15 +199,17 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
         return stage
     raise RuntimeError(
         f"replay source unresolved: {in_dir} has no _SUCCESS, the "
-        f"eviction lock never released within {_EVICT_LOCK_MAX_AGE_S}s, "
+        f"eviction lock never released within {_EVICT_WAIT_MAX_S}s, "
         f"and the staging copy {stage} is incomplete"
     )
 
 
-#: eviction locks older than this are presumed leaked (holder
-#: crashed between O_EXCL create and unlink) and broken by the next
-#: contender — eviction itself is a sub-second rmtree+rename.
-_EVICT_LOCK_MAX_AGE_S = 60
+#: upper bound on contending for the eviction flock before falling
+#: back to the session's own staging copy. A crashed holder releases
+#: instantly (kernel-held lock), so this only bounds waiting on a
+#: live-but-stuck holder; eviction itself is a sub-second
+#: rmtree+rename.
+_EVICT_WAIT_MAX_S = 65
 
 
 _QUERY_NAME = "mrs_streaming_smoke_sink"

@@ -280,9 +280,23 @@ def changed_since_green(
     round — the old artifact certifies different code, so they must
     re-enter the driver window. Rule: take the EARLIEST fingerprint
     snapshot at round >= the green round; if it disagrees with the
-    current fingerprint — or, when both sides carry one, the
-    helper-module fingerprint — the definition moved since the
-    proof. No snapshot that late → assume unchanged.
+    current fingerprint the definition moved since the proof. No
+    snapshot that late → assume unchanged.
+
+    The helper-module comparison additionally requires era-comparable
+    values (the hashing walk changed between rounds — "h1" vs "h2"
+    prefixes). When the earliest snapshot's helper value is missing
+    or from an older era, the comparison FALLS FORWARD to the
+    earliest snapshot >= the green round that carries a current-era
+    helper value, instead of skipping helper detection outright:
+    round 8's gate compared only the earliest snapshot, which left
+    every query whose latest green predated the era bump (120/169
+    after r8) permanently blind to helper edits even though newer
+    artifacts carried comparable values. The fallen-forward snapshot
+    certifies the helper state only from ITS round onward — a helper
+    edit landed between the green round and that snapshot stays
+    invisible here, the same accepted edge as the pre-snapshot era
+    below.
 
     Known era edges, accepted by design and covered every round by
     the local differential (which proves ALL queries on current
@@ -311,19 +325,22 @@ def changed_since_green(
         if not rounds:
             continue
         snap_val = snapshots[rounds[0]][name]
-        snap_fp, snap_helper = (
-            snap_val if isinstance(snap_val, tuple) else (snap_val, None)
-        )
+        snap_fp = snap_val[0] if isinstance(snap_val, tuple) else snap_val
         if snap_fp != current[name]:
             out.add(name)
-        elif (
-            snap_helper is not None
-            and current_helpers is not None
-            and name in current_helpers
-            and _helper_fp_era(snap_helper) == _helper_fp_era(current_helpers[name])
-            and snap_helper != current_helpers[name]
-        ):
-            out.add(name)
+            continue
+        if current_helpers is None or name not in current_helpers:
+            continue
+        cur_helper = current_helpers[name]
+        cur_era = _helper_fp_era(cur_helper)
+        for r in rounds:
+            val = snapshots[r][name]
+            helper = val[1] if isinstance(val, tuple) else None
+            if helper is None or _helper_fp_era(helper) != cur_era:
+                continue  # fall forward to a current-era snapshot
+            if helper != cur_helper:
+                out.add(name)
+            break
     return out
 
 

@@ -46,10 +46,21 @@ def _newest_mtime(path: str, max_entries: int = 4096) -> float:
     hypothetical live tree whose only fresh mtimes sit deeper than
     the first ``max_entries`` BFS entries could be mis-swept; no
     scratch layout here has that shape, and reuse paths re-stamp the
-    root precisely so the shallow sample is authoritative."""
+    root precisely so the shallow sample is authoritative. As a
+    belt-and-braces guard for future scratch shapes (ADVICE r8), the
+    known liveness hotspots — the root stamp and a streaming
+    checkpoint's ``offsets/``/``commits/`` dirs, whose mtimes move on
+    every batch because offset/commit files are their DIRECT
+    children — are stat-ed unconditionally before the capped walk,
+    so no directory fan-out can push them past the sample."""
     from collections import deque
 
     newest = 0.0
+    for hot in ("offsets", "commits"):
+        try:
+            newest = max(newest, os.lstat(os.path.join(path, hot)).st_mtime)
+        except OSError:
+            pass
     seen = 0
     queue = deque([path])
     while queue:

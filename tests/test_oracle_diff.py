@@ -229,6 +229,47 @@ def test_changed_since_green_sees_helper_module_edits():
     assert changed_since_green(green, snapshots, current) == set()
 
 
+def test_changed_since_green_era_gate_falls_forward():
+    """ADVICE r8 (medium): when the EARLIEST snapshot >= the green
+    round carries an old-era (or missing) helper fingerprint, the
+    helper comparison must fall forward to the earliest CURRENT-era
+    snapshot rather than be skipped — otherwise every query whose
+    latest green predates an era bump is permanently blind to helper
+    edits even though newer artifacts carry comparable values."""
+    from map_reduce_showcase_spark.plans.registry import changed_since_green
+
+    green = {"q_old_green": 5, "q_old_green_stable": 5}
+    snapshots = {
+        # r7: h1-era bare-hex helper values (pre-prefix walk)
+        7: {
+            "q_old_green": ("aaaa", "0123456789abcdef"),
+            "q_old_green_stable": ("bbbb", "fedcba9876543210"),
+        },
+        # r8: first h2-era snapshot
+        8: {
+            "q_old_green": ("aaaa", "h2:one"),
+            "q_old_green_stable": ("bbbb", "h2:two"),
+        },
+    }
+    current = {"q_old_green": "aaaa", "q_old_green_stable": "bbbb"}
+    helpers = {
+        "q_old_green": "h2:EDITED",  # helper moved after the r8 snapshot
+        "q_old_green_stable": "h2:two",
+    }
+    # earliest snapshot (r7) is h1-era → fall forward to r8's h2 value
+    assert changed_since_green(green, snapshots, current, helpers) == {
+        "q_old_green"
+    }
+    # no current-era snapshot at all → comparison is skipped, as before
+    assert (
+        changed_since_green(
+            {"q": 5}, {7: {"q": ("cccc", "deadbeefdeadbeef")}}, {"q": "cccc"},
+            {"q": "h2:whatever"},
+        )
+        == set()
+    )
+
+
 def test_helper_fingerprint_moves_when_imported_helper_source_moves():
     """The done-criterion for the blind-spot fix, run for real: edit
     ``dedup/jaccard.py`` on disk (append a comment) and the helper

@@ -1,0 +1,119 @@
+"""Unit tests for the scale-sweep fit/flag adjudication.
+
+Round 8 caught two live defects in ``tools/scale_sweep.py`` (see
+VERDICT.md r8): a FAILED heavy point wrote ``flag: false`` (a crashed
+sf1.6 run read as a clean bill), and ``fit()`` computed
+``tail_time_per_work`` but never consulted it — the raw tail-ratio
+threshold (4.0) has zero noise headroom for a query whose intrinsic
+work grows exactly 4x per leg by construction, so a measured-linear
+plan stayed flagged. These tests pin the corrected three-valued flag
+semantics and the work-normalized adjudication. No SparkSession
+needed — ``fit()`` is pure."""
+
+import importlib.util
+import pathlib
+import sys
+
+_TOOLS = pathlib.Path(__file__).resolve().parent.parent / "tools"
+
+
+def _load_sweep():
+    spec = importlib.util.spec_from_file_location(
+        "scale_sweep", _TOOLS / "scale_sweep.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    # scale_sweep imports the package at module load; that is already
+    # importable from the repo root on sys.path
+    sys.modules.setdefault("scale_sweep", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fit_flags_raw_tail_without_work_probe():
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {
+            "linear_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0},
+            "quadratic_q": {"sf0.1": 1.0, "sf0.4": 3.0, "sf1.6": 13.0},
+        }
+    )
+    assert fitted["linear_q"]["flag"] is False
+    assert fitted["quadratic_q"]["flag"] is True
+    assert fitted["quadratic_q"]["leg_ratios_4x"]["tail"] == 4.33
+
+
+def test_fit_failed_point_is_unmeasured_not_clean():
+    """A missing/failed scale point must yield flag=None and land in
+    'unmeasured' — round 8's fit() wrote flag:false for exactly this
+    shape, and an --only merge of it cleared a standing flag."""
+    sweep = _load_sweep()
+    fitted = sweep.fit({"died_at_16x": {"sf0.1": 1.0, "sf0.4": 2.1, "sf1.6": None}})
+    assert fitted["died_at_16x"]["flag"] is None
+    lists = sweep._flag_lists(fitted)
+    assert lists["flagged"] == []
+    assert lists["unmeasured"] == ["died_at_16x"]
+
+
+def test_fit_work_probe_adjudicates_time_per_work():
+    """The round-8 triangle shape: raw tail 4.42 (> 4.0) but work
+    tail exactly 4.00 → tail_time_per_work 1.10 → NOT flagged. A
+    genuinely quadratic-in-own-work plan (time tail ~ work tail
+    squared → tpw ~ 4) still trips."""
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {
+            "triangle_like": {"sf0.1": 3.84, "sf0.4": 7.36, "sf1.6": 32.56},
+            "work_quadratic": {"sf0.1": 1.0, "sf0.4": 4.0, "sf1.6": 64.0},
+        },
+        work={
+            "triangle_like": {
+                "sf0.1": 132_026_018,
+                "sf0.4": 528_104_072,
+                "sf1.6": 2_112_416_288,
+            },
+            "work_quadratic": {"sf0.1": 100, "sf0.4": 400, "sf1.6": 1600},
+        },
+    )
+    t = fitted["triangle_like"]
+    assert t["leg_ratios_4x"]["tail"] == 4.42
+    assert t["leg_work_ratios_4x"]["tail"] == 4.0
+    assert t["tail_time_per_work"] == 1.1
+    assert t["flag"] is False
+    q = fitted["work_quadratic"]
+    assert q["tail_time_per_work"] == 4.0
+    assert q["flag"] is True
+
+
+def test_fit_work_probe_failure_falls_back_to_raw_tail():
+    """A work probe that died at one point must not disable the
+    detector: adjudication falls back to the raw tail ratio."""
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {"q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0}},
+        work={"q": {"sf0.1": 100, "sf0.4": 400, "sf1.6": None}},
+    )
+    assert fitted["q"]["tail_time_per_work"] is None
+    assert fitted["q"]["flag"] is True  # raw tail 4.5 > 4.0
+
+
+def test_fit_expected_quadratic_control_exempt_but_recorded():
+    sweep = _load_sweep()
+    name = "control_quadratic_blocking"
+    fitted = sweep.fit({name: {"sf0.1": 1.0, "sf0.4": 4.0, "sf1.6": 64.0}})
+    assert fitted[name]["expected_quadratic"] is True
+    assert fitted[name]["flag"] is False
+    assert fitted[name]["leg_ratios_4x"]["tail"] == 16.0
+
+
+def test_fit_zero_work_ratio_records_zero_not_missing():
+    """ADVICE r8 (low): truthiness conflated a legitimate 0.0 ratio
+    with missing. A zero head work ratio must record as 0.0."""
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {"q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0}},
+        work={"q": {"sf0.1": 100, "sf0.4": 0, "sf1.6": 0}},
+    )
+    assert fitted["q"]["leg_work_ratios_4x"]["head"] == 0.0
+    # tail work ratio 0/0 is genuinely undefined → None, raw fallback
+    assert fitted["q"]["leg_work_ratios_4x"]["tail"] is None
+    assert fitted["q"]["flag"] is False

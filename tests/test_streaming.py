@@ -524,6 +524,39 @@ def test_sweep_capped_scan_still_reclaims_big_dead_trees(tmp_path, monkeypatch):
     assert sorted(os.listdir(base)) == ["big_live"]
 
 
+def test_sweep_hotspot_stat_survives_adversarial_fanout(tmp_path, monkeypatch):
+    """ADVICE r8: a live checkpoint whose ONLY fresh mtimes sit past
+    the capped BFS sample (a dir with more direct children than the
+    cap, all sorting before ``offsets``, root stamp not refreshed)
+    could be mis-swept. The known liveness hotspots — ``offsets/``
+    and ``commits/`` — are now stat-ed unconditionally before the
+    walk, so no fan-out can hide them."""
+    import functools
+    import os
+
+    from map_reduce_showcase_spark import session as sess
+
+    base = tmp_path / "scratch"
+    ckpt = base / "ckpt_fanout"
+    # 40 aged direct children that BFS-sort BEFORE "offsets"; with the
+    # cap at 16 the sample never reaches the offsets dir itself
+    for i in range(40):
+        (ckpt / f"a{i:03d}").mkdir(parents=True)
+    (ckpt / "offsets").mkdir()
+    (ckpt / "offsets" / "0").write_text("batch0")
+    _age_tree(ckpt)
+    # a NEW batch lands: only offsets/ (direct child added) is fresh
+    (ckpt / "offsets" / "1").write_text("batch1")
+    old = __import__("time").time() - 2 * 86400
+    os.utime(ckpt, (old, old))  # root stamp NOT refreshed
+    real_newest = sess._newest_mtime
+    monkeypatch.setattr(
+        sess, "_newest_mtime", functools.partial(real_newest, max_entries=16)
+    )
+    sess.sweep_stale_scratch(str(base), keep=set())
+    assert os.listdir(base) == ["ckpt_fanout"], "live checkpoint swept"
+
+
 def test_sweep_liveness_is_usage_based(tmp_path):
     """A candidate is swept only when old AND unused. POSIX dir mtime
     alone is NOT liveness — it goes stale while nested checkpoint
@@ -595,23 +628,34 @@ def test_stream_replay_claim_is_atomic(spark, tmp_path):
     _ensure_replay(spark, in_dir, write_v2)
     assert open(f"{in_dir}/part-0").read() == "v2"
     assert os.path.exists(f"{in_dir}/_SUCCESS")
-    assert not os.path.exists(str(base / "in_evict.lock"))  # lock released
+    # the flock was released: the (inert, never-unlinked) lock file
+    # is immediately acquirable by the next contender
+    import fcntl
+
+    fd = os.open(str(base / "in_evict.lock"), os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # raises if held
+    finally:
+        os.close(fd)
 
 
 def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path, monkeypatch):
-    """Evicting a partial replay occupant is guarded by an O_EXCL
-    lock with the _SUCCESS re-check inside it: while another session
-    holds a FRESH lock, this session contends instead of rmtree-ing
-    (the holder may be mid-rename of a complete copy — the round-6
-    race); once the lock crosses the leak threshold it is presumed
-    crashed, broken CAS-style, and eviction proceeds — the caller
-    ends up streaming the complete copy either way."""
+    """Evicting a partial replay occupant is guarded by an exclusive
+    flock with the _SUCCESS re-check inside it: while another session
+    HOLDS the flock, this session contends instead of rmtree-ing (the
+    holder may be mid-rename of a complete copy — the round-6 race);
+    once the holder releases, eviction proceeds. A lock FILE left by
+    a crashed holder (the kernel released its flock with the process)
+    blocks nobody — round 8's path-based protocol made every
+    contender wait out a 60 s age heuristic for exactly this case,
+    and its stale-lock break carried a rename TOCTOU (ADVICE r8)."""
+    import fcntl
     import os
+    import threading
     import time
 
     from map_reduce_showcase_spark.plans import queries_streaming as qs
 
-    monkeypatch.setattr(qs, "_EVICT_LOCK_MAX_AGE_S", 2)
     base = tmp_path / "scratch"
     base.mkdir()
     in_dir = str(base / "in")
@@ -624,30 +668,40 @@ def test_stream_replay_partial_eviction_respects_lock(spark, tmp_path, monkeypat
         open(f"{p}/_SUCCESS", "w").close()
 
     lock = str(base / "in_evict.lock")
-    open(lock, "w").close()  # fresh: held by a live evictor
+    hold_for = 1.2
+    held = threading.Event()
+
+    def live_holder():
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        held.set()
+        time.sleep(hold_for)
+        os.close(fd)  # releases
+
+    holder = threading.Thread(target=live_holder, daemon=True)
+    holder.start()
+    assert held.wait(5)
     t0 = time.time()
     out = qs._ensure_replay(spark, in_dir, write_v2)
     waited = time.time() - t0
-    # contended (did not evict instantly under a fresh lock), then
-    # broke the now-stale lock and installed the complete copy
-    assert waited >= 1.0, "evicted under a fresh lock without contending"
+    holder.join()
+    # contended while the flock was held, then evicted once released
+    assert waited >= 1.0, "evicted while another session held the flock"
     assert out == in_dir
     assert open(f"{in_dir}/part-0").read() == "v2"
     assert os.path.exists(f"{in_dir}/_SUCCESS")
-    assert not os.path.exists(lock)
 
-    # a pre-aged leaked lock (holder crashed long ago) is broken
-    # immediately and eviction proceeds
+    # a lock FILE whose holder crashed (no live flock) blocks nobody:
+    # eviction proceeds immediately, no age heuristic
     os.remove(f"{in_dir}/_SUCCESS")
     open(f"{in_dir}/part-0", "w").write("partial")
-    open(lock, "w").close()
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
+    assert os.path.exists(lock)  # inert leftover from the first pass
+    t0 = time.time()
     out = qs._ensure_replay(spark, in_dir, write_v2)
+    assert time.time() - t0 < 30, "waited on a lock nobody holds"
     assert out == in_dir
     assert open(f"{in_dir}/part-0").read() == "v2"
     assert os.path.exists(f"{in_dir}/_SUCCESS")
-    assert not os.path.exists(lock)
 
 
 def test_stream_replay_unresolved_lock_serves_own_complete_copy(
@@ -657,16 +711,15 @@ def test_stream_replay_unresolved_lock_serves_own_complete_copy(
     attempt failed and no _SUCCESS ever appeared, the loser discarded
     its complete staging copy and the caller streamed the partial
     occupant. Now the deadline path returns the session's own
-    complete staging copy — a held-forever lock (refreshed by a live
-    holder for the whole window) must never lead to a partial
-    source."""
+    complete staging copy — a flock held by a live-but-stuck holder
+    for the whole window must never lead to a partial source."""
+    import fcntl
     import os
     import threading
-    import time
 
     from map_reduce_showcase_spark.plans import queries_streaming as qs
 
-    monkeypatch.setattr(qs, "_EVICT_LOCK_MAX_AGE_S", 1)
+    monkeypatch.setattr(qs, "_EVICT_WAIT_MAX_S", 1.5)
     base = tmp_path / "scratch"
     base.mkdir()
     in_dir = str(base / "in")
@@ -674,22 +727,21 @@ def test_stream_replay_unresolved_lock_serves_own_complete_copy(
     open(f"{in_dir}/part-0", "w").write("partial")  # no _SUCCESS
 
     lock = str(base / "in_evict.lock")
-    open(lock, "w").close()
     stop = threading.Event()
+    held = threading.Event()
 
-    def keep_fresh():
-        # a live holder: refresh the lock's mtime so the age check
-        # never classifies it as leaked
-        while not stop.is_set():
-            try:
-                now = time.time()
-                os.utime(lock, (now, now))
-            except OSError:
-                pass
-            time.sleep(0.1)
+    def stuck_holder():
+        # a live holder that never finishes its eviction: holds the
+        # flock until told to stop
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        held.set()
+        stop.wait()
+        os.close(fd)
 
-    holder = threading.Thread(target=keep_fresh, daemon=True)
+    holder = threading.Thread(target=stuck_holder, daemon=True)
     holder.start()
+    assert held.wait(5)
     try:
         def write_v2(p):
             os.makedirs(p)

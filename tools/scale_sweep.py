@@ -121,6 +121,19 @@ QUERIES = [
 #: it under-detects: overhead deflates the early legs, so even the
 #: known-quadratic control only fits alpha 0.84 end-to-end.
 TAIL_RATIO_FLAG = 4.0
+#: For queries with a work probe (``_work_measures``), the flag is
+#: adjudicated on the WORK-NORMALIZED tail instead: tail_time_per_work
+#: = time-tail-ratio / work-tail-ratio. A plan linear in its own
+#: intrinsic work measures ~1.0 (round 8 triangle: raw tail 4.42 but
+#: work tail exactly 4.00 → 1.10); a quadratic-in-work plan's
+#: per-leg time ratio tracks the SQUARE of the work ratio, so its
+#: time-per-work ratio ≈ the work ratio itself (~4 per 4x leg). The
+#: threshold sits between with headroom on BOTH sides — the raw 4.0
+#: threshold had zero headroom for a query whose work tail is exactly
+#: 4.0 by construction, which kept a measured-linear plan flagged
+#: through round 8 because fit() never consulted the normalization
+#: it computed.
+TPW_TAIL_FLAG = 2.0
 #: the synthetic control, exempt from the flag but still recorded.
 EXPECTED_QUADRATIC = {"control_quadratic_blocking"}
 
@@ -144,6 +157,37 @@ def _control_quadratic_blocking(spark, sf_dir):
 
 
 CONTROLS = {"control_quadratic_blocking": _control_quadratic_blocking}
+
+
+def _protocol(reps: int) -> str:
+    """Self-describing protocol note stamped into the artifact."""
+    return (
+        f"min of {reps} runs per (query, sf); k-replica data "
+        f"(k=1/4/16, ALL through the same writer) with stride-offset "
+        f"keys, ciphered text, rolled embeddings; "
+        f"alpha = log(t_sf1.6/t_sf0.1)/log(16); flag = tail-leg "
+        f"ratio t_sf1.6/t_sf0.4 > {TAIL_RATIO_FLAG} (fixed "
+        f"per-query overhead deflates endpoint alpha, so the "
+        f"overhead-amortized tail leg is the detector — the "
+        f"known-quadratic control trips it, endpoint alpha alone "
+        f"does not); queries with a work probe are adjudicated on "
+        f"tail_time_per_work = time-tail/work-tail > {TPW_TAIL_FLAG} "
+        f"instead (linear-in-own-work ~1.0, quadratic ~4.0 — the raw "
+        f"threshold has zero headroom when intrinsic work grows "
+        f"exactly 4x/leg by construction); a query whose needed "
+        f"points are missing gets flag=null and lands in 'unmeasured' "
+        f"— a failed heavy run is not a clean bill."
+    )
+
+
+def _flag_lists(fitted: dict) -> dict:
+    """The artifact's summary lists derived from per-query flags."""
+    return {
+        "flagged": sorted(q for q, v in fitted.items() if v["flag"]),
+        "unmeasured": sorted(
+            q for q, v in fitted.items() if v["flag"] is None
+        ),
+    }
 
 
 def _work_measures():
@@ -311,6 +355,18 @@ def run(
 
 
 def fit(results: dict, work: dict | None = None) -> dict:
+    """Fit ratios/exponents and adjudicate the per-query ``flag``.
+
+    Flag semantics are three-valued: ``True`` = super-linear scaling
+    detected, ``False`` = measured and clean, ``None`` = NOT
+    ADJUDICABLE (a needed scale point failed or was never measured).
+    Round 8 caught live that a failed sf1.6 point wrote ``flag:
+    false`` — a crashed heavy run must never read as a clean bill;
+    such queries land in the artifact's ``unmeasured`` list instead.
+
+    Queries carrying a work probe are adjudicated on
+    ``tail_time_per_work`` (see ``TPW_TAIL_FLAG``); everything else
+    on the raw tail-leg time ratio."""
     work = work or {}
     out = {}
     for q, times in results.items():
@@ -330,17 +386,13 @@ def fit(results: dict, work: dict | None = None) -> dict:
         head = round(head, 2) if head is not None else None
         tail = _ratio(t16, t4)
         tail = round(tail, 2) if tail is not None else None
-        out[q] = {
+        entry = {
             "times_sec": times,
             "alpha": alpha,
             "leg_ratios_4x": {"head": head, "tail": tail},
             "expected_quadratic": q in EXPECTED_QUADRATIC,
-            "flag": (
-                tail is not None
-                and tail > TAIL_RATIO_FLAG
-                and q not in EXPECTED_QUADRATIC
-            ),
         }
+        tpw = None
         if q in work:
             # intrinsic-work normalization: a query whose work grows
             # superlinearly with sf BY CONSTRUCTION (densification)
@@ -349,14 +401,33 @@ def fit(results: dict, work: dict | None = None) -> dict:
             # where the raw time tail is inflated by work growth.
             w = work[q]
             w1, w4, w16 = (w.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
+            # bind each ratio once and test `is not None` — the times
+            # block above does exactly this, and round 8's truthiness
+            # here would have recorded a legitimate 0.0 as missing
+            w_head = _ratio(w4, w1)
             w_tail = _ratio(w16, w4)
-            out[q]["work_units"] = w
-            out[q]["leg_work_ratios_4x"] = {
-                "head": round(_ratio(w4, w1), 2) if _ratio(w4, w1) else None,
-                "tail": round(w_tail, 2) if w_tail else None,
+            entry["work_units"] = w
+            entry["leg_work_ratios_4x"] = {
+                "head": round(w_head, 2) if w_head is not None else None,
+                "tail": round(w_tail, 2) if w_tail is not None else None,
             }
             tpw = _ratio(tail, w_tail)
-            out[q]["tail_time_per_work"] = round(tpw, 2) if tpw else None
+            entry["tail_time_per_work"] = (
+                round(tpw, 2) if tpw is not None else None
+            )
+        if q in EXPECTED_QUADRATIC:
+            entry["flag"] = False
+        elif tpw is not None:
+            # the probe measured end-to-end: adjudicate on the
+            # work-normalized tail — round 8's fit() computed this
+            # value and then flagged on the raw tail anyway, keeping
+            # a measured-linear plan flagged.
+            entry["flag"] = round(tpw, 2) > TPW_TAIL_FLAG
+        elif tail is not None:
+            entry["flag"] = tail > TAIL_RATIO_FLAG
+        else:
+            entry["flag"] = None  # unmeasured ≠ clean
+        out[q] = entry
     return out
 
 
@@ -393,12 +464,21 @@ def main() -> None:
             },
         )
         prior["queries"] = fitted
+        prior["protocol"] = _protocol(prior.get("reps", 3))
         prior["tail_ratio_flag_threshold"] = TAIL_RATIO_FLAG
+        prior["tpw_tail_flag_threshold"] = TPW_TAIL_FLAG
         prior.pop("alpha_flag_threshold", None)
-        prior["flagged"] = sorted(q for q, v in fitted.items() if v["flag"])
+        prior.update(_flag_lists(fitted))
         with open(path, "w") as fh:
             json.dump(prior, fh, indent=1)
-        print(json.dumps({"flagged": prior["flagged"]}))
+        print(
+            json.dumps(
+                {
+                    "flagged": prior["flagged"],
+                    "unmeasured": prior["unmeasured"],
+                }
+            )
+        )
         return
     _load_all()
     spark = get_spark(app_name="mrs-scale-sweep")
@@ -450,38 +530,65 @@ def main() -> None:
                     f"current is {build_fingerprint()!r} — the replica "
                     "construction changed, run the full sweep"
                 )
+            # per-query ATOMIC replace, and only with a COMPLETE
+            # re-measure: round 8 caught live that merging a run
+            # whose sf1.6 point died (GCLocker retries at 8g) both
+            # mixed one query's legs across runs and silently CLEARED
+            # the standing flag the re-measure was meant to adjudicate
+            complete = {
+                q: t
+                for q, t in results.items()
+                if all(
+                    t.get(k) is not None for k in ("sf0.1", "sf0.4", "sf1.6")
+                )
+            }
+            failed = sorted(set(results) - set(complete))
+            if failed:
+                print(
+                    f"--only merge: re-measure INCOMPLETE for {failed} — "
+                    f"keeping the prior artifact's times and flag for them",
+                    file=sys.stderr,
+                )
             merged = {q: v["times_sec"] for q, v in prior["queries"].items()}
-            merged.update(results)
+            merged.update(complete)
             results = merged
             merged_work = {
                 q: v["work_units"]
                 for q, v in prior["queries"].items()
                 if "work_units" in v
             }
-            merged_work.update(work)
+            # work probes are deterministic counts over the (build_fp
+            # gated) replica data, independent of the timing run —
+            # merge any that succeeded
+            merged_work.update(
+                {
+                    q: w
+                    for q, w in work.items()
+                    if all(w.get(k) is not None for k in ("sf0.1", "sf0.4", "sf1.6"))
+                }
+            )
             work = merged_work
         fitted = fit(results, work)
         payload = {
-            "protocol": (
-                f"min of {args.reps} runs per (query, sf); k-replica data "
-                f"(k=1/4/16, ALL through the same writer) with stride-offset "
-                f"keys, ciphered text, rolled embeddings; "
-                f"alpha = log(t_sf1.6/t_sf0.1)/log(16); flag = tail-leg "
-                f"ratio t_sf1.6/t_sf0.4 > {TAIL_RATIO_FLAG} (fixed "
-                f"per-query overhead deflates endpoint alpha, so the "
-                f"overhead-amortized tail leg is the detector — the "
-                f"known-quadratic control trips it, endpoint alpha alone "
-                f"does not)."
-            ),
+            "protocol": _protocol(args.reps),
+            "reps": args.reps,
             "build_fp": build_fingerprint(),
             "tail_ratio_flag_threshold": TAIL_RATIO_FLAG,
+            "tpw_tail_flag_threshold": TPW_TAIL_FLAG,
             "queries": fitted,
-            "flagged": sorted(q for q, v in fitted.items() if v["flag"]),
+            **_flag_lists(fitted),
         }
         path = os.path.join(REPO, "SCALE_SWEEP.json")
         with open(path, "w") as fh:
             json.dump(payload, fh, indent=1)
-        print(json.dumps({"flagged": payload["flagged"]}))
+        print(
+            json.dumps(
+                {
+                    "flagged": payload["flagged"],
+                    "unmeasured": payload["unmeasured"],
+                }
+            )
+        )
         print(f"wrote {path}", file=sys.stderr)
 
 
