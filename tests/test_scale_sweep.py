@@ -103,6 +103,10 @@ def test_fit_expected_quadratic_control_exempt_but_recorded():
     assert fitted[name]["expected_quadratic"] is True
     assert fitted[name]["flag"] is False
     assert fitted[name]["leg_ratios_4x"]["tail"] == 16.0
+    # but a control with a missing heavy point is still UNMEASURED —
+    # exemption is not a verdict
+    fitted = sweep.fit({name: {"sf0.1": 1.0, "sf0.4": 4.0, "sf1.6": None}})
+    assert fitted[name]["flag"] is None
 
 
 def test_fit_zero_work_ratio_records_zero_not_missing():

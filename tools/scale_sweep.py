@@ -317,6 +317,17 @@ def run(
             # OOM at the big point must not zero the whole artifact
             try:
                 for _ in range(reps):
+                    # drop dead python-side DataFrame refs from prior
+                    # queries BEFORE the JVM gc: py4j holds their JVM
+                    # objects (and any localCheckpoint blocks) alive
+                    # until python collects them — in a long-lived
+                    # full-sweep JVM that residue eventually starved
+                    # the heap at the sf1.6 graph queries (round 9:
+                    # context death at 12g mid-sweep where a fresh
+                    # JVM ran the same query fine)
+                    import gc
+
+                    gc.collect()
                     jvm_gc()
                     t0 = time.time()
                     builders[q](spark, sf_dir).write.format("noop").mode(
@@ -415,7 +426,11 @@ def fit(results: dict, work: dict | None = None) -> dict:
             entry["tail_time_per_work"] = (
                 round(tpw, 2) if tpw is not None else None
             )
-        if q in EXPECTED_QUADRATIC:
+        if tail is None and tpw is None:
+            # measurability first, even for the control: a missing
+            # heavy point is "unmeasured", never a verdict
+            entry["flag"] = None
+        elif q in EXPECTED_QUADRATIC:
             entry["flag"] = False
         elif tpw is not None:
             # the probe measured end-to-end: adjudicate on the
