@@ -117,19 +117,38 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", default=None, help="write per-query JSON here")
-    args = ap.parse_args()
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+    ap.add_argument(
+        "--sf-dir",
+        default=SF,
+        help="testdata directory for both Spark and the DuckDB views "
+        "(default: the driver's sf0.01; use sf0.1 for a 10x-scale "
+        "re-validation — slower, mostly on the DuckDB oracle side)",
     )
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="spark.driver.memory override. Default None = the "
+        "driver's own plain session (1g) — correct for sf0.01 "
+        "parity. A 170-query run at --sf-dir sf0.1 starves a 1g "
+        "heap partway through (measured round 9: the JVM died and "
+        "every later query failed with ConnectionRefused); use 12g "
+        "there.",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+
+    builder = SparkSession.builder.master("local[8]").config(
+        "spark.sql.session.timeZone", "UTC"
+    )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     # 1. entry smoke
     r = E.entry(spark).collect()
@@ -145,7 +164,8 @@ def main() -> int:
     for i, (name, fn) in enumerate(queries.items()):
         spec = REGISTRY.get(name)
         rec, why = check_query(
-            name, fn, oracles.get(name), spec.tags if spec else (), spark, con
+            name, fn, oracles.get(name), spec.tags if spec else (), spark, con,
+            sf=sf_dir,
         )
         if spec is not None:
             rec["fingerprint"] = definition_fingerprint(spec)
