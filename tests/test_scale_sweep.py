@@ -109,6 +109,63 @@ def test_fit_expected_quadratic_control_exempt_but_recorded():
     assert fitted[name]["flag"] is None
 
 
+def test_merge_only_is_atomic_and_rejects_incomplete():
+    """The r8 live bug, end to end at the merge layer: an --only
+    re-measure whose heavy point died must keep the prior artifact's
+    times — and therefore, through the refit, its standing flag —
+    while a complete re-measure replaces its query atomically."""
+    sweep = _load_sweep()
+    prior = sweep.fit(
+        {
+            "flagged_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0},
+            "clean_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0},
+        }
+    )
+    assert prior["flagged_q"]["flag"] is True
+    # re-measure both; flagged_q's sf1.6 died, clean_q completed
+    times, work, rejected = sweep.merge_only(
+        prior,
+        {
+            "flagged_q": {"sf0.1": 0.9, "sf0.4": 1.9, "sf1.6": None},
+            "clean_q": {"sf0.1": 1.1, "sf0.4": 2.1, "sf1.6": 6.3},
+        },
+        {},
+    )
+    assert rejected == ["flagged_q"]
+    # prior times kept for the incomplete one → refit keeps the flag
+    assert times["flagged_q"] == {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0}
+    assert times["clean_q"] == {"sf0.1": 1.1, "sf0.4": 2.1, "sf1.6": 6.3}
+    refit = sweep.fit(times, work)
+    assert refit["flagged_q"]["flag"] is True  # NOT silently cleared
+    assert refit["clean_q"]["flag"] is False
+
+
+def test_merge_only_work_probes_merge_independently():
+    """Work probes are deterministic counts over build_fp-gated data,
+    so a complete probe merges even when its timing run was rejected;
+    an incomplete probe never overwrites a prior complete one."""
+    sweep = _load_sweep()
+    prior = sweep.fit(
+        {"q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0}},
+        work={"q": {"sf0.1": 10, "sf0.4": 40, "sf1.6": 160}},
+    )
+    times, work, rejected = sweep.merge_only(
+        prior,
+        {"q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": None}},  # timing died
+        {"q": {"sf0.1": 11, "sf0.4": 44, "sf1.6": 176}},  # probe completed
+    )
+    assert rejected == ["q"]
+    assert times["q"]["sf1.6"] == 9.0  # prior timing kept
+    assert work["q"] == {"sf0.1": 11, "sf0.4": 44, "sf1.6": 176}
+    # incomplete probe → prior probe kept
+    _, work2, _ = sweep.merge_only(
+        prior,
+        {},
+        {"q": {"sf0.1": 11, "sf0.4": None, "sf1.6": 176}},
+    )
+    assert work2["q"] == {"sf0.1": 10, "sf0.4": 40, "sf1.6": 160}
+
+
 def test_fit_zero_work_ratio_records_zero_not_missing():
     """ADVICE r8 (low): truthiness conflated a legitimate 0.0 ratio
     with missing. A zero head work ratio must record as 0.0."""

@@ -190,6 +190,49 @@ def _flag_lists(fitted: dict) -> dict:
     }
 
 
+#: the three scale points every measurement must cover to be merged
+POINTS = ("sf0.1", "sf0.4", "sf1.6")
+
+
+def merge_only(
+    prior_queries: dict, results: dict, work: dict
+) -> tuple[dict, dict, list[str]]:
+    """Merge an ``--only`` re-measure into the prior artifact's
+    recorded times/work. Per-query ATOMIC, and only with a COMPLETE
+    re-measure: round 8 caught live that merging a run whose sf1.6
+    point died (GCLocker retries at 8g) both mixed one query's legs
+    across runs and silently CLEARED the standing flag the re-measure
+    was meant to adjudicate — an incomplete re-measure must keep the
+    prior entry (times AND, through the refit, flag) untouched.
+
+    Work probes are deterministic counts over the (build_fp-gated)
+    replica data, independent of the timing run, so any complete
+    probe result merges even when its timing was rejected.
+
+    Returns ``(times, work, rejected_names)``."""
+    complete = {
+        q: t
+        for q, t in results.items()
+        if all(t.get(k) is not None for k in POINTS)
+    }
+    rejected = sorted(set(results) - set(complete))
+    times = {q: v["times_sec"] for q, v in prior_queries.items()}
+    times.update(complete)
+    merged_work = {
+        q: v["work_units"]
+        for q, v in prior_queries.items()
+        if "work_units" in v
+    }
+    merged_work.update(
+        {
+            q: w
+            for q, w in work.items()
+            if all(w.get(k) is not None for k in POINTS)
+        }
+    )
+    return times, merged_work, rejected
+
+
 def _work_measures():
     """query -> callable(spark, sf_dir) -> int units of INTRINSIC
     work at that scale point. Recorded alongside wall time so a
@@ -545,44 +588,15 @@ def main() -> None:
                     f"current is {build_fingerprint()!r} — the replica "
                     "construction changed, run the full sweep"
                 )
-            # per-query ATOMIC replace, and only with a COMPLETE
-            # re-measure: round 8 caught live that merging a run
-            # whose sf1.6 point died (GCLocker retries at 8g) both
-            # mixed one query's legs across runs and silently CLEARED
-            # the standing flag the re-measure was meant to adjudicate
-            complete = {
-                q: t
-                for q, t in results.items()
-                if all(
-                    t.get(k) is not None for k in ("sf0.1", "sf0.4", "sf1.6")
-                )
-            }
-            failed = sorted(set(results) - set(complete))
+            results, work, failed = merge_only(
+                prior["queries"], results, work
+            )
             if failed:
                 print(
-                    f"--only merge: re-measure INCOMPLETE for {failed} — "
+                    f"--only merge: re-measure INCOMPLETE for {failed} - "
                     f"keeping the prior artifact's times and flag for them",
                     file=sys.stderr,
                 )
-            merged = {q: v["times_sec"] for q, v in prior["queries"].items()}
-            merged.update(complete)
-            results = merged
-            merged_work = {
-                q: v["work_units"]
-                for q, v in prior["queries"].items()
-                if "work_units" in v
-            }
-            # work probes are deterministic counts over the (build_fp
-            # gated) replica data, independent of the timing run —
-            # merge any that succeeded
-            merged_work.update(
-                {
-                    q: w
-                    for q, w in work.items()
-                    if all(w.get(k) is not None for k in ("sf0.1", "sf0.4", "sf1.6"))
-                }
-            )
-            work = merged_work
         fitted = fit(results, work)
         payload = {
             "protocol": _protocol(args.reps),
