@@ -444,11 +444,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|V| rows per partition before the only shuffle (the dst
     aggregate). Measured ~1.75x faster at sf0.1; the gap widens with
     iteration count since the edge shuffle is paid zero times instead
-    of once per round. Celebrity vertices can't blow up a row:
-    adjacency arrays are capped at ADJ_CHUNK_CAP neighbors per row
-    (chunk = hash(dst) mod ceil(od / cap)), and per-chunk partial
-    sums are exact-decimal so the chunk split provably can't change
-    the result (pinned by tests/test_components.py's cap-8 vs
+    of once per round. Celebrity vertices can't blow up a row — but
+    the defense ENGAGES only when some degree exceeds ADJ_CHUNK_CAP,
+    a driver-side plan-shape choice off one 1-row aggregate over the
+    checkpointed degree frame (round 9, porting the triangle's
+    round-8 lesson): at every measured distribution the emitted plan
+    is the bare grouped adjacency with zero chunk scaffolding. When
+    engaged, adjacency arrays are capped at ADJ_CHUNK_CAP neighbors
+    per row (chunk = hash(dst) mod ceil(od / cap)), and per-chunk
+    partial sums are exact-decimal so the chunk split provably can't
+    change the result (pinned by tests/test_components.py's cap-2 vs
     default differential). The vertex-count normalizer is a
     broadcast 1-row frame, never a driver-side collect. The
     bidirectional graph has no dangling vertices (every vertex has
@@ -461,33 +466,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
-    edges = copurchase_edges(spark, sf_dir)
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     bi = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = bi.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("od"))
-    # chunked adjacency: a vertex with od > chunk_cap splits into
-    # ceil(od/cap) rows, each carrying ≤~cap neighbors + the full od,
-    # so no single row ever holds a celebrity vertex's whole
-    # neighborhood. At this SF deg is broadcast by AQE; at 100 TB the
-    # join is co-partitioned on the vertex key bi is already grouped
-    # by. Built once, reused by every iteration via localCheckpoint.
-    adj = (
-        bi.join(deg, bi.src == deg.vertex)
-        .select(
-            "src",
-            "dst",
-            "od",
-            F.pmod(
-                F.hash("dst"), F.ceil(F.col("od") / F.lit(chunk_cap)).cast("int")
-            ).alias("chunk"),
-        )
-        .groupBy("src", "chunk")
-        .agg(F.collect_list("dst").alias("nbrs"), F.first("od").alias("od"))
-        .select(F.col("src").alias("vertex"), "nbrs", "od")
+    # |V|-row degree frame, needed regardless of plan shape (it IS
+    # the iteration state's (vertex, od) spine) — checkpointed so
+    # the 2|E|-row aggregate is paid once and the plan-choice bound
+    # below is a scan over |V| rows, not another pass over bi.
+    deg = (
+        bi.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("od"))
         .localCheckpoint()
     )
-    verts = adj.select("vertex", "od").distinct()
+    # Plan choice (round 9 — the triangle's round-8 lesson ported):
+    # pick the chunk engagement ON THE DRIVER from a 1-row aggregate
+    # over the checkpointed degree frame. Every measured degree
+    # distribution computes max od ≤ cap, so the emitted plan is the
+    # bare grouped-adjacency with ZERO chunk scaffolding — no deg
+    # join, no pmod, no per-chunk grouping key (the triangle paid
+    # ~+24% at the 16x sweep point for always-on scaffolding before
+    # its round-8 fix; same family, same cure).
+    max_od = deg.agg(F.max("od")).first()[0] or 0
+    adj = _pagerank_adjacency(bi, deg, chunk_cap, max_od).localCheckpoint()
+    # the checkpointed degree frame doubles as the vertex spine —
+    # the old adj.select(...).distinct() re-derivation (an extra
+    # |chunks|-row shuffle per query) is gone with it.
+    verts = deg
     nn = verts.agg(F.count(F.lit(1)).alias("n"))
     state = verts.crossJoin(F.broadcast(nn)).select(
         "vertex", "od", (F.lit(1.0) / F.col("n")).alias("r")
@@ -517,6 +522,57 @@ def _pagerank(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
         .limit(20)
         .select("vertex", F.round(F.col("r"), 9).alias("rank"))
     )
+
+
+def _pagerank_adjacency(
+    bi: DataFrame, deg: DataFrame, chunk_cap: int, max_od: int
+) -> DataFrame:
+    """The grouped adjacency frame (vertex, nbrs, od), with the
+    celebrity-chunk defense engaged ONLY when the driver-computed
+    ``max_od`` exceeds ``chunk_cap`` — extracted so the plan-shape
+    test can pin both branches without running the iterations."""
+    if max_od <= chunk_cap:
+        # unchunked: ONE aggregate over bi — od is the group count,
+        # so the deg join disappears with the chunk machinery.
+        return bi.groupBy(F.col("src").alias("vertex")).agg(
+            F.collect_list("dst").alias("nbrs"), F.count(F.lit(1)).alias("od")
+        )
+    # engaged celebrity defense: a vertex with od > chunk_cap splits
+    # into ceil(od/cap) rows, each carrying ≤~cap neighbors + the
+    # full od, so no single row ever holds a celebrity vertex's
+    # whole neighborhood. At this SF deg is broadcast by AQE; at
+    # 100 TB the join is co-partitioned on the vertex key bi is
+    # already grouped by. Bit-exactness of the split is pinned by
+    # the cap-2 invariant test.
+    return (
+        bi.join(deg, bi.src == deg.vertex)
+        .select(
+            "src",
+            "dst",
+            "od",
+            F.pmod(
+                F.hash("dst"), F.ceil(F.col("od") / F.lit(chunk_cap)).cast("int")
+            ).alias("chunk"),
+        )
+        .groupBy("src", "chunk")
+        .agg(F.collect_list("dst").alias("nbrs"), F.first("od").alias("od"))
+        .select(F.col("src").alias("vertex"), "nbrs", "od")
+    )
+
+
+def pagerank_contrib_work(spark: SparkSession, sf_dir: str) -> int:
+    """PageRank's INTRINSIC work at this SF, for the scale sweep's
+    time-per-unit adjudication (same role as
+    ``triangle_wedge_work``): each iteration generates, ships, and
+    decimal-sums exactly one contribution per bidirectional edge —
+    |bi| = 2|E| — and the one-time adjacency build is another O(|E|)
+    pass on the same quantity, so total units = 2|E| x
+    PAGERANK_ITERS. Flat time-per-unit across the 1x/4x/16x legs
+    means the grouped-adjacency plan is linear in its own fan-out
+    work even if replica densification inflates the raw wall-time
+    tail."""
+    m = copurchase_edges(spark, sf_dir).count()
+    return 2 * int(m) * PAGERANK_ITERS
 
 
 _KCORE_PEEL_SQL = """
@@ -591,30 +647,57 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges0 = copurchase_edges(spark, sf_dir).localCheckpoint()
 
-    def degrees(edges: DataFrame) -> DataFrame:
-        return (
-            edges.select(F.col("src").alias("vertex"))
-            .unionAll(edges.select(F.col("dst").alias("vertex")))
-            .groupBy("vertex")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-
-    def peel(edges: DataFrame, deg: DataFrame, k: int) -> DataFrame:
-        surv = deg.filter(F.col("d") >= k).select("vertex")
-        return (
-            edges.join(surv, edges.src == surv.vertex, "left_semi")
-            .join(surv, edges.dst == surv.vertex, "left_semi")
-        )
-
     def stats(deg: DataFrame, rnd: int) -> DataFrame:
         return deg.agg(
             F.count(F.lit(1)).alias("n_vertices"),
             F.expr("sum(d) DIV 2").alias("n_edges"),
         ).select(F.lit(rnd).alias("round"), "n_vertices", "n_edges")
 
-    d0 = degrees(edges0).localCheckpoint()
-    p1 = peel(edges0, d0, _KCORE_K).localCheckpoint()
-    d1 = degrees(p1).localCheckpoint()
-    p2 = peel(p1, d1, _KCORE_K)
-    d2 = degrees(p2)
+    d0 = _kcore_degrees(edges0).localCheckpoint()
+    p1 = _kcore_peel(edges0, d0, _KCORE_K).localCheckpoint()
+    d1 = _kcore_degrees(p1).localCheckpoint()
+    p2 = _kcore_peel(p1, d1, _KCORE_K)
+    d2 = _kcore_degrees(p2)
     return stats(d0, 0).unionAll(stats(d1, 1)).unionAll(stats(d2, 2))
+
+
+def _kcore_degrees(edges: DataFrame) -> DataFrame:
+    """Endpoint-count degree frame of an undirected edge list —
+    shared by the peel rounds and the sweep's work probe so both
+    measure the same graph shape."""
+    return (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _kcore_peel(edges: DataFrame, deg: DataFrame, k: int) -> DataFrame:
+    """One peel round: keep edges whose BOTH endpoints survive the
+    degree->=k filter (two left-semi joins on the edge list's own
+    keys)."""
+    surv = deg.filter(F.col("d") >= k).select("vertex")
+    return (
+        edges.join(surv, edges.src == surv.vertex, "left_semi")
+        .join(surv, edges.dst == surv.vertex, "left_semi")
+    )
+
+
+def kcore_edge_work(spark: SparkSession, sf_dir: str) -> int:
+    """The k-core peel's INTRINSIC work at this SF, for the scale
+    sweep's time-per-unit adjudication: each round's degree
+    aggregate and its two semi-joins are linear in that round's
+    surviving edge list, so units = |E_0| + |E_1| + |E_2| over the
+    exact rounds the query runs (replayed here with the same shared
+    helpers). Densification shrinks peel attrition — later rounds
+    keep MORE of a denser replica's edges — so the raw wall-time
+    tail can legitimately outgrow |E_0|'s growth; flat
+    time-per-unit across the sweep legs is the linearity
+    adjudicator."""
+    edges0 = copurchase_edges(spark, sf_dir).localCheckpoint()
+    e0 = edges0.count()
+    p1 = _kcore_peel(edges0, _kcore_degrees(edges0), _KCORE_K).localCheckpoint()
+    e1 = p1.count()
+    e2 = _kcore_peel(p1, _kcore_degrees(p1), _KCORE_K).count()
+    return int(e0) + int(e1) + int(e2)

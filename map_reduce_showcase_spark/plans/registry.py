@@ -223,7 +223,9 @@ def current_helper_fingerprints() -> dict[str, str]:
     return {n: helper_fingerprint(s) for n, s in REGISTRY.items()}
 
 
-def _fingerprint_snapshots() -> dict[int, dict[str, tuple[str, str | None]]]:
+def _fingerprint_snapshots(
+    repo=None,
+) -> dict[int, dict[str, tuple[str, str | None]]]:
     """round → {query: (fingerprint, helper_fingerprint-or-None)
     recorded that round}. Sources: ``FINGERPRINTS_r*.json`` (flat
     maps; r5 is a one-off baseline generated from the pristine
@@ -232,13 +234,16 @@ def _fingerprint_snapshots() -> dict[int, dict[str, tuple[str, str | None]]]:
     ``tools/drive_contract.py`` stamps into ``LOCAL_DIFF_r*.json``
     (``fingerprint`` from round 6 on, ``helper_fingerprint`` from
     round 7 on — older snapshots carry None and the helper
-    comparison is skipped for them)."""
+    comparison is skipped for them). ``repo`` defaults to this
+    checkout's root; injectable so the both-artifact-kinds merge is
+    unit-testable against a synthetic artifact directory."""
     import json
     import pathlib
     import re
 
     snaps: dict[int, dict[str, tuple[str, str | None]]] = {}
-    repo = pathlib.Path(__file__).resolve().parent.parent.parent
+    if repo is None:
+        repo = pathlib.Path(__file__).resolve().parent.parent.parent
     for art in sorted(repo.glob("FINGERPRINTS_r*.json")) + sorted(
         repo.glob("LOCAL_DIFF_r*.json")
     ):

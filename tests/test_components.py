@@ -86,3 +86,23 @@ def test_triangle_chunk_cap_invariant(spark, sf_dir):
     chunked = [tuple(r) for r in _triangle_summary(spark, sf_dir, 2).collect()]
     assert base == chunked
     assert base[0][3] > 0  # vacuity guard: triangles actually exist
+
+
+def test_graph_work_probes_measure_the_queries_own_graph(spark, sf_dir):
+    """The sweep's round-9 work probes must count the SAME graph the
+    queries run, so time-per-unit adjudication can't drift from the
+    measured plan: the k-core probe equals the peel query's own
+    per-round n_edges summed, and the PageRank probe is 2|E| x
+    PAGERANK_ITERS with |E| = the round-0 edge count."""
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        PAGERANK_ITERS,
+        graph_kcore_peel,
+        kcore_edge_work,
+        pagerank_contrib_work,
+    )
+
+    rounds = {r["round"]: r["n_edges"] for r in graph_kcore_peel(spark, sf_dir).collect()}
+    assert set(rounds) == {0, 1, 2}
+    assert kcore_edge_work(spark, sf_dir) == sum(rounds.values())
+    assert pagerank_contrib_work(spark, sf_dir) == 2 * rounds[0] * PAGERANK_ITERS
+    assert rounds[0] > 0  # vacuity guard

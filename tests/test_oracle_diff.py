@@ -312,6 +312,88 @@ def test_helper_fingerprint_moves_when_imported_helper_source_moves():
     assert helper_fingerprint(spec) == helper_before  # restored
 
 
+def test_tables_edit_moves_every_querys_helper_fingerprint():
+    """The round-8 transitive-walk done criterion, run for real: an
+    on-disk edit of ``sources/tables.py`` — the loader every query
+    funnels through via ``registry.t``, one hop TOO DEEP for the
+    round-7 walk — must move the helper fingerprint of EVERY
+    registered query while moving no definition fingerprint.
+    Restores the file bytes in all cases."""
+    import linecache
+    import pathlib
+
+    from map_reduce_showcase_spark.plans.registry import (
+        _HELPER_FP_CACHE,
+        REGISTRY,
+        _load_all,
+        definition_fingerprint,
+        helper_fingerprint,
+    )
+
+    _load_all()
+    target = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "map_reduce_showcase_spark"
+        / "sources"
+        / "tables.py"
+    )
+    original = target.read_bytes()
+    _HELPER_FP_CACHE.clear()
+    linecache.clearcache()
+    helpers_before = {n: helper_fingerprint(s) for n, s in REGISTRY.items()}
+    defs_before = {n: definition_fingerprint(s) for n, s in REGISTRY.items()}
+    try:
+        target.write_bytes(original + b"\n# loader-rewrite stand-in\n")
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+        unmoved = {
+            n for n, s in REGISTRY.items() if helper_fingerprint(s) == helpers_before[n]
+        }
+        assert unmoved == set(), (
+            f"{len(unmoved)} queries blind to a tables.py edit: "
+            f"{sorted(unmoved)[:5]}..."
+        )
+        # ...and it is a HELPER move, not a definition move
+        assert {
+            n: definition_fingerprint(s) for n, s in REGISTRY.items()
+        } == defs_before
+    finally:
+        target.write_bytes(original)
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+    assert {n: helper_fingerprint(s) for n, s in REGISTRY.items()} == helpers_before
+
+
+def test_fingerprint_snapshots_merge_helper_slot_across_artifact_kinds(tmp_path):
+    """A round carrying BOTH a flat FINGERPRINTS map and a
+    LOCAL_DIFF must keep the first source's definition fingerprint
+    and fill the helper slot from the later source — dropping the
+    helper (the pre-fix behavior) silently skips the helper
+    comparison for that round."""
+    import json
+
+    from map_reduce_showcase_spark.plans.registry import _fingerprint_snapshots
+
+    (tmp_path / "FINGERPRINTS_r05.json").write_text(json.dumps({"q": "flatfp"}))
+    (tmp_path / "LOCAL_DIFF_r05.json").write_text(
+        json.dumps(
+            {
+                "q": {"fingerprint": "localfp", "helper_fingerprint": "h2:abc"},
+                "q_only_here": {"fingerprint": "newfp", "helper_fingerprint": None},
+            }
+        )
+    )
+    (tmp_path / "LOCAL_DIFF_r06.json").write_text(
+        json.dumps({"q": {"fingerprint": "r6fp", "helper_fingerprint": "h2:def"}})
+    )
+    snaps = _fingerprint_snapshots(tmp_path)
+    # both-kinds round: flat map's definition wins, helper filled in
+    assert snaps[5]["q"] == ("flatfp", "h2:abc")
+    assert snaps[5]["q_only_here"] == ("newfp", None)
+    # single-kind round untouched by the merge rule
+    assert snaps[6]["q"] == ("r6fp", "h2:def")
+
+
 def test_harness_record_encoding_matches_driver(spark, oracle, sf_dir):
     """The local harness's artifact encoding must mirror the
     driver's: match fields are ``None`` ("not evaluated") for

@@ -195,6 +195,51 @@ def test_triangle_joins_avoid_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_pagerank_adjacency_unchunked_without_celebrity(spark, sf_dir):
+    """Round-9 port of the triangle's conditional-engagement lesson:
+    when the driver-computed max degree is within ADJ_CHUNK_CAP the
+    adjacency plan must be ONE aggregate over the bidirectional edge
+    list — no deg join, no pmod chunk key (round 7's triangle paid
+    ~+24% at the 16x sweep point for always-on scaffolding); past
+    the cap the chunk machinery must actually appear. The engaged
+    path's bit-exactness is pinned separately by
+    ``test_pagerank_chunk_cap_invariant``."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        ADJ_CHUNK_CAP,
+        _pagerank_adjacency,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(spark, sf_dir)
+    bi = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bi.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+
+    def fmt(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def n_joins(plan: str) -> int:
+        return sum(plan.count(j) for j in
+                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+    plain = fmt(_pagerank_adjacency(bi, deg, ADJ_CHUNK_CAP, max_od=100))
+    assert "pmod" not in plain, plain
+    assert "collect_list" in plain, plain
+    # the only join left is the co-purchase self-join inside bi —
+    # the deg attach (a whole join subtree) is gone with the chunks
+    assert n_joins(plain) == n_joins(fmt(bi)), plain
+    engaged = fmt(_pagerank_adjacency(bi, deg, 8, max_od=100))
+    assert "pmod" in engaged, engaged
+    assert n_joins(engaged) > n_joins(plain), engaged
+
+
 def _n_scans(plan: str) -> int:
     # formatted explain repeats each node (tree + details); detail
     # headers are "(N) Scan parquet", exactly one per scan

@@ -244,10 +244,16 @@ def _work_measures():
     itself. Lazy import: queries_graph pulls the registry, which
     _load_all() has already populated by the time run() calls this."""
     from map_reduce_showcase_spark.plans.queries_graph import (
+        kcore_edge_work,
+        pagerank_contrib_work,
         triangle_wedge_work,
     )
 
-    return {"graph_triangle_summary": triangle_wedge_work}
+    return {
+        "graph_triangle_summary": triangle_wedge_work,
+        "graph_pagerank": pagerank_contrib_work,
+        "graph_kcore_peel": kcore_edge_work,
+    }
 
 
 def _cipher_cols(r: int) -> tuple[str, str]:
