@@ -445,16 +445,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate). Measured ~1.75x faster at sf0.1; the gap widens with
     iteration count since the edge shuffle is paid zero times instead
     of once per round. Celebrity vertices can't blow up a row — but
-    the defense ENGAGES only when some degree exceeds ADJ_CHUNK_CAP,
-    a driver-side plan-shape choice off one 1-row aggregate over the
-    checkpointed degree frame (round 9, porting the triangle's
-    round-8 lesson): at every measured distribution the emitted plan
-    is the bare grouped adjacency with zero chunk scaffolding. When
-    engaged, adjacency arrays are capped at ADJ_CHUNK_CAP neighbors
-    per row (chunk = hash(dst) mod ceil(od / cap)), and per-chunk
-    partial sums are exact-decimal so the chunk split provably can't
-    change the result (pinned by tests/test_components.py's cap-2 vs
-    default differential). The vertex-count normalizer is a
+    the defense ENGAGES only when a degree can exceed ADJ_CHUNK_CAP,
+    a driver-side plan-shape choice (round 9, porting the triangle's
+    round-8 lesson) made from a SOUND upper bound that costs two
+    narrow lineitem aggregates in one tiny job — no pass over the
+    copurchase self-join: degree(p) ≤ lines(p) x (max order size -
+    1). When the bound clears the cap (every measured distribution),
+    the emitted plan is ONE fused job — bare grouped adjacency, zero
+    chunk scaffolding, no degree pre-pass, no edge materialization
+    beyond the adjacency checkpoint itself (interleaved same-JVM A/B
+    at the 16x replica: 19-21 s vs 22-29 s for the always-chunked
+    round-8 shape). Only a loose bound pays the exact degree probe,
+    and only a real celebrity engages the chunk split: adjacency
+    arrays capped at ADJ_CHUNK_CAP neighbors per row (chunk =
+    hash(dst) mod ceil(od / cap)), per-chunk partial sums
+    exact-decimal so the split provably can't change the result
+    (pinned by tests/test_components.py's cap-2 vs default
+    differential). The vertex-count normalizer is a
     broadcast 1-row frame, never a driver-side collect. The
     bidirectional graph has no dangling vertices (every vertex has
     in-edges), so no dangling-mass correction term is needed.
@@ -466,33 +473,45 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = copurchase_edges(spark, sf_dir)
     bi = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # |V|-row degree frame, needed regardless of plan shape (it IS
-    # the iteration state's (vertex, od) spine) — checkpointed so
-    # the 2|E|-row aggregate is paid once and the plan-choice bound
-    # below is a scan over |V| rows, not another pass over bi.
-    deg = (
-        bi.groupBy(F.col("src").alias("vertex"))
-        .agg(F.count(F.lit(1)).alias("od"))
-        .localCheckpoint()
-    )
     # Plan choice (round 9 — the triangle's round-8 lesson ported):
-    # pick the chunk engagement ON THE DRIVER from a 1-row aggregate
-    # over the checkpointed degree frame. Every measured degree
-    # distribution computes max od ≤ cap, so the emitted plan is the
-    # bare grouped-adjacency with ZERO chunk scaffolding — no deg
-    # join, no pmod, no per-chunk grouping key (the triangle paid
-    # ~+24% at the 16x sweep point for always-on scaffolding before
-    # its round-8 fix; same family, same cure).
-    max_od = deg.agg(F.max("od")).first()[0] or 0
-    adj = _pagerank_adjacency(bi, deg, chunk_cap, max_od).localCheckpoint()
-    # the checkpointed degree frame doubles as the vertex spine —
-    # the old adj.select(...).distinct() re-derivation (an extra
-    # |chunks|-row shuffle per query) is gone with it.
-    verts = deg
+    # decide the chunk engagement ON THE DRIVER. The decision
+    # statistic must be cheaper than the thing it protects, so the
+    # first probe is a SOUND degree bound from the source table (one
+    # tiny job, no copurchase pass); only a loose bound pays an
+    # exact degree pass, and only a real celebrity engages the chunk
+    # machinery (the triangle paid ~+24% at the 16x sweep point for
+    # always-on scaffolding before its round-8 fix; an interleaved
+    # same-JVM A/B at the 16x replica puts this fused shape at
+    # 19-21 s vs 22-29 s for the round-8 always-chunked one).
+    if _pagerank_degree_bound(spark, sf_dir) <= chunk_cap:
+        # common path: ONE fused job builds the unchunked adjacency
+        # straight off the self-join — od is the group count, so no
+        # degree pre-pass, no edge materialization, and the
+        # checkpointed adjacency (one row per vertex) doubles as the
+        # (vertex, od) iteration spine.
+        adj = _pagerank_adjacency(bi, None, chunk_cap, 0).localCheckpoint()
+        verts = adj.select("vertex", "od")
+    else:
+        # rare path (no measured distribution reaches it): pin the
+        # expensive self-join once, take the exact max degree, and
+        # let _pagerank_adjacency engage the chunk split only if a
+        # row-blowing celebrity really exists.
+        edges = edges.localCheckpoint()
+        bi = edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = (
+            bi.groupBy(F.col("src").alias("vertex"))
+            .agg(F.count(F.lit(1)).alias("od"))
+            .localCheckpoint()
+        )
+        max_od = deg.agg(F.max("od")).first()[0] or 0
+        adj = _pagerank_adjacency(bi, deg, chunk_cap, max_od).localCheckpoint()
+        verts = deg
     nn = verts.agg(F.count(F.lit(1)).alias("n"))
     state = verts.crossJoin(F.broadcast(nn)).select(
         "vertex", "od", (F.lit(1.0) / F.col("n")).alias("r")
@@ -524,8 +543,35 @@ def _pagerank(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
     )
 
 
+def _pagerank_degree_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Sound upper bound on any vertex's bidirectional co-purchase
+    degree, computed WITHOUT touching the copurchase self-join: a
+    part's partners all come from orders it appears in, so
+    degree(p) ≤ Σ_{lines of p} (order size - 1) ≤ lines(p) x
+    (max order size - 1). Both maxima come from narrow single-column
+    aggregates over lineitem, fused into one job via a keyed union —
+    at 100 TB that is two map-side-combined columnar scans with
+    |P|+|O|-row shuffles, versus the full self-join + distinct the
+    exact probe would pay. Soundness (bound ≥ true max degree at the
+    test SF) is pinned by tests/test_components.py."""
+    li = t(spark, sf_dir, "lineitem")
+    rows = (
+        li.select(F.col("l_partkey").alias("k"), F.lit(0).alias("kind"))
+        .unionAll(
+            li.select(F.col("l_orderkey").alias("k"), F.lit(1).alias("kind"))
+        )
+        .groupBy("kind", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("kind")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    )
+    ms = {r["kind"]: r["m"] for r in rows}
+    return (ms.get(0) or 0) * max((ms.get(1) or 1) - 1, 0)
+
+
 def _pagerank_adjacency(
-    bi: DataFrame, deg: DataFrame, chunk_cap: int, max_od: int
+    bi: DataFrame, deg: DataFrame | None, chunk_cap: int, max_od: int
 ) -> DataFrame:
     """The grouped adjacency frame (vertex, nbrs, od), with the
     celebrity-chunk defense engaged ONLY when the driver-computed

@@ -65,6 +65,33 @@ def test_pagerank_chunk_cap_invariant(spark, sf_dir):
     assert base == chunked
 
 
+def test_pagerank_degree_bound_is_sound(spark, sf_dir):
+    """The cheap plan-choice probe (degree(p) ≤ lines(p) x
+    (max order size - 1), two narrow lineitem aggregates) must
+    DOMINATE the true bidirectional max degree — an under-estimate
+    would emit the unchunked plan into a celebrity distribution.
+    Also pins that the probe forces the exact path in the cap-2
+    invariant test (bound > 2), so that test really exercises the
+    chunked branch."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.plans.queries_graph import (
+        _pagerank_degree_bound,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(spark, sf_dir)
+    bi = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    true_max = (
+        bi.groupBy("src").agg(F.count(F.lit(1)).alias("od")).agg(F.max("od")).first()[0]
+    )
+    bound = _pagerank_degree_bound(spark, sf_dir)
+    assert true_max > 2  # the cap-2 differential is a real differential
+    assert bound >= true_max
+
+
 def test_triangle_chunk_cap_invariant(spark, sf_dir):
     """The triangle count must be chunking-invariant to the bit:
     both sides of the closing intersection hash neighbors with ONE

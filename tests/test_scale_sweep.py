@@ -103,10 +103,42 @@ def test_fit_expected_quadratic_control_exempt_but_recorded():
     assert fitted[name]["expected_quadratic"] is True
     assert fitted[name]["flag"] is False
     assert fitted[name]["leg_ratios_4x"]["tail"] == 16.0
+    # exemption is not silence: the artifact records what the raw
+    # detector would have decided (no probe → tpw path unmeasured)
+    assert fitted[name]["would_flag"] == {"raw": True, "tpw": None}
     # but a control with a missing heavy point is still UNMEASURED —
     # exemption is not a verdict
     fitted = sweep.fit({name: {"sf0.1": 1.0, "sf0.4": 4.0, "sf1.6": None}})
     assert fitted[name]["flag"] is None
+
+
+def test_fit_control_would_flag_validates_both_detector_paths():
+    """Round 9: the control carries a deliberately LINEAR declared-
+    work probe while its measured time is quadratic, so one run
+    validates BOTH detectors: raw tail > 4.0 and tpw > 2.0 must both
+    record would_flag true. A control whose would_flag reads false
+    means the detector lost its control — the round-9 re-measure
+    caught exactly that (bare-count control tail noise-flipped to
+    3.80 < 4.0) and motivated the pinned-parallelism + verify-payload
+    hardening."""
+    sweep = _load_sweep()
+    name = "control_quadratic_blocking"
+    # the calibrated hardened shape: tail ~11.5, linear work → tpw ~2.9
+    fitted = sweep.fit(
+        {name: {"sf0.1": 0.7, "sf0.4": 1.4, "sf1.6": 16.1}},
+        work={name: {"sf0.1": 5000, "sf0.4": 20000, "sf1.6": 80000}},
+    )
+    c = fitted[name]
+    assert c["flag"] is False  # still verdict-exempt
+    assert c["would_flag"] == {"raw": True, "tpw": True}
+    assert c["leg_work_ratios_4x"]["tail"] == 4.0
+    # a degraded control (the pre-hardening 3.80 shape) records the
+    # failure instead of silently keeping the narrative
+    fitted = sweep.fit(
+        {name: {"sf0.1": 0.45, "sf0.4": 1.04, "sf1.6": 3.93}},
+        work={name: {"sf0.1": 5000, "sf0.4": 20000, "sf1.6": 80000}},
+    )
+    assert fitted[name]["would_flag"] == {"raw": False, "tpw": False}
 
 
 def test_merge_only_is_atomic_and_rejects_incomplete():
