@@ -169,7 +169,16 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
         if os.path.exists(f"{in_dir}/_SUCCESS"):
             shutil.rmtree(stage, ignore_errors=True)
             return in_dir
-        fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+        except OSError:
+            # cross-user contention: another user's session created
+            # the lock file with a mode we can't open for write
+            # (EACCES). Treat it like a held lock — keep re-checking
+            # for the winner's complete copy until the deadline, then
+            # serve our own staging copy below.
+            time.sleep(0.2)
+            continue
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:

@@ -22,7 +22,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _newest_mtime(path: str, max_entries: int = 4096) -> float:
+def _newest_mtime(
+    path: str,
+    max_entries: int = 4096,
+    hotspots: tuple[str, ...] = ("offsets", "commits"),
+) -> float:
     """Newest mtime in the breadth-first prefix of ``path``'s tree
     (the path itself, dirs, files), scanning at most ``max_entries``
     entries.
@@ -52,11 +56,16 @@ def _newest_mtime(path: str, max_entries: int = 4096) -> float:
     checkpoint's ``offsets/``/``commits/`` dirs, whose mtimes move on
     every batch because offset/commit files are their DIRECT
     children — are stat-ed unconditionally before the capped walk,
-    so no directory fan-out can push them past the sample."""
+    so no directory fan-out can push them past the sample. The
+    ``hotspots`` default covers every scratch shape this package
+    writes today; a future owner of a scratch layout whose liveness
+    signal sits elsewhere (e.g. a state store, or a checkpoint nested
+    another level down) passes its own relative paths rather than
+    widening this list in place."""
     from collections import deque
 
     newest = 0.0
-    for hot in ("offsets", "commits"):
+    for hot in hotspots:
         try:
             newest = max(newest, os.lstat(os.path.join(path, hot)).st_mtime)
         except OSError:

@@ -172,6 +172,26 @@ def test_merge_only_is_atomic_and_rejects_incomplete():
     assert refit["clean_q"]["flag"] is False
 
 
+def test_merge_only_never_measured_query_lands_in_unmeasured():
+    """A query with NO prior artifact entry whose --only re-measure
+    dies must not vanish from the artifact (a vanished query reads as
+    'not part of the sweep' — a clean bill by omission): its
+    incomplete times carry through so fit() records flag=None and it
+    lands in 'unmeasured'."""
+    sweep = _load_sweep()
+    prior = sweep.fit({"old_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0}})
+    times, _, rejected = sweep.merge_only(
+        prior,
+        {"brand_new_q": {"sf0.1": 0.5, "sf0.4": 1.1, "sf1.6": None}},
+        {},
+    )
+    assert rejected == ["brand_new_q"]
+    assert times["brand_new_q"] == {"sf0.1": 0.5, "sf0.4": 1.1, "sf1.6": None}
+    refit = sweep.fit(times)
+    assert refit["brand_new_q"]["flag"] is None
+    assert sweep._flag_lists(refit)["unmeasured"] == ["brand_new_q"]
+
+
 def test_merge_only_work_probes_merge_independently():
     """Work probes are deterministic counts over build_fp-gated data,
     so a complete probe merges even when its timing run was rejected;

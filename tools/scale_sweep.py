@@ -32,6 +32,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import math
 import os
@@ -254,6 +255,15 @@ def merge_only(
     rejected = sorted(set(results) - set(complete))
     times = {q: v["times_sec"] for q, v in prior_queries.items()}
     times.update(complete)
+    for q in rejected:
+        if q not in times:
+            # a NEVER-before-measured query whose re-measure died has
+            # no prior entry to keep — carry its incomplete times so
+            # fit() lands it in 'unmeasured' instead of silently
+            # dropping it from the artifact (a vanished query reads
+            # as "not part of the sweep", which is a clean bill by
+            # omission)
+            times[q] = results[q]
     merged_work = {
         q: v["work_units"]
         for q, v in prior_queries.items()
@@ -420,8 +430,6 @@ def run(
                     # the heap at the sf1.6 graph queries (round 9:
                     # context death at 12g mid-sweep where a fresh
                     # JVM ran the same query fine)
-                    import gc
-
                     gc.collect()
                     jvm_gc()
                     t0 = time.time()
@@ -445,6 +453,12 @@ def run(
         work[q] = {}
         for label, sf_dir in points.items():
             try:
+                # same heap-residue discipline as the timing loop:
+                # the probes themselves localCheckpoint sf1.6 edge
+                # lists, and they run at the point of maximum
+                # accumulated py4j residue
+                gc.collect()
+                jvm_gc()
                 work[q][label] = fn(spark, sf_dir)
                 print(
                     f"  {label} {q}: work_units={work[q][label]}",
@@ -476,7 +490,7 @@ def fit(results: dict, work: dict | None = None) -> dict:
     work = work or {}
     out = {}
     for q, times in results.items():
-        t1, t4, t16 = (times.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
+        t1, t4, t16 = (times.get(k) for k in POINTS)
 
         # missing-vs-zero: `is not None` (not truthiness) so a timing
         # that rounds to 0.0 s can't silently disable the detector;
@@ -506,7 +520,7 @@ def fit(results: dict, work: dict | None = None) -> dict:
             # (~1.0) means the plan is linear in its own work even
             # where the raw time tail is inflated by work growth.
             w = work[q]
-            w1, w4, w16 = (w.get(k) for k in ("sf0.1", "sf0.4", "sf1.6"))
+            w1, w4, w16 = (w.get(k) for k in POINTS)
             # bind each ratio once and test `is not None` — the times
             # block above does exactly this, and round 8's truthiness
             # here would have recorded a legitimate 0.0 as missing
@@ -545,10 +559,11 @@ def fit(results: dict, work: dict | None = None) -> dict:
             # value and then flagged on the raw tail anyway, keeping
             # a measured-linear plan flagged.
             entry["flag"] = round(tpw, 2) > TPW_TAIL_FLAG
-        elif tail is not None:
-            entry["flag"] = tail > TAIL_RATIO_FLAG
         else:
-            entry["flag"] = None  # unmeasured ≠ clean
+            # tail is non-None here: tpw can only be non-None when
+            # tail is, so the (tail None, tpw None) case was the
+            # first branch — there is no fourth state
+            entry["flag"] = tail > TAIL_RATIO_FLAG
         out[q] = entry
     return out
 
@@ -627,21 +642,16 @@ def main() -> None:
                 f"(disk stamp {disk_fp!r} != current "
                 f"{build_fingerprint()!r}); re-run --build first"
             )
-        points = {
-            "sf0.1": os.path.join(SCRATCH, "sf0.1"),
-            "sf0.4": os.path.join(SCRATCH, "sf0.4"),
-            "sf1.6": os.path.join(SCRATCH, "sf1.6"),
-        }
+        points = {k: os.path.join(SCRATCH, k) for k in POINTS}
         only = set(args.only.split(",")) if args.only else None
-        spark.sparkContext.setLogLevel("FATAL")
-        results, work = run(spark, points, args.reps, only)
-        spark.sparkContext.setLogLevel("ERROR")
+        prior = None
         if only:
-            # merge: keep every other query's recorded times, replace
-            # only the re-measured ones, refit the whole table — but
-            # ONLY when the prior artifact's times were measured
-            # against the same replica construction; otherwise the
-            # merged table would mix non-comparable provenances
+            # PREFLIGHT the merge compatibility gates — refusing after
+            # minutes of measurement wastes the run (caught live when
+            # the reps guard landed): the prior artifact's times must
+            # come from the same replica construction AND the same
+            # min-of-N protocol, or the merged table would mix
+            # non-comparable provenances
             path = os.path.join(REPO, "SCALE_SWEEP.json")
             with open(path) as fh:
                 prior = json.load(fh)
@@ -652,13 +662,25 @@ def main() -> None:
                     f"current is {build_fingerprint()!r} — the replica "
                     "construction changed, run the full sweep"
                 )
+            if prior.get("reps", 3) != args.reps:
+                raise SystemExit(
+                    "--only merge refused: the prior artifact is "
+                    f"min-of-{prior.get('reps', 3)} but this re-measure "
+                    f"would run min-of-{args.reps} — a merged table must "
+                    "have ONE protocol; match --reps or run the full sweep"
+                )
+        spark.sparkContext.setLogLevel("FATAL")
+        results, work = run(spark, points, args.reps, only)
+        spark.sparkContext.setLogLevel("ERROR")
+        if only:
             results, work, failed = merge_only(
                 prior["queries"], results, work
             )
             if failed:
                 print(
                     f"--only merge: re-measure INCOMPLETE for {failed} - "
-                    f"keeping the prior artifact's times and flag for them",
+                    f"prior times and flags kept where they exist; "
+                    f"never-measured queries land in 'unmeasured'",
                     file=sys.stderr,
                 )
         fitted = fit(results, work)
