@@ -3,11 +3,12 @@
 
 SCALING.md argues every operator's plan survives a 100x scale-up; this
 tool replaces argument with measurement on the axis that matters —
-DATA SIZE. It synthesizes sf0.2 / sf0.4 datasets from the driver's
-sf0.1 parquet (k disjoint replicas with stride-offset keys), times the
-heavy queries at each point, and fits the scaling exponent
-``alpha = log(t_k / t_1) / log(k)``: alpha ~= 1 is linear, alpha ~= 2
-is the quadratic blow-up the no-cartesian plan pins exist to prevent.
+DATA SIZE. It synthesizes sf0.4 / sf1.6 datasets from the driver's
+sf0.1 parquet (k=4/16 disjoint replicas with stride-offset keys),
+times the heavy queries at each point, and adjudicates growth on the
+overhead-amortized tail-leg ratio (t_sf1.6/t_sf0.4) — work-normalized
+for queries carrying an intrinsic-work probe; the endpoint exponent
+``alpha = log(t_16x / t_1x) / log(16)`` is recorded but under-detects.
 
 Replication is designed so workload STRUCTURE scales linearly by
 construction and any super-linear time is the engine's fault:
@@ -25,7 +26,7 @@ construction and any super-linear time is the engine's fault:
   TPC-H either).
 
 Usage:
-    python tools/scale_sweep.py --build   # write .scratch/scale/sf0.{2,4}
+    python tools/scale_sweep.py --build   # write .scratch/scale/sf{0.1,0.4,1.6}
     python tools/scale_sweep.py --run     # time queries, write SCALE_SWEEP.json
 """
 
