@@ -119,12 +119,13 @@ _HELPER_CLOSURE_CACHE: dict[str, tuple[str, ...]] = {}
 
 #: helper-fingerprint algorithm era, prefixed into every emitted
 #: value. Round 7 recorded direct-imports-only hashes ("h1", bare
-#: hex); round 8 widened the walk to the transitive closure, which
-#: moves EVERY query's helper hash — era-gating the comparison in
-#: ``changed_since_green`` keeps that algorithm change from reading
-#: as 170 simultaneous code edits. Bump this whenever the hashing
-#: scheme itself changes.
-_HELPER_FP_ERA = "h2"
+#: hex); round 8 widened the walk to the transitive closure; round 9
+#: added the builder's SAME-MODULE referenced helpers and constants
+#: ("h3") — each widening moves every query's helper hash, and
+#: era-gating the comparison in ``changed_since_green`` keeps the
+#: algorithm change from reading as 170 simultaneous code edits.
+#: Bump this whenever the hashing scheme itself changes.
+_HELPER_FP_ERA = "h3"
 
 
 def _helper_modules(builder_module: str) -> list[str]:
@@ -175,19 +176,102 @@ def _helper_modules(builder_module: str) -> list[str]:
     return found
 
 
+def _same_module_parts(fn) -> list[str]:
+    """``name=hash``/``name=repr`` parts for the SAME-MODULE globals
+    ``fn`` transitively references — functions/classes by source
+    hash, simple constants by repr. The builder's own module is
+    deliberately excluded from the module-closure hash (hashing it
+    whole would promote every query in a 30-query module on any
+    single edit, flooding the driver window), which until round 9
+    left same-module private helpers invisible: editing
+    ``_ensure_replay`` (called by every streaming builder in its own
+    module) or ``_pagerank``'s body, or flipping a module constant
+    like ``ADJ_CHUNK_CAP``, moved no fingerprint at all. The walk
+    here is by REFERENCE, not by file: names are collected from the
+    function's code object (and nested code objects — inner
+    functions, lambdas, comprehensions), resolved in the module's
+    globals, and same-module functions are recursed into, so only
+    the helpers a builder can actually reach promote it."""
+    import hashlib
+    import inspect
+    import sys
+    import types
+
+    mod = sys.modules.get(fn.__module__)
+    if mod is None:
+        return []
+    mod_vars = vars(mod)
+
+    def code_names(code) -> set[str]:
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                names |= code_names(const)
+        return names
+
+    def codes_of(obj) -> list:
+        if isinstance(obj, (types.FunctionType, types.MethodType)):
+            return [obj.__code__]
+        if isinstance(obj, type):  # class: walk its methods' bodies
+            return [
+                v.__code__
+                for v in vars(obj).values()
+                if isinstance(v, types.FunctionType)
+            ]
+        return []
+
+    parts: list[str] = []
+    seen: set[str] = set()
+    worklist = [fn]
+    while worklist:
+        cur = worklist.pop()
+        referenced: set[str] = set()
+        for code in codes_of(cur):
+            referenced |= code_names(code)
+        for name in sorted(referenced):
+            if name in seen or name.startswith("__"):
+                continue
+            val = mod_vars.get(name)
+            if val is None or isinstance(val, types.ModuleType):
+                continue  # imported modules: covered by the closure walk
+            if getattr(val, "__module__", None) == fn.__module__ and (
+                isinstance(val, types.FunctionType) or isinstance(val, type)
+            ):
+                seen.add(name)
+                key = f"{fn.__module__}::{name}"
+                if key not in _HELPER_FP_CACHE:
+                    try:
+                        src = inspect.getsource(val)
+                    except (OSError, TypeError):
+                        src = f"<no-source:{key}>"
+                    _HELPER_FP_CACHE[key] = hashlib.sha256(
+                        src.encode()
+                    ).hexdigest()[:16]
+                parts.append(f"{key}={_HELPER_FP_CACHE[key]}")
+                worklist.append(val)
+            elif isinstance(val, (str, int, float, bool, tuple, frozenset)):
+                seen.add(name)
+                parts.append(f"{fn.__module__}::{name}={val!r}")
+    return sorted(parts)
+
+
 def helper_fingerprint(spec: QuerySpec) -> str:
-    """Era-prefixed hash of the SOURCE of every intra-package helper
-    module transitively reachable from the builder's module
+    """Era-prefixed hash of (a) the SOURCE of every intra-package
+    helper module transitively reachable from the builder's module
     (``operators/``, ``dedup/``, ``similarity/``, ``functions/``,
     ``streaming/``, ``sources/``, ``multimodal/``, sibling ``plans``
-    modules, …) — closing the round-6 blind spot where rewriting
-    ``dedup/jaccard.py`` moved no fingerprint, and the round-7 one
-    where a helper-of-a-helper (``sources/tables.py``) didn't.
-    Recorded alongside ``fingerprint`` in each LOCAL_DIFF entry from
-    round 7 on; ``changed_since_green`` compares two helper values
-    only when they carry the same era prefix (r7 snapshots are
-    "h1"-era bare hashes and are skipped — the walk they hash is not
-    the walk run today)."""
+    modules, …) and (b) the builder's SAME-MODULE referenced helpers
+    and constants (``_same_module_parts``) — closing, in order: the
+    round-6 blind spot where rewriting ``dedup/jaccard.py`` moved no
+    fingerprint, the round-7 one where a helper-of-a-helper
+    (``sources/tables.py``) didn't, and the round-9 one where a
+    same-module private helper (``_ensure_replay``, ``_pagerank``)
+    or module constant (``ADJ_CHUNK_CAP``) didn't. Recorded
+    alongside ``fingerprint`` in each LOCAL_DIFF entry from round 7
+    on; ``changed_since_green`` compares two helper values only when
+    they carry the same era prefix (older-era snapshots hash a
+    different walk and are skipped, falling forward to the earliest
+    current-era snapshot)."""
     import hashlib
     import inspect
     import sys
@@ -201,6 +285,7 @@ def helper_fingerprint(spec: QuerySpec) -> str:
                 src = f"<no-source:{name}>"
             _HELPER_FP_CACHE[name] = hashlib.sha256(src.encode()).hexdigest()[:16]
         parts.append(f"{name}={_HELPER_FP_CACHE[name]}")
+    parts.extend(_same_module_parts(spec.builder))
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
     return f"{_HELPER_FP_ERA}:{digest}"
 

@@ -364,6 +364,85 @@ def test_tables_edit_moves_every_querys_helper_fingerprint():
     assert {n: helper_fingerprint(s) for n, s in REGISTRY.items()} == helpers_before
 
 
+def test_same_module_helper_and_constant_edits_move_helper_fingerprint(tmp_path):
+    """Round-9 blind-spot closure (h3 era): the builder's own module
+    is excluded from the module-closure hash (hashing it whole would
+    promote every query in a 30-query module on any edit), so
+    same-module private helpers and constants moved NO fingerprint —
+    editing ``_ensure_replay`` or flipping ``ADJ_CHUNK_CAP`` was
+    invisible to the band. The reference walk must move the helper
+    fingerprint for (a) a helper-body edit, (b) a constant flip,
+    while never moving the definition fingerprint."""
+    import importlib.util
+    import linecache
+    import sys
+    import types
+
+    from map_reduce_showcase_spark.plans.registry import (
+        _HELPER_FP_CACHE,
+        helper_fingerprint,
+    )
+
+    mod_file = tmp_path / "fake_same_module_probe.py"
+
+    def load(cap: int, helper_body: str) -> types.SimpleNamespace:
+        mod_file.write_text(
+            f"CAP = {cap}\n"
+            f"def _helper(x):\n"
+            f"    return {helper_body}\n"
+            f"def builder(spark, sf_dir):\n"
+            f"    return _helper(1)\n"
+        )
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+        spec = importlib.util.spec_from_file_location(
+            "fake_same_module_probe", mod_file
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["fake_same_module_probe"] = mod
+        spec.loader.exec_module(mod)
+        return types.SimpleNamespace(builder=mod.builder)
+
+    try:
+        base = helper_fingerprint(load(4, "x + CAP"))
+        # (a) same-module helper BODY edit
+        body_edit = helper_fingerprint(load(4, "x - CAP"))
+        assert body_edit != base
+        # (b) same-module CONSTANT flip (helper body restored)
+        cap_edit = helper_fingerprint(load(5, "x + CAP"))
+        assert cap_edit != base and cap_edit != body_edit
+        # identical source reproduces the base value (determinism)
+        assert helper_fingerprint(load(4, "x + CAP")) == base
+    finally:
+        sys.modules.pop("fake_same_module_probe", None)
+        _HELPER_FP_CACHE.clear()
+        linecache.clearcache()
+
+
+def test_same_module_walk_reaches_the_known_blind_spots():
+    """The two concrete helpers the round-9 memory records as
+    invisible must be reachable now: ``_ensure_replay`` from every
+    streaming builder, and ``_pagerank``/``ADJ_CHUNK_CAP`` from the
+    PageRank builder."""
+    from map_reduce_showcase_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+        _same_module_parts,
+    )
+
+    _load_all()
+
+    def part_names(query: str) -> set[str]:
+        return {
+            p.split("=", 1)[0].rsplit("::", 1)[1]
+            for p in _same_module_parts(REGISTRY[query].builder)
+        }
+
+    assert "_ensure_replay" in part_names("streaming_tumbling_counts")
+    pagerank = part_names("graph_pagerank")
+    assert {"_pagerank", "_pagerank_adjacency", "ADJ_CHUNK_CAP"} <= pagerank
+
+
 def test_fingerprint_snapshots_merge_helper_slot_across_artifact_kinds(tmp_path):
     """A round carrying BOTH a flat FINGERPRINTS map and a
     LOCAL_DIFF must keep the first source's definition fingerprint
