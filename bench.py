@@ -124,17 +124,20 @@ def main() -> None:
         "sf": sf,
         # Self-describing comparability: this is ONE fresh-JVM pass.
         # Identical code measured 13.94-16.45 s across six fresh JVMs
-        # on this box (round 4, SCALING.md "noise band"), and a
-        # round-9 slow box SESSION measured 19.75 s on a tree whose
-        # headline files were all untouched (the same session ran the
-        # full scale sweep at a median 1.4x the prior artifact on 20
-        # code-identical queries) — treat round-over-round total
-        # deltas inside this spread as box state, and per-query
-        # deltas under ~2x between single runs as not attributable
-        # without an interleaved same-JVM A/B.
+        # on an idle box (round 4, SCALING.md "noise band"); a
+        # round-9 slow box SESSION separately measured 19.75 s on a
+        # tree whose headline files were all untouched (that session
+        # also ran the full scale sweep at a median 1.4x the prior
+        # artifact on 20 code-identical queries) — the two spreads
+        # are kept as distinct fields because they describe distinct
+        # conditions. Treat round-over-round total deltas inside
+        # these bands as box state, and per-query deltas under ~2x
+        # between single runs as not attributable without an
+        # interleaved same-JVM A/B.
         "runs_per_query": 1,
         "noise_band_ref": "SCALING.md#noise-band",
-        "fresh_jvm_total_spread_sec": [13.94, 19.75],
+        "fresh_jvm_total_spread_sec": [13.94, 16.45],
+        "loaded_box_session_total_sec": 19.75,
     }
     if errors:
         out["errors"] = errors

