@@ -84,16 +84,79 @@ def test_fit_work_probe_adjudicates_time_per_work():
     assert q["flag"] is True
 
 
-def test_fit_work_probe_failure_falls_back_to_raw_tail():
-    """A work probe that died at one point must not disable the
-    detector: adjudication falls back to the raw tail ratio."""
+def test_fit_incomplete_probe_on_registered_query_is_unmeasured():
+    """ADVICE r9: a work probe that died at one point must NOT fall
+    back to the raw tail detector for a probe-registered query — a
+    query whose intrinsic work grows ~4x/leg by construction (the
+    triangle) consumes the whole raw budget, so the fallback would
+    let a probe INFRASTRUCTURE failure flip a proven-linear plan to
+    flagged. It lands in 'unmeasured' instead, whichever way the raw
+    tail points."""
     sweep = _load_sweep()
     fitted = sweep.fit(
-        {"q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0}},
-        work={"q": {"sf0.1": 100, "sf0.4": 400, "sf1.6": None}},
+        {
+            "raw_would_flag": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0},
+            "raw_would_clear": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0},
+        },
+        work={
+            "raw_would_flag": {"sf0.1": 100, "sf0.4": 400, "sf1.6": None},
+            "raw_would_clear": {"sf0.1": 100, "sf0.4": None, "sf1.6": 1600},
+        },
     )
-    assert fitted["q"]["tail_time_per_work"] is None
-    assert fitted["q"]["flag"] is True  # raw tail 4.5 > 4.0
+    for q in ("raw_would_flag", "raw_would_clear"):
+        assert fitted[q]["tail_time_per_work"] is None
+        assert fitted[q]["flag"] is None
+        assert fitted[q]["detector"] is None
+    assert sweep._flag_lists(fitted)["unmeasured"] == [
+        "raw_would_clear",
+        "raw_would_flag",
+    ]
+
+
+def test_fit_probed_set_decouples_registration_from_results():
+    """``probed`` names the queries REGISTERED for a probe: a
+    registered query with no work entry at all (e.g. an --only merge
+    that rejected the whole probe) is still unmeasured, never
+    raw-adjudicated; an unregistered query is raw-adjudicated as
+    before."""
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {
+            "probe_lost": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0},
+            "plain": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 9.0},
+        },
+        work={},
+        probed={"probe_lost"},
+    )
+    assert fitted["probe_lost"]["flag"] is None
+    assert fitted["probe_lost"]["detector"] is None
+    assert fitted["plain"]["flag"] is True
+    assert fitted["plain"]["detector"] == "raw"
+
+
+def test_fit_records_adjudicating_detector():
+    """Every measured entry says which detector decided it (ADVICE
+    r9): 'tpw' for probe-adjudicated, 'raw' for plain, 'exempt' for
+    the control, None for unmeasured."""
+    sweep = _load_sweep()
+    fitted = sweep.fit(
+        {
+            "probed_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 8.2},
+            "plain_q": {"sf0.1": 1.0, "sf0.4": 2.0, "sf1.6": 6.0},
+            "control_quadratic_blocking": {
+                "sf0.1": 0.7,
+                "sf0.4": 1.4,
+                "sf1.6": 16.1,
+            },
+            "dead_q": {"sf0.1": 1.0, "sf0.4": None, "sf1.6": None},
+        },
+        work={"probed_q": {"sf0.1": 100, "sf0.4": 400, "sf1.6": 1600}},
+    )
+    assert fitted["probed_q"]["detector"] == "tpw"
+    assert fitted["probed_q"]["flag"] is False  # tpw 4.1/4 ≈ 1.02
+    assert fitted["plain_q"]["detector"] == "raw"
+    assert fitted["control_quadratic_blocking"]["detector"] == "exempt"
+    assert fitted["dead_q"]["detector"] is None
 
 
 def test_fit_expected_quadratic_control_exempt_but_recorded():
@@ -227,6 +290,8 @@ def test_fit_zero_work_ratio_records_zero_not_missing():
         work={"q": {"sf0.1": 100, "sf0.4": 0, "sf1.6": 0}},
     )
     assert fitted["q"]["leg_work_ratios_4x"]["head"] == 0.0
-    # tail work ratio 0/0 is genuinely undefined → None, raw fallback
+    # tail work ratio 0/0 is genuinely undefined → None; a probe-
+    # registered query without a usable normalization is unmeasured
+    # (ADVICE r9), never silently raw-adjudicated
     assert fitted["q"]["leg_work_ratios_4x"]["tail"] is None
-    assert fitted["q"]["flag"] is False
+    assert fitted["q"]["flag"] is None

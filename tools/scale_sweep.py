@@ -210,7 +210,9 @@ def _protocol(reps: int) -> str:
         f"threshold has zero headroom when intrinsic work grows "
         f"exactly 4x/leg by construction); a query whose needed "
         f"points are missing gets flag=null and lands in 'unmeasured' "
-        f"— a failed heavy run is not a clean bill; the known-"
+        f"— a failed heavy run (or, for a probe-registered query, an "
+        f"incomplete probe) is not a clean bill, and every entry "
+        f"records the 'detector' that adjudicated it; the known-"
         f"quadratic control (pinned parallelism + per-pair verify "
         f"payload + deliberately linear declared work) is verdict-"
         f"exempt but records would_flag for BOTH detector paths, and "
@@ -280,6 +282,89 @@ def merge_only(
     return times, merged_work, rejected
 
 
+def _minhash_candidate_work(spark, sf_dir):
+    """dedup_minhash_lsh's intrinsic work at this scale point:
+    hashed-shingle rows (the corpus-feature pass every stage scans —
+    signatures plus both verify sides) + LSH candidate pairs (what
+    the verify join's cost scales with). Both grow linearly on the
+    sweep replicas by construction (ciphered text decorrelates
+    cross-replica shingles, so buckets never mix replicas); the raw
+    time tail measured 1.75 in round 9 — ample headroom today, but
+    the raw threshold has ZERO headroom for a linear query once
+    per-leg overheads amortize, the exact trap that kept the triangle
+    flagged through round 8. The probe reuses the pipeline's own
+    stages (same shingling, same banding), so it declares the work
+    the shipped parameters imply, not a hand-estimated proxy."""
+    from map_reduce_showcase_spark.dedup.minhash import (
+        hashed_shingle_rows,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingle_rows(docs, n=2).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 12), 12, 3)
+    return int(sh.count()) + int(cand.count())
+
+
+def _sim_lsh_probe_work(spark, sf_dir):
+    """sim_topk_lsh's intrinsic work: corpus bucket assignments (one
+    per embedding — the linear scan every ANN index pays) + probed-
+    bucket (query, candidate) score pairs, i.e. the output of the
+    bucket equi-join the top-k window ranks. Replica embeddings are
+    cyclically rolled, decorrelating cross-replica buckets, so pairs
+    grow ~linearly with the corpus while the query side stays the
+    fixed 10-vector batch; flat time-per-unit across the legs is the
+    linearity adjudicator once raw-tail noise headroom thins."""
+    from map_reduce_showcase_spark.plans.queries_similarity import N_QUERIES
+    from map_reduce_showcase_spark.similarity.lsh import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplane_signs()
+    bucket = lsh_bucket(F.col("embedding"), planes)
+    probes = F.explode(
+        F.array(
+            bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))]
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), probes.alias("bucket")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), bucket.alias("bucket"))
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .count()
+    )
+    return int(emb.count()) + int(pairs)
+
+
+def _bpe_pair_work(spark, sf_dir):
+    """bpe_pair_counts' intrinsic work: corpus token occurrences
+    (the input of the word-count aggregate — the query's only
+    corpus-sized operation) + adjacent character pairs generated
+    from the vocabulary frame (one per substr the pair explode
+    emits). Ciphered replica text rotates every word, so the vocab
+    grows with the corpus and both terms scale linearly by
+    construction."""
+    from map_reduce_showcase_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    n_tokens = toks.count()
+    n_pairs = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+        .agg(F.coalesce(F.sum(F.length("w") - 1), F.lit(0)).alias("p"))
+        .first()[0]
+    )
+    return int(n_tokens) + int(n_pairs)
+
+
 def _work_measures():
     """query -> callable(spark, sf_dir) -> int units of INTRINSIC
     work at that scale point. Recorded alongside wall time so a
@@ -300,6 +385,15 @@ def _work_measures():
         "graph_triangle_summary": triangle_wedge_work,
         "graph_pagerank": pagerank_contrib_work,
         "graph_kcore_peel": kcore_edge_work,
+        # round-10 insurance for the non-graph heavies: their raw
+        # tails sit at 1.0-1.8 today, but the raw threshold leaves
+        # zero headroom for a linear query whose work grows exactly
+        # 4x/leg once overheads amortize — adjudicate them on
+        # time-per-work like the graph family before that trap
+        # costs another two rounds of `weak`.
+        "dedup_minhash_lsh": _minhash_candidate_work,
+        "sim_topk_lsh": _sim_lsh_probe_work,
+        "bpe_pair_counts": _bpe_pair_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
@@ -475,7 +569,9 @@ def run(
     return results, work
 
 
-def fit(results: dict, work: dict | None = None) -> dict:
+def fit(
+    results: dict, work: dict | None = None, probed: set | None = None
+) -> dict:
     """Fit ratios/exponents and adjudicate the per-query ``flag``.
 
     Flag semantics are three-valued: ``True`` = super-linear scaling
@@ -487,8 +583,18 @@ def fit(results: dict, work: dict | None = None) -> dict:
 
     Queries carrying a work probe are adjudicated on
     ``tail_time_per_work`` (see ``TPW_TAIL_FLAG``); everything else
-    on the raw tail-leg time ratio."""
+    on the raw tail-leg time ratio. ``probed`` is the set of names
+    REGISTERED for a work probe (defaults to ``set(work)``): a
+    registered query whose probe came back incomplete is
+    ``None``/unmeasured, never raw-tail-adjudicated — for a query
+    whose intrinsic work grows ~4x/leg by construction (triangle raw
+    tail ~4.4), falling back to the raw detector would let a probe
+    INFRASTRUCTURE failure flip a proven-linear plan to flagged
+    (ADVICE r9). Each entry records which ``detector`` adjudicated
+    it: ``"tpw"``, ``"raw"``, ``"exempt"`` (the control), or
+    ``None`` for unmeasured entries."""
     work = work or {}
+    probed = set(probed) if probed is not None else set(work)
     out = {}
     for q, times in results.items():
         t1, t4, t16 = (times.get(k) for k in POINTS)
@@ -540,6 +646,7 @@ def fit(results: dict, work: dict | None = None) -> dict:
             # measurability first, even for the control: a missing
             # heavy point is "unmeasured", never a verdict
             entry["flag"] = None
+            entry["detector"] = None
         elif q in EXPECTED_QUADRATIC:
             # exempt from the verdict, but RECORD what each detector
             # path would have decided — the artifact is then
@@ -554,17 +661,30 @@ def fit(results: dict, work: dict | None = None) -> dict:
                 ),
             }
             entry["flag"] = False
+            entry["detector"] = "exempt"
         elif tpw is not None:
             # the probe measured end-to-end: adjudicate on the
             # work-normalized tail — round 8's fit() computed this
             # value and then flagged on the raw tail anyway, keeping
             # a measured-linear plan flagged.
             entry["flag"] = round(tpw, 2) > TPW_TAIL_FLAG
+            entry["detector"] = "tpw"
+        elif q in probed:
+            # registered for a probe, but the probe came back
+            # incomplete while the timing measured: not adjudicable.
+            # The raw-tail fallback here would re-open the exact
+            # false-positive the probe exists to close (a plan whose
+            # intrinsic work grows ~4x/leg consumes the whole raw
+            # budget by construction), so a tooling failure lands in
+            # 'unmeasured' instead of flipping a verdict either way.
+            entry["flag"] = None
+            entry["detector"] = None
         else:
             # tail is non-None here: tpw can only be non-None when
             # tail is, so the (tail None, tpw None) case was the
             # first branch — there is no fourth state
             entry["flag"] = tail > TAIL_RATIO_FLAG
+            entry["detector"] = "raw"
         out[q] = entry
     return out
 
@@ -600,6 +720,7 @@ def main() -> None:
                 for q, v in prior["queries"].items()
                 if "work_units" in v
             },
+            probed=set(_work_measures()),
         )
         prior["queries"] = fitted
         prior["protocol"] = _protocol(prior.get("reps", 3))
@@ -684,7 +805,7 @@ def main() -> None:
                     f"never-measured queries land in 'unmeasured'",
                     file=sys.stderr,
                 )
-        fitted = fit(results, work)
+        fitted = fit(results, work, probed=set(_work_measures()))
         payload = {
             "protocol": _protocol(args.reps),
             "reps": args.reps,
