@@ -176,6 +176,49 @@ def _helper_modules(builder_module: str) -> list[str]:
     return found
 
 
+#: module-constant types the same-module fingerprint walk hashes by
+#: canonical repr; anything else referenced by a builder is either a
+#: function/class (hashed by source), a module (covered by the
+#: closure walk), or asserted-absent by tests/test_oracle_diff.py.
+_CONST_TYPES = (str, int, float, bool, tuple, frozenset, list, set, dict)
+
+
+def _const_repr(val) -> str | None:
+    """Process-deterministic repr for a module constant, or None to
+    skip it: frozenset/set/dict iteration (hash-randomized for str
+    members) and containers holding non-primitives (whose repr embeds
+    memory addresses) would make the fingerprint differ between the
+    process that stamped the artifact and every later one — a query
+    that permanently reads as changed-since-green with a fresh value
+    each round. Containers are normalized to deterministic forms
+    (sorted element reprs for unordered ones, positional for ordered
+    ones) — ADVICE r9: a silently-skipped list/dict constant is the
+    same blind-spot class the h3 era closed for functions, so a
+    mutable constant flip must move the fingerprint too. The
+    non-primitive leaf (arbitrary objects, functions — those go
+    through the source walk instead) is the only remaining skip, and
+    ``tests/test_oracle_diff.py`` asserts no builder-referenced
+    module constant currently falls through it."""
+    if val is None or isinstance(val, (str, int, float, bool)):
+        return repr(val)
+    if isinstance(val, (tuple, list)):
+        elems = [_const_repr(e) for e in val]
+        if None in elems:
+            return None
+        open_, close = ("(", ")") if isinstance(val, tuple) else ("[", "]")
+        return f"{open_}{', '.join(elems)}{close}"
+    if isinstance(val, (frozenset, set)):
+        elems = [_const_repr(e) for e in val]
+        tag = "frozenset" if isinstance(val, frozenset) else "set"
+        return None if None in elems else f"{tag}({{{', '.join(sorted(elems))}}})"
+    if isinstance(val, dict):
+        items = [(_const_repr(k), _const_repr(v)) for k, v in val.items()]
+        if any(k is None or v is None for k, v in items):
+            return None
+        return "{" + ", ".join(f"{k}: {v}" for k, v in sorted(items)) + "}"
+    return None
+
+
 def _same_module_parts(fn) -> list[str]:
     """``name=hash``/``name=repr`` parts for the SAME-MODULE globals
     ``fn`` transitively references — functions/classes by source
@@ -230,28 +273,6 @@ def _same_module_parts(fn) -> list[str]:
             return codes
         return []
 
-    def const_repr(val) -> str | None:
-        """Process-deterministic repr for a module constant, or None
-        to skip it: frozenset iteration (hash-randomized for str
-        members) and tuples holding non-primitives (whose repr embeds
-        memory addresses) would make the fingerprint differ between
-        the process that stamped the artifact and every later one —
-        a query that permanently reads as changed-since-green with a
-        fresh value each round."""
-        if val is None or isinstance(val, (str, int, float, bool)):
-            return repr(val)
-        if isinstance(val, tuple):
-            elems = [const_repr(e) for e in val]
-            return None if None in elems else f"({', '.join(elems)})"
-        if isinstance(val, frozenset):
-            elems = [const_repr(e) for e in val]
-            return (
-                None
-                if None in elems
-                else f"frozenset({{{', '.join(sorted(elems))}}})"
-            )
-        return None
-
     parts: list[str] = []
     seen: set[str] = set()
     worklist = [fn]
@@ -281,9 +302,9 @@ def _same_module_parts(fn) -> list[str]:
                     ).hexdigest()[:16]
                 parts.append(f"{key}={_HELPER_FP_CACHE[key]}")
                 worklist.append(val)
-            elif isinstance(val, (str, int, float, bool, tuple, frozenset)):
+            elif isinstance(val, _CONST_TYPES):
                 seen.add(name)
-                rep = const_repr(val)
+                rep = _const_repr(val)
                 if rep is not None:
                     parts.append(f"{fn.__module__}::{name}={rep}")
     return sorted(parts)
@@ -492,6 +513,28 @@ _H3_TRANSITION_REVERIFY = frozenset(
 )
 _H3_ERA_BUMP_ROUND = 9
 
+#: every era transition's seed, in one registry: (member names, bump
+#: round). A member is seed-covered only while its latest driver
+#: green predates the bump round (self-expiring). Future era bumps
+#: append here — both ``reverify_band`` and the committed-era
+#: invariant test (tests/test_oracle_diff.py) iterate this list, so
+#: a bump shipped without regenerating the LOCAL_DIFF differential in
+#: the same change fails the test unless a seed covers the affected
+#: queries.
+_TRANSITION_SEEDS: tuple[tuple[frozenset, int], ...] = (
+    (_H3_TRANSITION_REVERIFY, _H3_ERA_BUMP_ROUND),
+)
+
+
+def seed_covered(name: str, green_round: int) -> bool:
+    """True while an era-transition seed still demands driver
+    re-proof for ``name`` (its latest green predates the seed's bump
+    round)."""
+    return any(
+        name in members and green_round < bump
+        for members, bump in _TRANSITION_SEEDS
+    )
+
 
 def reverify_band() -> set[str]:
     """The computed re-verify band (replaces round 5's hand-kept
@@ -505,9 +548,10 @@ def reverify_band() -> set[str]:
         current_fingerprints(),
         current_helper_fingerprints(),
     )
-    for name in _H3_TRANSITION_REVERIFY:
-        if name in REGISTRY and green.get(name, 0) < _H3_ERA_BUMP_ROUND:
-            out.add(name)
+    for members, _bump in _TRANSITION_SEEDS:
+        for name in members:
+            if name in REGISTRY and seed_covered(name, green.get(name, 0)):
+                out.add(name)
     return out
 
 
