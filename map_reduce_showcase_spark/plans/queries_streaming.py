@@ -171,14 +171,23 @@ def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
             return in_dir
         try:
             fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
-        except OSError:
+        except PermissionError:
             # cross-user contention: another user's session created
             # the lock file with a mode we can't open for write
-            # (EACCES). Treat it like a held lock — keep re-checking
-            # for the winner's complete copy until the deadline, then
-            # serve our own staging copy below.
+            # (EACCES/EPERM). Treat it like a held lock — keep
+            # re-checking for the winner's complete copy until the
+            # deadline, then serve our own staging copy below.
             time.sleep(0.2)
             continue
+        except OSError:
+            # any other failure is ENVIRONMENTAL, not contention —
+            # ENOSPC, EROFS, the scratch parent swept away by a
+            # racing cleaner. Busy-waiting the full deadline on
+            # those masked a hard failure into a one-minute stall
+            # per call (ADVICE r9); stop contending and resolve via
+            # the own-staging-copy fallback (or its RuntimeError)
+            # immediately.
+            break
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:

@@ -758,4 +758,64 @@ def test_stream_replay_unresolved_lock_serves_own_complete_copy(
     assert os.path.basename(out).startswith("in_stage")
     assert open(f"{out}/part-0").read() == "v2"
     assert os.path.exists(f"{out}/_SUCCESS")
+
+
+def test_stream_replay_environmental_lock_error_resolves_immediately(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: only PermissionError means cross-user contention.
+    Any other OSError from opening the lock file (ENOSPC, EROFS, a
+    racing scratch sweep removing the parent — here modeled by a
+    DIRECTORY squatting on the lock path, IsADirectoryError) is
+    environmental: the old blanket handler busy-waited the FULL
+    deadline before serving the staging copy, masking a hard failure
+    into a one-minute stall per call. It must now fall through to the
+    own-staging-copy resolution immediately."""
+    import os
+    import time
+
+    from map_reduce_showcase_spark.plans import queries_streaming as qs
+
+    # generous deadline so a regression to contend-and-wait is
+    # unmistakable in the elapsed time, not just slow
+    monkeypatch.setattr(qs, "_EVICT_WAIT_MAX_S", 30)
+    base = tmp_path / "scratch"
+    base.mkdir()
+    in_dir = str(base / "in")
+    os.makedirs(in_dir)
+    open(f"{in_dir}/part-0", "w").write("partial")  # no _SUCCESS
+    os.makedirs(str(base / "in_evict.lock"))  # os.open(..., O_WRONLY) → EISDIR
+
+    def write_v2(p):
+        os.makedirs(p)
+        open(f"{p}/part-0", "w").write("v2")
+        open(f"{p}/_SUCCESS", "w").close()
+
+    t0 = time.time()
+    out = qs._ensure_replay(spark, in_dir, write_v2)
+    elapsed = time.time() - t0
+    assert elapsed < 10, f"busy-waited {elapsed:.1f}s on an environmental error"
+    assert out != in_dir
+    assert os.path.basename(out).startswith("in_stage")
+    assert open(f"{out}/part-0").read() == "v2"
+
+    # and when the staging copy is ALSO unusable, it raises instead
+    # of stalling: incomplete stage + environmental lock error is a
+    # hard failure, not a deadline wait. (in_dir keeps its non-empty
+    # partial occupant so the fast-path rename still loses — an EMPTY
+    # in_dir would be replaced by rename() outright.)
+    assert os.path.exists(f"{in_dir}/part-0")
+
+    def write_partial(p):
+        os.makedirs(p)
+        open(f"{p}/part-0", "w").write("v2")  # no _SUCCESS
+
+    t0 = time.time()
+    try:
+        qs._ensure_replay(spark, in_dir, write_partial)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    assert time.time() - t0 < 10
     assert open(f"{in_dir}/part-0").read() == "partial"  # untouched
