@@ -816,6 +816,59 @@ def test_harness_record_encoding_matches_driver(spark, oracle, sf_dir):
     assert rec["rows_match"] is False and rec["hash_match"] is None
 
 
+def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
+    """r9 verdict #5: the eviction query's rows-only record must
+    assert the deterministic census shape (2 rows, one running + one
+    final group, evicted-users bounded by running-users), not log a
+    bare count — the window's one non-check becomes a real check
+    without a SQL oracle."""
+    import sys
+
+    sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parent.parent / "tools")
+    )
+    from drive_contract import _check_eviction_census, check_query
+
+    name = "streaming_sessions_timeout_eviction"
+    good = lambda s, sf: s.createDataFrame(  # noqa: E731
+        [(False, 40, 12), (True, 7, 7)], "is_final boolean, n_rows long, n_users long"
+    )
+    rec, why = check_query(name, good, None, (), spark, oracle, sf_dir)
+    assert why is None
+    assert rec["status"] == "rows_only_pinned" and rec["pinned_ok"] is True
+    # match fields stay None — pinned is not an oracle comparison
+    assert (rec["rows_match"], rec["schema_match"], rec["hash_match"]) == (
+        None,
+        None,
+        None,
+    )
+
+    bad = lambda s, sf: s.createDataFrame(  # noqa: E731
+        [(False, 40, 12)], "is_final boolean, n_rows long, n_users long"
+    )
+    rec, why = check_query(name, bad, None, (), spark, oracle, sf_dir)
+    assert why and "pinned expectation failed" in rec["err"]
+    assert rec["pinned_ok"] is False
+
+    # the checker itself, over the failure shapes
+    import pandas as pd
+
+    mk = lambda rows: pd.DataFrame(  # noqa: E731
+        rows, columns=["is_final", "n_rows", "n_users"]
+    )
+    assert _check_eviction_census(mk([(False, 4, 2), (True, 2, 2)])) is None
+    assert "exactly 2 rows" in _check_eviction_census(mk([(False, 4, 2)]))
+    assert "one running + one final" in _check_eviction_census(
+        mk([(False, 4, 2), (False, 2, 2)])
+    )
+    assert "n_rows >= n_users >= 1" in _check_eviction_census(
+        mk([(False, 1, 2), (True, 2, 2)])
+    )
+    assert "more evicted users" in _check_eviction_census(
+        mk([(False, 4, 2), (True, 5, 5)])
+    )
+
+
 def test_current_reverify_band_members_are_fresh_or_flagged():
     """Every registered query's fingerprint must either match its
     latest-green-era snapshot (not in the band) or sit in the band —

@@ -50,6 +50,41 @@ def value_hash(df: pd.DataFrame):
     return hash(tuple(rows))
 
 
+def _check_eviction_census(df: pd.DataFrame):
+    """Pinned expectation for ``streaming_sessions_timeout_eviction``
+    (r9 verdict #5): the replay fixture is deterministic, so the
+    rows-only record can assert the census SHAPE instead of logging a
+    bare count — 2 rows (one running, one final), both groups
+    populated, and the evicted-user census bounded by the running
+    one (every evicted user emitted at least one non-final update
+    before its timeout fired). Returns a failure reason or None."""
+    if len(df) != 2:
+        return f"eviction census expected exactly 2 rows, got {len(df)}"
+    by_final = {bool(r.is_final): r for r in df.itertuples(index=False)}
+    if set(by_final) != {True, False}:
+        return f"expected one running + one final group, got {sorted(set(by_final))}"
+    for flag, r in by_final.items():
+        if not (r.n_rows >= r.n_users >= 1):
+            return (
+                f"is_final={flag}: expected n_rows >= n_users >= 1, "
+                f"got n_rows={r.n_rows} n_users={r.n_users}"
+            )
+    if by_final[True].n_users > by_final[False].n_users:
+        return (
+            f"more evicted users ({by_final[True].n_users}) than users "
+            f"with running updates ({by_final[False].n_users})"
+        )
+    return None
+
+
+#: rows-only queries with a deterministic fixture get a PINNED shape
+#: assertion instead of a bare row count — the driver window's one
+#: non-check becomes a real check without needing a SQL oracle.
+PINNED_ROWS_ONLY = {
+    "streaming_sessions_timeout_eviction": _check_eviction_census,
+}
+
+
 def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
     """Run one registered query against its oracle and return the
     artifact record. Match fields start as ``None`` ("not
@@ -80,8 +115,16 @@ def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
         rec["err"] = "vacuous: 0 rows without may_be_empty tag"
         return rec, rec["err"]
     if oracle_sql is None:
-        rec["status"] = "rows_only"
-        return rec, None
+        pinned = PINNED_ROWS_ONLY.get(name)
+        if pinned is None:
+            rec["status"] = "rows_only"
+            return rec, None
+        why = pinned(got)
+        rec["status"] = "rows_only_pinned"
+        rec["pinned_ok"] = why is None
+        if why is not None:
+            rec["err"] = f"pinned expectation failed: {why}"[:300]
+        return rec, rec["err"]
     try:
         want = con.execute(oracle_sql).fetchdf()
     except Exception as exc:
@@ -176,6 +219,11 @@ def main() -> int:
         records[name] = rec
         if why:
             fails.append((name, why))
+        elif rec["status"] == "rows_only_pinned":
+            print(
+                f"{i:3d} {name}: rows-only {rec['spark_rows']} "
+                f"(pinned shape OK)"
+            )
         elif rec["status"] == "rows_only":
             print(f"{i:3d} {name}: rows-only {rec['spark_rows']}")
 
