@@ -365,6 +365,52 @@ def _bpe_pair_work(spark, sf_dir):
     return int(n_tokens) + int(n_pairs)
 
 
+def _substring_runs_work(spark, sf_dir):
+    """dedup_substring_runs' intrinsic work: token 10-gram positions
+    (the corpus-sized hash+shuffle pass) + duplicated positions
+    surviving the boilerplate DF cap (the island-merge window's
+    input). One aggregate job over the pipeline's own gram frame —
+    both terms grow linearly on the replicas (ciphered text
+    decorrelates cross-replica grams; within-replica duplicates
+    replicate 1:1)."""
+    from map_reduce_showcase_spark.dedup.substrings import gram_positions
+    from map_reduce_showcase_spark.plans.queries_dedup import (
+        _SUBSTR_MAX_GRAM_DF,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_h = (
+        gram_positions(docs, k=10)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    row = per_h.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("grams"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("df") >= 2) & (F.col("df") <= _SUBSTR_MAX_GRAM_DF),
+                    F.col("df"),
+                )
+            ),
+            F.lit(0),
+        ).alias("dup_positions"),
+    ).first()
+    return int(row["grams"]) + int(row["dup_positions"])
+
+
+def _dsir_token_work(spark, sf_dir):
+    """dsir_importance_weights' intrinsic work: corpus token
+    occurrences — the query's ONLY corpus-sized quantity (one explode
+    feeds the 1024-bucket LM aggregate, and per-doc scoring is a
+    scan-local fold over the same tokens; everything else is
+    vocabulary-sized or a broadcast single row)."""
+    from map_reduce_showcase_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return int(docs.select(F.explode(T.tokens(F.col("text")))).count())
+
+
 def _work_measures():
     """query -> callable(spark, sf_dir) -> int units of INTRINSIC
     work at that scale point. Recorded alongside wall time so a
@@ -394,6 +440,8 @@ def _work_measures():
         "dedup_minhash_lsh": _minhash_candidate_work,
         "sim_topk_lsh": _sim_lsh_probe_work,
         "bpe_pair_counts": _bpe_pair_work,
+        "dedup_substring_runs": _substring_runs_work,
+        "dsir_importance_weights": _dsir_token_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
