@@ -101,7 +101,10 @@ def main() -> None:
     # Failure-isolated: one broken query must never destroy the whole
     # artifact (round 2 lost all 18 numbers to a single loader bug).
     # Failures land in "errors"; the JSON line always prints.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # clamp to >= 1: reps=0 would leave every `best` at math.inf and
+    # json.dumps would emit the non-RFC `Infinity` token — breaking
+    # the one-JSON-line contract with no error recorded anywhere
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001

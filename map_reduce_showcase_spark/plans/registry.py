@@ -548,9 +548,9 @@ def reverify_band() -> set[str]:
         current_fingerprints(),
         current_helper_fingerprints(),
     )
-    for members, _bump in _TRANSITION_SEEDS:
+    for members, bump in _TRANSITION_SEEDS:
         for name in members:
-            if name in REGISTRY and seed_covered(name, green.get(name, 0)):
+            if name in REGISTRY and green.get(name, 0) < bump:
                 out.add(name)
     return out
 

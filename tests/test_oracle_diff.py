@@ -583,13 +583,20 @@ def test_no_builder_referenced_constant_is_silently_skipped():
         while worklist:
             cur = worklist.pop()
             if isinstance(cur, type):
-                codes = [
-                    getattr(v, "__func__", v).__code__
-                    for v in vars(cur).values()
-                    if isinstance(
-                        getattr(v, "__func__", v), types.FunctionType
+                # mirror registry.codes_of exactly, property accessors
+                # included — a constant referenced only from a
+                # property body must not escape this guard
+                codes = []
+                for v in vars(cur).values():
+                    if isinstance(v, property):
+                        cands = [v.fget, v.fset, v.fdel]
+                    else:
+                        cands = [getattr(v, "__func__", v)]
+                    codes.extend(
+                        c.__code__
+                        for c in cands
+                        if isinstance(c, types.FunctionType)
                     )
-                ]
             else:
                 codes = [cur.__code__]
             referenced: set[str] = set()
@@ -827,13 +834,15 @@ def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
     sys.path.insert(
         0, str(__import__("pathlib").Path(__file__).parent.parent / "tools")
     )
-    from drive_contract import _check_eviction_census, check_query
+    from drive_contract import SF, _check_eviction_census, check_query
 
     name = "streaming_sessions_timeout_eviction"
     good = lambda s, sf: s.createDataFrame(  # noqa: E731
         [(False, 40, 12), (True, 7, 7)], "is_final boolean, n_rows long, n_users long"
     )
-    rec, why = check_query(name, good, None, (), spark, oracle, sf_dir)
+    # the pin applies at the driver-parity default SF only — the
+    # builders here ignore sf, so pass SF to engage it
+    rec, why = check_query(name, good, None, (), spark, oracle, SF)
     assert why is None
     assert rec["status"] == "rows_only_pinned" and rec["pinned_ok"] is True
     # match fields stay None — pinned is not an oracle comparison
@@ -846,9 +855,15 @@ def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
     bad = lambda s, sf: s.createDataFrame(  # noqa: E731
         [(False, 40, 12)], "is_final boolean, n_rows long, n_users long"
     )
-    rec, why = check_query(name, bad, None, (), spark, oracle, sf_dir)
+    rec, why = check_query(name, bad, None, (), spark, oracle, SF)
     assert why and "pinned expectation failed" in rec["err"]
     assert rec["pinned_ok"] is False
+
+    # at a NON-default --sf-dir the pin is skipped (the census is
+    # documented as 1-2 rows in general): the same 1-row frame is a
+    # healthy rows-only record, not a false failure
+    rec, why = check_query(name, bad, None, (), spark, oracle, sf_dir)
+    assert why is None and rec["status"] == "rows_only"
 
     # the checker itself, over the failure shapes
     import pandas as pd

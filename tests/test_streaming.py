@@ -758,6 +758,10 @@ def test_stream_replay_unresolved_lock_serves_own_complete_copy(
     assert os.path.basename(out).startswith("in_stage")
     assert open(f"{out}/part-0").read() == "v2"
     assert os.path.exists(f"{out}/_SUCCESS")
+    # the loser never acquired the flock, so the partial occupant is
+    # NOT evicted — rmtree without holding the lock is the round-6
+    # race this whole protocol exists to prevent
+    assert open(f"{in_dir}/part-0").read() == "partial"  # untouched
 
 
 def test_stream_replay_environmental_lock_error_resolves_immediately(

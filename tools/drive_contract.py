@@ -79,7 +79,13 @@ def _check_eviction_census(df: pd.DataFrame):
 
 #: rows-only queries with a deterministic fixture get a PINNED shape
 #: assertion instead of a bare row count — the driver window's one
-#: non-check becomes a real check without needing a SQL oracle.
+#: non-check becomes a real check without needing a SQL oracle. The
+#: pins describe the DEFAULT-SF fixture only and are skipped at other
+#: ``--sf-dir``s: the eviction census is documented as 1-2 rows in
+#: general (a dataset whose final watermark never passes any timeout
+#: legitimately emits no final row), so applying the 2-row pin in the
+#: sf0.1 re-validation mode could poison a healthy run with a false
+#: failure.
 PINNED_ROWS_ONLY = {
     "streaming_sessions_timeout_eviction": _check_eviction_census,
 }
@@ -115,7 +121,7 @@ def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
         rec["err"] = "vacuous: 0 rows without may_be_empty tag"
         return rec, rec["err"]
     if oracle_sql is None:
-        pinned = PINNED_ROWS_ONLY.get(name)
+        pinned = PINNED_ROWS_ONLY.get(name) if sf == SF else None
         if pinned is None:
             rec["status"] = "rows_only"
             return rec, None

@@ -747,7 +747,9 @@ def main() -> None:
         help="recompute fit/flags from the recorded times in "
         "SCALE_SWEEP.json without re-running anything",
     )
-    ap.add_argument("--reps", type=int, default=3)
+    # min-1 clamp: --reps 0 would leave `best` at math.inf in run()
+    # and record Infinity times (same latent hole bench.py guards)
+    ap.add_argument("--reps", type=lambda v: max(1, int(v)), default=3)
     ap.add_argument(
         "--only",
         default=None,
