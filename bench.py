@@ -163,6 +163,11 @@ def main() -> None:
             f"between runs"
         ),
         "noise_band_ref": "SCALING.md#noise-band",
+        # measured on round-10 code, two fresh JVMs, idle box, back
+        # to back: 11.90 / 12.19 s (2.4% spread) — vs 18% for the
+        # single-run era. Totals outside this band on code-identical
+        # headline files indicate box load, not regression.
+        "min_of_3_fresh_jvm_spread_sec": [11.90, 12.19],
         "single_run_era": {
             "rounds": "r01-r09",
             "fresh_jvm_total_spread_sec": [13.94, 16.45],

@@ -545,6 +545,74 @@ def test_mutable_container_constants_move_the_fingerprint(tmp_path):
         _HELPER_FP_CACHE.clear()
 
 
+def test_const_repr_is_insertion_order_independent_property():
+    """Property (hypothesis): for ANY nested structure of primitives
+    and containers, ``_const_repr`` is invariant under dict/set
+    insertion order — the determinism the fingerprint depends on (a
+    repr that varied across processes would make a query read as
+    permanently changed-since-green with a fresh value each round).
+    Also: a structure containing an unhashable leaf (function) is
+    skipped as a whole (None), never repr'd with a memory address."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_showcase_spark.plans.registry import _const_repr
+
+    prims = (
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**40), max_value=2**40)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(max_size=8)
+    )
+    # hashable nests for set members / dict keys
+    hashable = st.recursive(
+        prims,
+        lambda c: st.tuples(c, c) | st.frozensets(c, max_size=3),
+        max_leaves=6,
+    )
+    nested = st.recursive(
+        prims,
+        lambda c: (
+            st.lists(c, max_size=4)
+            | st.tuples(c, c)
+            | st.frozensets(hashable, max_size=4)
+            | st.dictionaries(hashable, c, max_size=4)
+        ),
+        max_leaves=12,
+    )
+
+    def reordered(v):
+        """Structurally equal value with reversed insertion order in
+        every dict and rebuilt sets — models a different process
+        observing the same constant."""
+        if isinstance(v, dict):
+            return {reordered(k): reordered(x) for k, x in reversed(list(v.items()))}
+        if isinstance(v, frozenset):
+            return frozenset(reordered(x) for x in sorted(v, key=repr, reverse=True))
+        if isinstance(v, set):
+            return {reordered(x) for x in sorted(v, key=repr, reverse=True)}
+        if isinstance(v, tuple):
+            return tuple(reordered(x) for x in v)
+        if isinstance(v, list):
+            return [reordered(x) for x in v]
+        return v
+
+    @settings(max_examples=150, deadline=None)
+    @given(nested)
+    def prop(v):
+        r = _const_repr(v)
+        assert r is not None, f"primitive-only structure skipped: {v!r}"
+        assert r == _const_repr(reordered(v))
+        assert "0x" not in r or "0x" in repr(v)  # no memory addresses
+
+    prop()
+
+    # unhashable leaves poison the whole constant into a SKIP
+    assert _const_repr([1, (2, test_const_repr_is_insertion_order_independent_property)]) is None
+    assert _const_repr({"k": {"n": lambda: 1}}) is None
+
+
 def test_no_builder_referenced_constant_is_silently_skipped():
     """The forward-looking guard ADVICE r9 asked for: walk every
     registered builder exactly like ``_same_module_parts`` (same-
@@ -864,6 +932,15 @@ def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
     # healthy rows-only record, not a false failure
     rec, why = check_query(name, bad, None, (), spark, oracle, sf_dir)
     assert why is None and rec["status"] == "rows_only"
+
+    # a checker CRASH (schema changed under it) fails the entry, not
+    # the whole artifact run
+    renamed = lambda s, sf: s.createDataFrame(  # noqa: E731
+        [(False, 40, 12), (True, 7, 7)], "done boolean, n_rows long, n_users long"
+    )
+    rec, why = check_query(name, renamed, None, (), spark, oracle, SF)
+    assert why and "checker raised" in rec["err"]
+    assert rec["pinned_ok"] is False
 
     # the checker itself, over the failure shapes
     import pandas as pd

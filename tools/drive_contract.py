@@ -125,7 +125,13 @@ def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
         if pinned is None:
             rec["status"] = "rows_only"
             return rec, None
-        why = pinned(got)
+        # failure-isolated like every other comparison: a checker
+        # crash (e.g. the query's schema changed under it) must fail
+        # THIS entry, not abort the whole 170-query artifact run
+        try:
+            why = pinned(got)
+        except Exception as exc:  # noqa: BLE001
+            why = f"checker raised {type(exc).__name__}: {exc}"[:250]
         rec["status"] = "rows_only_pinned"
         rec["pinned_ok"] = why is None
         if why is not None:
