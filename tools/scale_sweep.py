@@ -365,6 +365,36 @@ def _bpe_pair_work(spark, sf_dir):
     return int(n_tokens) + int(n_pairs)
 
 
+def _containment_pairs_work(spark, sf_dir):
+    """dedup_containment_pairs' intrinsic work: DF-capped inverted-
+    index rows (the per-doc-size and intersection scans) + the capped
+    intersection join's output pairs — Σ over shingles with
+    df ≤ cap of C(df, 2), exactly the rows the self-join emits and
+    the verify stage aggregates. One aggregate over the pipeline's
+    own shingle frame; linear on the replicas (ciphered text keeps
+    shingles replica-local, so per-shingle dfs — and with them the
+    pair terms — replicate instead of mixing)."""
+    from map_reduce_showcase_spark.dedup.jaccard import shingle_rows
+    from map_reduce_showcase_spark.plans.queries_dedup import (
+        _CONTAIN_MAX_DF,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_sh = (
+        shingle_rows(docs, n=2)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAIN_MAX_DF)
+    )
+    row = per_sh.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("rows"),
+        F.coalesce(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0)
+        ).alias("pairs"),
+    ).first()
+    return int(row["rows"]) + int(row["pairs"])
+
+
 def _substring_runs_work(spark, sf_dir):
     """dedup_substring_runs' intrinsic work: token 10-gram positions
     (the corpus-sized hash+shuffle pass) + duplicated positions
@@ -442,6 +472,7 @@ def _work_measures():
         "bpe_pair_counts": _bpe_pair_work,
         "dedup_substring_runs": _substring_runs_work,
         "dsir_importance_weights": _dsir_token_work,
+        "dedup_containment_pairs": _containment_pairs_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
