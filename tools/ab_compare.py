@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Interleaved same-JVM A/B comparison — the ONLY valid cross-variant
+timing protocol on this box (SCALING.md noise band).
+
+Three rounds of measurement lessons are baked in:
+
+* **Same JVM.** Fresh-JVM runs of the same code differ by 30-60% at
+  the cold point (JIT/codegen warmup) and box sessions drift ~1.4x on
+  identical plans — cross-JVM comparisons attribute box state to
+  code. Both variants run inside ONE session here.
+* **Interleaved, ABBA order.** Back-to-back blocks (AAAA then BBBB)
+  let monotone drift (page-cache fill, heap fragmentation) bias
+  whichever variant runs second; the ABBA pairing cancels linear
+  drift within each pair. This is the protocol that settled the
+  round-9 PageRank question (fused unchunked 18-19 s vs
+  always-chunked 22-23 s) after fresh-JVM numbers pointed the wrong
+  way.
+* **Per-pair ratios, then the median.** Absolute times are box
+  state; the decision statistic is the median of per-pair B/A
+  ratios, with the pair spread printed so a conclusion inside the
+  noise band is visibly not a conclusion.
+
+Variants are registered query names, or ``path/to/file.py::func``
+for an unregistered rewrite candidate (same ``(spark, sf_dir) → DF``
+signature).
+
+Usage:
+    python tools/ab_compare.py --a graph_pagerank --b my_rewrite.py::pagerank_v2 \\
+        [--sf-dir /root/testdata/sf0.1] [--pairs 5]
+
+Prints one JSON line: per-pair times, medians, per-pair ratios, and
+``median_ratio_b_over_a`` (< 1.0 = B faster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ab_schedule(pairs: int) -> list[str]:
+    """ABBA run order: pair i runs (A,B) when i is even, (B,A) when
+    odd, so each variant leads equally often and linear drift cancels
+    within pairs."""
+    order = []
+    for i in range(pairs):
+        order.extend(["a", "b"] if i % 2 == 0 else ["b", "a"])
+    return order
+
+
+def summarize(times_a: list[float], times_b: list[float]) -> dict:
+    """Decision summary from paired timings. Ratios are per-PAIR
+    (same position in each list — the interleaved neighbours), so a
+    slow box moment inflates both sides of its pair instead of one
+    variant's median."""
+    ratios = [
+        round(b / a, 4) if a > 0 else None
+        for a, b in zip(times_a, times_b)
+    ]
+    usable = [r for r in ratios if r is not None]
+    return {
+        "times_a_sec": [round(t, 3) for t in times_a],
+        "times_b_sec": [round(t, 3) for t in times_b],
+        "median_a_sec": round(statistics.median(times_a), 3),
+        "median_b_sec": round(statistics.median(times_b), 3),
+        "pair_ratios_b_over_a": ratios,
+        "median_ratio_b_over_a": (
+            round(statistics.median(usable), 4) if usable else None
+        ),
+        "ratio_spread": (
+            [min(usable), max(usable)] if usable else None
+        ),
+    }
+
+
+def _resolve(spec: str):
+    """Registry name, or ``file.py::func`` for an unregistered
+    candidate."""
+    if "::" in spec:
+        import importlib.util
+
+        path, func = spec.split("::", 1)
+        mspec = importlib.util.spec_from_file_location("_ab_variant", path)
+        mod = importlib.util.module_from_spec(mspec)
+        sys.modules["_ab_variant"] = mod
+        mspec.loader.exec_module(mod)
+        return getattr(mod, func)
+    from map_reduce_showcase_spark.plans import REGISTRY
+    from map_reduce_showcase_spark.plans.registry import _load_all
+
+    _load_all()
+    return REGISTRY[spec].builder
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--a", required=True, help="registry name or file.py::func")
+    ap.add_argument("--b", required=True, help="registry name or file.py::func")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--pairs", type=lambda v: max(1, int(v)), default=5)
+    args = ap.parse_args()
+
+    from map_reduce_showcase_spark.session import get_spark
+
+    builders = {"a": _resolve(args.a), "b": _resolve(args.b)}
+    spark = get_spark(app_name="mrs-ab-compare")
+    spark.sparkContext.setLogLevel("FATAL")
+    jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
+
+    # warm BOTH variants (codegen, parquet footers) before any
+    # measured run — otherwise the first-scheduled variant pays
+    # compilation for shared subtrees and gifts its partner the cache
+    for key in ("a", "b"):
+        try:
+            builders[key](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+
+    times: dict[str, list[float]] = {"a": [], "b": []}
+    for key in ab_schedule(args.pairs):
+        gc.collect()
+        jvm_gc()
+        t0 = time.time()
+        builders[key](spark, args.sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[key].append(time.time() - t0)
+        print(f"  {key}: {times[key][-1]:.3f}s", file=sys.stderr)
+
+    out = {
+        "a": args.a,
+        "b": args.b,
+        "sf_dir": args.sf_dir,
+        "pairs": args.pairs,
+        "protocol": (
+            "interleaved same-JVM ABBA pairs; decision statistic = "
+            "median per-pair ratio; per-query deltas under ~2x "
+            "between SINGLE runs are box noise (SCALING.md)"
+        ),
+        **summarize(times["a"], times["b"]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
