@@ -143,11 +143,19 @@ def _helper_modules(builder_module: str) -> list[str]:
     every query on any registry edit), but what it imports —
     ``sources/tables.py`` — is data-path code and is hashed.
 
-    Known residual: values imported BY VALUE that carry no
-    ``__module__`` (module-level constants, SQL string fragments)
-    don't reveal their defining module; if a module is imported
-    ONLY that way, its edits stay invisible to this walk and are
-    caught by the round-end local differential instead."""
+    Known residual (narrowed by h3): values imported BY VALUE that
+    carry no ``__module__`` (module-level constants, SQL string
+    fragments) don't reveal their defining module to THIS walk.
+    Since h3 that is usually harmless: a constant referenced by the
+    BUILDER (or its same-module helper closure) is hashed by VALUE
+    in ``_same_module_parts``, so editing its defining module moves
+    the fingerprint through the value itself. What remains invisible
+    is the indirect case — a CROSS-module closure helper referencing
+    a by-value-imported constant from a module imported only that
+    way: the helper's source hash doesn't change, the defining
+    module never enters the closure, and the value lives in the
+    helper's globals, not the builder's. Caught by the round-end
+    local differential instead."""
     import sys
     import types
 
