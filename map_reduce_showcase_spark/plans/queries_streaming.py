@@ -595,6 +595,127 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_FINAL_QUERY_NAME = "mrs_streaming_evict_final_sink"
+
+#: sentinel user for the flush rows appended to the eviction-twin
+#: replay — excluded from the result; its own state is the only one
+#: legitimately alive when the replay ends.
+_FLUSH_USER = -1
+
+
+@register(
+    "streaming_eviction_final_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS evicted_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "timeout", "eviction"),
+)
+def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eviction operator's BATCH-INVARIANT final state, with a
+    full value-hash oracle (round-10 verdict #1 — the companion to
+    the rows-only ``streaming_sessions_timeout_eviction``, whose
+    per-row update log genuinely depends on micro-batch boundaries).
+
+    Same watermark-evicting sessionizer
+    (``streaming/stateful.py::streaming_user_sessions_with_timeout``),
+    but the projection is chosen so the output is independent of how
+    the replay splits into micro-batches:
+
+    * A user's lifetime is a sequence of state RUNS — state is
+      created at first appearance, accumulates ``n_events``, and each
+      eviction emits one final row carrying that run's count, then
+      removes the state. Runs PARTITION the user's events (n resets
+      to 0 after every eviction), so ``SUM(n_events)`` over a user's
+      final rows equals the user's total event count — regardless of
+      WHERE the batch boundaries (and hence the evictions) fell. The
+      per-run split is boundary-dependent; the per-user sum is not.
+    * Completeness: two sentinel FLUSH files (user ``_FLUSH_USER``,
+      ts = max+1h and max+2h) are appended to the replay after the
+      real data. The first advances the watermark past every real
+      timeout (armed at last_event + 10min << max+1h − 10min); the
+      second's batch then fires every remaining timeout, so every
+      real user's last run IS evicted before the stream terminates
+      (timeouts fire one batch after the watermark passes them —
+      without the second flush, users active near max ts would end
+      the replay un-evicted and their tail events would vanish from
+      the census).
+    * No late drops: part files get strictly increasing mtimes in
+      ts-range order (the file source processes oldest-mtime first),
+      so every batch's rows are ahead of the watermark set by the
+      previous batches and the watermark never filters a row.
+
+    So: hash-equal to ``GROUP BY user_id / COUNT(*)`` iff eviction
+    fired for every key exactly once per run and no events were lost
+    or double-counted across state removals — an end-to-end oracle
+    over the eviction path itself.
+
+    Scale shape: identical to the rows-only twin — state tracks
+    ACTIVE users behind one user_id shuffle; the flush-sentinel
+    trick is also how a production backfill forces final-state
+    emission at the end of a bounded replay."""
+    from ..streaming.stateful import streaming_user_sessions_with_timeout
+
+    in_dir, ckpt, copy_ready = _stream_dirs(
+        spark, "evictfinal", sf_dir, "user_id:bigint,ts:timestamp@range4+flush2"
+    )
+    if not copy_ready:
+
+        def write_replay(p: str) -> None:
+            import datetime
+            import glob
+            import os
+            import time
+
+            ev = t(spark, sf_dir, "events").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            )
+            ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
+            # strictly increasing mtimes in range (= part filename)
+            # order, backdated an hour: the file source orders batches
+            # by mtime, and range-partition tasks finish concurrently,
+            # so without the stamp a higher-ts file could replay first
+            # and the watermark would drop the earlier files' rows
+            now = time.time()
+            for i, f in enumerate(sorted(glob.glob(f"{p}/part-*"))):
+                os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
+            max_ts = ev.agg(F.max("ts")).first()[0]
+            for hours in (1, 2):
+                spark.createDataFrame(
+                    [(_FLUSH_USER, max_ts + datetime.timedelta(hours=hours))],
+                    "user_id BIGINT, ts TIMESTAMP",
+                ).coalesce(1).write.mode("append").parquet(p)
+
+        in_dir = _ensure_replay(spark, in_dir, write_replay)
+    for q in spark.streams.active:
+        if q.name == _FINAL_QUERY_NAME:
+            q.stop()
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    query = (
+        streaming_user_sessions_with_timeout(
+            stream, gap="10 minutes", gap_ms=10 * 60 * 1000
+        )
+        .writeStream.format("memory")
+        .queryName(_FINAL_QUERY_NAME)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(_FINAL_QUERY_NAME)
+        .filter(F.col("is_final") & (F.col("user_id") != F.lit(_FLUSH_USER)))
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("evicted_events"))
+    )
+
+
 @register(
     "streaming_exactly_once_restart",
     oracle="""
