@@ -124,7 +124,15 @@ _HELPER_CLOSURE_CACHE: dict[str, tuple[str, ...]] = {}
 #: ("h3") — each widening moves every query's helper hash, and
 #: era-gating the comparison in ``changed_since_green`` keeps the
 #: algorithm change from reading as 170 simultaneous code edits.
-#: Bump this whenever the hashing scheme itself changes.
+#: Bump this whenever the hashing scheme itself changes — meaning a
+#: change that MOVES any emitted value on the current registry. The
+#: round-10 widening of ``_CONST_TYPES`` to list/set/dict shipped
+#: WITHOUT a bump because it was verified output-identical (no
+#: builder references such a constant today, a fact
+#: test_no_builder_referenced_constant_is_silently_skipped pins);
+#: the first builder-referenced mutable constant will move only its
+#: own queries' hashes, which is the normal edit-detection path, not
+#: a scheme change.
 _HELPER_FP_ERA = "h3"
 
 
@@ -188,10 +196,16 @@ def _helper_modules(builder_module: str) -> list[str]:
 #: canonical repr; anything else referenced by a builder is either a
 #: function/class (hashed by source), a module (covered by the
 #: closure walk), or asserted-absent by tests/test_oracle_diff.py.
+#: MUTATION HAZARD (ADVICE r10): list/set/dict are hashed by VALUE,
+#: so a module-level mutable container a builder uses as a runtime
+#: cache would make its fingerprint vary with execution order within
+#: one process. Keep builder-referenced module constants immutable
+#: in practice; a cache belongs in a private name the walk skips or
+#: behind a function.
 _CONST_TYPES = (str, int, float, bool, tuple, frozenset, list, set, dict)
 
 
-def _const_repr(val) -> str | None:
+def _const_repr(val, _visiting: frozenset | None = None) -> str | None:
     """Process-deterministic repr for a module constant, or None to
     skip it: frozenset/set/dict iteration (hash-randomized for str
     members) and containers holding non-primitives (whose repr embeds
@@ -206,21 +220,37 @@ def _const_repr(val) -> str | None:
     non-primitive leaf (arbitrary objects, functions — those go
     through the source walk instead) is the only remaining skip, and
     ``tests/test_oracle_diff.py`` asserts no builder-referenced
-    module constant currently falls through it."""
+    module constant currently falls through it.
+
+    A SELF-REFERENTIAL container (a list appended to itself — only
+    constructible for mutable constants, which the _CONST_TYPES
+    comment already discourages) degrades to the None skip via the
+    ``_visiting`` identity set instead of hitting RecursionError
+    (ADVICE r10): a crash here would abort fingerprint computation
+    for the whole registry, while a skip is caught by the
+    no-silent-skip oracle-diff test."""
     if val is None or isinstance(val, (str, int, float, bool)):
         return repr(val)
+    if _visiting is None:
+        _visiting = frozenset()
+    if id(val) in _visiting:
+        return None  # cycle: degrade to a (test-caught) skip
+    _visiting = _visiting | {id(val)}
     if isinstance(val, (tuple, list)):
-        elems = [_const_repr(e) for e in val]
+        elems = [_const_repr(e, _visiting) for e in val]
         if None in elems:
             return None
         open_, close = ("(", ")") if isinstance(val, tuple) else ("[", "]")
         return f"{open_}{', '.join(elems)}{close}"
     if isinstance(val, (frozenset, set)):
-        elems = [_const_repr(e) for e in val]
+        elems = [_const_repr(e, _visiting) for e in val]
         tag = "frozenset" if isinstance(val, frozenset) else "set"
         return None if None in elems else f"{tag}({{{', '.join(sorted(elems))}}})"
     if isinstance(val, dict):
-        items = [(_const_repr(k), _const_repr(v)) for k, v in val.items()]
+        items = [
+            (_const_repr(k, _visiting), _const_repr(v, _visiting))
+            for k, v in val.items()
+        ]
         if any(k is None or v is None for k, v in items):
             return None
         return "{" + ", ".join(f"{k}: {v}" for k, v in sorted(items)) + "}"

@@ -701,6 +701,209 @@ def test_no_builder_referenced_constant_is_silently_skipped():
     )
 
 
+def test_no_builder_reachable_cross_module_by_value_constant():
+    """Tripwire for the LAST documented h3 residual (round-10 verdict
+    #3, stated in ``registry._helper_modules``'s docstring): a
+    CROSS-module closure helper referencing a constant it imported by
+    value (``from X import CONST``) from a module that never enters
+    the closure — the helper's source hash doesn't move when X's
+    definition changes, the value lives in the helper's globals (not
+    the builder's, so ``_same_module_parts`` never hashes it), and X
+    stays invisible to the module walk.
+
+    The walk here follows each builder's RUNTIME function closure
+    across modules (names in code objects, resolved in each
+    function's own module globals; intra-package functions recursed).
+    For every referenced constant that is import-bound in a module
+    OTHER than the builder's, the AST-resolved origin module must be
+    inside that module's helper closure (closures are transitive, so
+    per-module visibility implies builder visibility). Builder-module
+    constants are exempt (hashed by value), and module-level-only
+    uses — oracle f-string fragments like ``_TOKENS_SQL``, expanded
+    into the oracle TEXT at registration — never appear in runtime
+    code objects and are covered by ``definition_fingerprint``
+    instead (the four current cross-module fragment imports are
+    exactly that shape). Scope: plain functions; a cross-module
+    CLASS whose methods reference import-bound constants would need
+    the registry walk extended first — none exists today."""
+    from map_reduce_showcase_spark.plans import registry as R
+
+    R._load_all()
+    violations = _by_value_import_violations(
+        [(n, s.builder) for n, s in R.REGISTRY.items()]
+    )
+    assert not violations, (
+        "cross-module by-value constant imports reachable from "
+        "builder code, invisible to the helper fingerprint walk:\n"
+        + "\n".join(sorted(set(violations)))
+    )
+
+
+def _by_value_import_violations(
+    builders: list, pkg: str | None = None
+) -> list[str]:
+    """The guard's walk, pure enough for a failure-direction test:
+    ``builders`` is (name, fn) pairs; ``pkg`` overrides the package
+    prefix so synthetic on-disk modules can stand in for the real
+    tree. See test_no_builder_reachable_cross_module_by_value_constant
+    for what counts as a violation."""
+    import ast
+    import inspect
+    import sys
+    import types
+
+    from map_reduce_showcase_spark.plans import registry as R
+
+    if pkg is None:
+        pkg = R.__name__.rsplit(".", 2)[0]
+
+    def _resolve_origin(mname: str, mod, level: int, module: str | None):
+        if level == 0:
+            return module
+        parts = mname.split(".")
+        if not hasattr(mod, "__path__"):
+            parts = parts[:-1]
+        if level > 1:
+            parts = parts[: len(parts) - (level - 1)]
+        return ".".join(parts + ([module] if module else []))
+
+    _bound_cache: dict[str, dict[str, str]] = {}
+
+    def import_bound(mname: str) -> dict[str, str]:
+        """name -> intra-package origin module for every ``from X
+        import name`` binding in ``mname``'s source (asname-aware)."""
+        if mname in _bound_cache:
+            return _bound_cache[mname]
+        out: dict[str, str] = {}
+        mod = sys.modules.get(mname)
+        try:
+            tree = ast.parse(inspect.getsource(mod))
+        except (OSError, TypeError, SyntaxError):
+            tree = ast.parse("")
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                origin = _resolve_origin(mname, mod, node.level, node.module)
+                if origin and origin.startswith(pkg):
+                    for a in node.names:
+                        out[a.asname or a.name] = origin
+        _bound_cache[mname] = out
+        return out
+
+    def code_names(code, acc):
+        acc |= set(code.co_names)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                code_names(c, acc)
+        return acc
+
+    violations: list[str] = []
+    for qname, fn in builders:
+        seen: set[tuple[str, str]] = set()
+        work: list[types.FunctionType] = [fn]
+        while work:
+            cur = work.pop()
+            key = (cur.__module__, cur.__qualname__)
+            if key in seen or not cur.__module__.startswith(pkg):
+                continue
+            seen.add(key)
+            mod = sys.modules.get(cur.__module__)
+            if mod is None:
+                continue
+            bound = import_bound(cur.__module__)
+            referenced: set[str] = set()
+            code_names(cur.__code__, referenced)
+            for name in sorted(referenced):
+                val = vars(mod).get(name)
+                if isinstance(val, types.FunctionType) and getattr(
+                    val, "__module__", ""
+                ).startswith(pkg):
+                    work.append(val)
+                elif (
+                    isinstance(val, R._CONST_TYPES)
+                    and name in bound
+                    and cur.__module__ != fn.__module__
+                ):
+                    closure = set(R._helper_modules(cur.__module__)) | {
+                        cur.__module__,
+                        R.__name__,
+                    }
+                    if bound[name] not in closure:
+                        violations.append(
+                            f"{qname}: {cur.__module__}.{name} imported "
+                            f"by value from {bound[name]} (outside the "
+                            f"helper closure — edits there move no "
+                            f"fingerprint)"
+                        )
+    return violations
+
+
+def test_by_value_import_guard_fires_on_the_residual_shape(tmp_path):
+    """Failure direction: the guard must actually FLAG the documented
+    residual — builder in module A calls helper in module B, and B
+    did ``from X import CONST`` where X enters no closure. Built as
+    real on-disk modules (the walk needs source) under a synthetic
+    package root."""
+    import sys
+    import textwrap
+
+    pkg_dir = tmp_path / "fp_resid_pkg"
+    pkg_dir.mkdir()
+    (pkg_dir / "__init__.py").write_text("")
+    (pkg_dir / "x.py").write_text("CONST = 7\n")
+    (pkg_dir / "b.py").write_text(
+        textwrap.dedent(
+            """
+            from fp_resid_pkg.x import CONST
+
+            def helper():
+                return CONST + 1
+            """
+        )
+    )
+    (pkg_dir / "a.py").write_text(
+        textwrap.dedent(
+            """
+            from fp_resid_pkg.b import helper
+
+            def builder(spark, sf_dir):
+                return helper()
+            """
+        )
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import importlib
+
+        a = importlib.import_module("fp_resid_pkg.a")
+        violations = _by_value_import_violations(
+            [("synthetic", a.builder)], pkg="fp_resid_pkg"
+        )
+        assert len(violations) == 1 and "fp_resid_pkg.x" in violations[0], (
+            violations
+        )
+        # control: a constant DEFINED in the helper module (covered
+        # by B's source hash) must not flag
+        (pkg_dir / "b2.py").write_text(
+            "LOCAL_CONST = 7\n\ndef helper():\n    return LOCAL_CONST\n"
+        )
+        (pkg_dir / "a2.py").write_text(
+            "from fp_resid_pkg.b2 import helper\n\n"
+            "def builder(spark, sf_dir):\n    return helper()\n"
+        )
+        a2 = importlib.import_module("fp_resid_pkg.a2")
+        assert (
+            _by_value_import_violations(
+                [("clean", a2.builder)], pkg="fp_resid_pkg"
+            )
+            == []
+        )
+    finally:
+        sys.path.remove(str(tmp_path))
+        for m in list(sys.modules):
+            if m.startswith("fp_resid_pkg"):
+                sys.modules.pop(m)
+
+
 def _era_violations(
     artifact: dict, current_era: str, green: dict, seed_covered
 ) -> list[str]:
