@@ -103,13 +103,34 @@ def main() -> None:
     # Failures land in "errors"; the JSON line always prints.
     # clamp to >= 1: reps=0 would leave every `best` at math.inf and
     # json.dumps would emit the non-RFC `Infinity` token — breaking
-    # the one-JSON-line contract with no error recorded anywhere
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # the one-JSON-line contract with no error recorded anywhere.
+    # A NON-NUMERIC value falls back to 3 the same way (ADVICE r10:
+    # an uncaught ValueError here aborted before any JSON printed —
+    # the exact broken-artifact mode the clamp exists to prevent).
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    except ValueError:
+        print(
+            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_REPS="
+            f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r}, using 3",
+            file=sys.stderr,
+        )
+        reps = 3
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # 1-minute loadavg sampled around each query (round-10 verdict
+    # #4): the min-of-3 protocol kills within-JVM noise, but a loaded
+    # BOX still inflates a whole driver run (r10: 17.2 s driver-graded
+    # vs 11.9 s idle on identical code) — with the samples in the
+    # artifact that call needs no cross-referencing. On local[32] the
+    # bench itself drives load toward ~32 while a query runs; what the
+    # samples discriminate is a NONZERO BASELINE before the first
+    # query and between-queries floors well above the core count.
+    load_1m: dict[str, list[float]] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
     for name in headline:
         best = math.inf
+        l_before = os.getloadavg()[0]
         try:
             fn = REGISTRY[name].builder
             for _ in range(reps):
@@ -130,6 +151,8 @@ def main() -> None:
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg[:300]
             print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
+        finally:
+            load_1m[name] = [round(l_before, 2), round(os.getloadavg()[0], 2)]
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
@@ -163,11 +186,24 @@ def main() -> None:
             f"between runs"
         ),
         "noise_band_ref": "SCALING.md#noise-band",
+        # per-query [before, after] 1-minute loadavg samples plus the
+        # full (1m, 5m, 15m) triple at artifact time: a driver-graded
+        # total outside the idle spread should be adjudicated from
+        # THESE fields (elevated pre-first-query baseline / 15m
+        # average ≫ what this bench alone would drive), not by
+        # cross-referencing three artifacts as in round 10.
+        "load_1m_per_query": load_1m,
+        "loadavg_final": [round(x, 2) for x in os.getloadavg()],
         # measured on round-10 code, two fresh JVMs, idle box, back
         # to back: 11.90 / 12.19 s (2.4% spread) — vs 18% for the
         # single-run era. Totals outside this band on code-identical
-        # headline files indicate box load, not regression.
+        # headline files indicate box load, not regression. This band
+        # is also the min-of-3-era ANCHOR the 2x bar compares against
+        # (BASELINE.md "Bench anchor, min-of-3 era"): the single-run
+        # 18.444 s anchor includes noise min-of-3 removes, so ratios
+        # against it flatter by ~18%.
         "min_of_3_fresh_jvm_spread_sec": [11.90, 12.19],
+        "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",
         "single_run_era": {
             "rounds": "r01-r09",
             "fresh_jvm_total_spread_sec": [13.94, 16.45],

@@ -56,6 +56,12 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
         round(sum(art["queries"].values()), 3), abs=1e-6
     )
     assert art["sf"] == 0.001
+    # box-load self-adjudication (round-10 verdict #4): per-query
+    # [before, after] 1-minute loadavg samples + the final triple
+    assert set(art["load_1m_per_query"]) == set(art["queries"])
+    for pair in art["load_1m_per_query"].values():
+        assert len(pair) == 2 and all(v >= 0 for v in pair)
+    assert len(art["loadavg_final"]) == 3
     # every timing is finite and JSON-round-trippable (the reps=0
     # regression emitted Infinity here)
     json.dumps(art, allow_nan=False)
@@ -74,11 +80,24 @@ def test_bench_failure_isolation_nulls_total_not_artifact(
     assert "topk_orders" in art["queries"]
     assert "no_such_query" in art["errors"]
     assert "KeyError" in art["errors"]["no_such_query"]
+    # load samples cover FAILED queries too (the load context of a
+    # failure is exactly when you want the sample)
+    assert set(art["load_1m_per_query"]) == {"topk_orders", "no_such_query"}
     json.dumps(art, allow_nan=False)
 
 
 def test_bench_reps_clamped_to_at_least_one(bench, capsys, monkeypatch, spark):
     art = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="0")
     assert art["runs_per_query"] == 1
+    assert art["value"] is not None and art["value"] > 0
+    json.dumps(art, allow_nan=False)
+
+
+def test_bench_non_numeric_reps_falls_back(bench, capsys, monkeypatch, spark):
+    """ADVICE r10: a malformed SPARK_GRAFT_BENCH_REPS aborted before
+    any JSON printed — the exact broken-artifact mode the reps clamp
+    exists to prevent; it must fall back to the default instead."""
+    art = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="three")
+    assert art["runs_per_query"] == 3
     assert art["value"] is not None and art["value"] > 0
     json.dumps(art, allow_nan=False)
