@@ -50,6 +50,45 @@ def test_summarize_uses_per_pair_ratios():
     assert s["median_ratio_b_over_a"] == 1.1
 
 
+def test_verdict_fields_floor_and_band():
+    """Round-10 verdict #5: the artifact must carry the minimum-
+    discriminable-effect floor, and a sub-second median can never be
+    adjudicated — the measured self-vs-self noise at sf0.01 (median
+    0.90, spread 0.80-1.05) swamps <25% effects at that size."""
+    ab = _load()
+
+    def fields(med_a, med_b, ratio):
+        return ab.verdict_fields(
+            {
+                "median_a_sec": med_a,
+                "median_b_sec": med_b,
+                "median_ratio_b_over_a": ratio,
+            }
+        )
+
+    # sub-second on either side → inconclusive, floor recorded
+    f = fields(0.6, 0.5, 0.83)
+    assert f["below_runtime_floor"] is True
+    assert f["verdict"].startswith("inconclusive_below_floor")
+    assert f["runtime_floor_sec"] == ab.RUNTIME_FLOOR_SEC
+    assert f["self_noise_band"] == list(ab.SELF_NOISE_BAND)
+    # a 17% win at 0.8s would have been a plausible-looking lie
+    assert fields(0.8, 0.66, 0.83)["verdict"].startswith(
+        "inconclusive_below_floor"
+    )
+
+    # above the floor: band edges adjudicate
+    assert fields(10.0, 7.0, 0.70)["verdict"] == "b_faster"
+    assert fields(7.0, 10.0, 1.43)["verdict"] == "a_faster"
+    assert fields(10.0, 9.5, 0.95)["verdict"] == "within_noise_band"
+    # inside [0.80, 1.25]: not a conclusion even though outside the
+    # observed self band's 1.05 upper edge (under-sampled tail)
+    assert fields(10.0, 11.5, 1.15)["verdict"] == "within_noise_band"
+
+    # no usable pairs (all zero-time) → its own inconclusive marker
+    assert fields(0.0, 0.0, None)["verdict"] == "inconclusive_no_usable_pairs"
+
+
 def test_resolve_accepts_file_path_variant(tmp_path):
     ab = _load()
     f = tmp_path / "variant.py"

@@ -56,6 +56,57 @@ def ab_schedule(pairs: int) -> list[str]:
     return order
 
 
+#: Below this per-variant median runtime the protocol cannot resolve
+#: small effects: the measured SELF-vs-self noise floor at sf0.01
+#: (5 ABBA pairs, identical builder on both sides) was median ratio
+#: 0.90 with pair spread 0.80-1.05 — i.e. sub-second timings carry
+#: ~±25% noise, so a sub-second A/B verdict under ~1.25x is noise by
+#: construction. The tool still prints the numbers but stamps the
+#: verdict INCONCLUSIVE and tells the caller to re-run at sf0.1
+#: (round-10 verdict #5: a floor recorded in the artifact beats a
+#: conclusion the noise section of SCALING.md quietly retracts).
+RUNTIME_FLOOR_SEC = 1.0
+#: measured self-vs-self pair-ratio band at sf0.01 (SCALING.md noise
+#: band); a median ratio inside it is not a conclusion at any size.
+SELF_NOISE_BAND = (0.80, 1.05)
+
+
+def verdict_fields(summary: dict) -> dict:
+    """Adjudication fields derived from a :func:`summarize` payload:
+    the minimum-discriminable-effect floor plus a self-describing
+    verdict, so a consumer can't quietly read a sub-noise ratio as a
+    win. Kept separate from summarize() so the contract test can pin
+    the decision table without timing anything."""
+    med_a, med_b = summary["median_a_sec"], summary["median_b_sec"]
+    ratio = summary["median_ratio_b_over_a"]
+    fields = {
+        "runtime_floor_sec": RUNTIME_FLOOR_SEC,
+        "self_noise_band": list(SELF_NOISE_BAND),
+        "below_runtime_floor": min(med_a, med_b) < RUNTIME_FLOOR_SEC,
+    }
+    if ratio is None:
+        fields["verdict"] = "inconclusive_no_usable_pairs"
+    elif fields["below_runtime_floor"]:
+        fields["verdict"] = (
+            "inconclusive_below_floor: a variant's median is under "
+            f"{RUNTIME_FLOOR_SEC}s — sub-second timings on this box "
+            "carry ~±25% noise (self-vs-self median 0.90, spread "
+            "0.80-1.05), so effects smaller than that are "
+            "unresolvable; re-run at a larger --sf-dir (sf0.1)"
+        )
+    elif ratio < SELF_NOISE_BAND[0]:
+        fields["verdict"] = "b_faster"
+    elif ratio > 1 / SELF_NOISE_BAND[0]:
+        # deliberately 1/0.80, not the band's 1.05 upper edge: the
+        # self-run's high tail came from one 5-pair sample, so the
+        # a-faster cutoff takes the reciprocal margin instead of
+        # trusting an under-sampled edge
+        fields["verdict"] = "a_faster"
+    else:
+        fields["verdict"] = "within_noise_band"
+    return fields
+
+
 def summarize(times_a: list[float], times_b: list[float]) -> dict:
     """Decision summary from paired timings. Ratios are per-PAIR
     (same position in each list — the interleaved neighbours), so a
@@ -123,19 +174,15 @@ def main() -> None:
             builders[key](spark, "/root/testdata/sf0.001").write.format(
                 "noop"
             ).mode("overwrite").save()
-        except Exception:
-            pass
-
-    times: dict[str, list[float]] = {"a": [], "b": []}
-    for key in ab_schedule(args.pairs):
-        gc.collect()
-        jvm_gc()
-        t0 = time.time()
-        builders[key](spark, args.sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        times[key].append(time.time() - t0)
-        print(f"  {key}: {times[key][-1]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            # not fatal by itself (the variant may still run at the
+            # measured SF), but silence here made a later measured-
+            # loop crash look like a hang (ADVICE r10)
+            print(
+                f"warm-up FAILED for {key} ({type(exc).__name__}: "
+                f"{str(exc)[:200]}) — measured runs may fail too",
+                file=sys.stderr,
+            )
 
     out = {
         "a": args.a,
@@ -147,8 +194,33 @@ def main() -> None:
             "median per-pair ratio; per-query deltas under ~2x "
             "between SINGLE runs are box noise (SCALING.md)"
         ),
-        **summarize(times["a"], times["b"]),
     }
+    times: dict[str, list[float]] = {"a": [], "b": []}
+    for key in ab_schedule(args.pairs):
+        gc.collect()
+        jvm_gc()
+        t0 = time.time()
+        # failure-isolated like bench.py: a variant that dies mid-
+        # schedule must still produce ONE JSON line (with an "error"
+        # field and the partial times) instead of a bare traceback
+        try:
+            builders[key](spark, args.sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            out["error"] = (
+                f"variant {key} ({out[key]}) failed: "
+                f"{type(exc).__name__}: {str(exc)[:300]}"
+            )
+            out["times_a_sec"] = [round(t, 3) for t in times["a"]]
+            out["times_b_sec"] = [round(t, 3) for t in times["b"]]
+            print(json.dumps(out))
+            raise SystemExit(1)
+        times[key].append(time.time() - t0)
+        print(f"  {key}: {times[key][-1]:.3f}s", file=sys.stderr)
+
+    out.update(summarize(times["a"], times["b"]))
+    out.update(verdict_fields(out))
     print(json.dumps(out))
 
 

@@ -121,7 +121,18 @@ def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
         rec["err"] = "vacuous: 0 rows without may_be_empty tag"
         return rec, rec["err"]
     if oracle_sql is None:
-        pinned = PINNED_ROWS_ONLY.get(name) if sf == SF else None
+        # realpath-normalized: `--sf-dir /root/testdata/sf0.01/` (or
+        # any path alias of the default SF) must still apply the pin —
+        # exact string equality silently downgraded the round's one
+        # real rows-only check to a bare count (ADVICE r10)
+        at_default_sf = os.path.realpath(sf) == os.path.realpath(SF)
+        pinned = PINNED_ROWS_ONLY.get(name) if at_default_sf else None
+        if name in PINNED_ROWS_ONLY and not at_default_sf:
+            print(
+                f"note: {name} has a PINNED_ROWS_ONLY checker but runs "
+                f"unpinned at non-default sf {sf!r}",
+                file=sys.stderr,
+            )
         if pinned is None:
             rec["status"] = "rows_only"
             return rec, None
