@@ -441,6 +441,63 @@ def _dsir_token_work(spark, sf_dir):
     return int(docs.select(F.explode(T.tokens(F.col("text")))).count())
 
 
+def _q3_join_work(spark, sf_dir):
+    """q3_top_revenue_orders' intrinsic work: QUALIFYING JOIN ROWS —
+    the filtered lineitem ⋈ orders ⋈ BUILDING-customer rows feeding
+    the revenue aggregate, the query's only fact-sized operation (the
+    top-10 is TakeOrderedAndProject over the agg's output). Replica
+    keys are stride-offset so the joins match 1:1 and the count grows
+    exactly linearly by construction; the probe re-declares the
+    query's own filters (round-10 note: a probe is a DECLARED-work
+    anchor, not a replica — filter-literal drift vs the builder is
+    benign while the probe stays linear-by-construction)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+        .select("l_orderkey")
+    )
+    return int(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .count()
+    )
+
+
+def _q21_candidate_work(spark, sf_dir):
+    """q21_single_late_supplier's intrinsic work: F-status join rows
+    (the one fact shuffle every plan shape pays) + per-(order,
+    supplier) candidate groups (the aggregate-first rewrite's state
+    rows, what the EXISTS/NOT-EXISTS adjudication scans). Both grow
+    linearly on the replicas (1:1 stride joins); one aggregate job."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    row = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("rows"),
+            F.count(F.lit(1)).alias("groups"),
+        )
+        .first()
+    )
+    return int(row["rows"]) + int(row["groups"])
+
+
 def _work_measures():
     """query -> callable(spark, sf_dir) -> int units of INTRINSIC
     work at that scale point. Recorded alongside wall time so a
@@ -473,6 +530,13 @@ def _work_measures():
         "dedup_substring_runs": _substring_runs_work,
         "dsir_importance_weights": _dsir_token_work,
         "dedup_containment_pairs": _containment_pairs_work,
+        # round-11 (r10 verdict #6): the two highest raw tails left
+        # unprobed — q3 2.13, q21 2.02. Comfortable today, but both
+        # are fact-join queries whose intrinsic work grows exactly
+        # 4x/leg, the shape the raw threshold can't adjudicate once
+        # overheads amortize.
+        "q3_top_revenue_orders": _q3_join_work,
+        "q21_single_late_supplier": _q21_candidate_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
