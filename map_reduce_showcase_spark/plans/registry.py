@@ -257,6 +257,23 @@ def _const_repr(val, _visiting: frozenset | None = None) -> str | None:
     return None
 
 
+def _code_names(code, _names: set | None = None) -> set:
+    """All names referenced by a code object and its nested code
+    objects (inner functions, lambdas, comprehensions). Module-level
+    so the by-value-import tripwire in tests/test_oracle_diff.py
+    walks the SAME name set the fingerprint walk below sees — a
+    second copy there would silently keep old semantics if this walk
+    is ever extended."""
+    import types
+
+    names = set() if _names is None else _names
+    names |= set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            _code_names(const, names)
+    return names
+
+
 def _same_module_parts(fn) -> list[str]:
     """``name=hash``/``name=repr`` parts for the SAME-MODULE globals
     ``fn`` transitively references — functions/classes by source
@@ -282,13 +299,6 @@ def _same_module_parts(fn) -> list[str]:
     if mod is None:
         return []
     mod_vars = vars(mod)
-
-    def code_names(code) -> set[str]:
-        names = set(code.co_names)
-        for const in code.co_consts:
-            if isinstance(const, types.CodeType):
-                names |= code_names(const)
-        return names
 
     def codes_of(obj) -> list:
         if isinstance(obj, (types.FunctionType, types.MethodType)):
@@ -318,7 +328,7 @@ def _same_module_parts(fn) -> list[str]:
         cur = worklist.pop()
         referenced: set[str] = set()
         for code in codes_of(cur):
-            referenced |= code_names(code)
+            referenced |= _code_names(code)
         for name in sorted(referenced):
             if name in seen or name.startswith("__"):
                 continue

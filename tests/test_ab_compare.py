@@ -77,13 +77,24 @@ def test_verdict_fields_floor_and_band():
         "inconclusive_below_floor"
     )
 
-    # above the floor: band edges adjudicate
-    assert fields(10.0, 7.0, 0.70)["verdict"] == "b_faster"
+    # above the floor: the margin-widened cutoffs adjudicate
+    assert fields(10.0, 6.0, 0.60)["verdict"] == "b_faster"
     assert fields(7.0, 10.0, 1.43)["verdict"] == "a_faster"
     assert fields(10.0, 9.5, 0.95)["verdict"] == "within_noise_band"
-    # inside [0.80, 1.25]: not a conclusion even though outside the
-    # observed self band's 1.05 upper edge (under-sampled tail)
+    # inside the cutoffs: not a conclusion even though outside the
+    # observed self band's edges (5-pair sample under-samples BOTH
+    # tails) — 0.78 at the lower edge is the exact no-op-change
+    # ratio a cutoff AT the observed 0.80 minimum would have stamped
+    # "b_faster"
+    assert fields(10.0, 7.8, 0.78)["verdict"] == "within_noise_band"
     assert fields(10.0, 11.5, 1.15)["verdict"] == "within_noise_band"
+    assert f["conclusive_cutoffs"] == list(ab.CONCLUSIVE_CUTOFFS)
+    # cutoffs carry the same multiplicative margin on both sides
+    lo, hi = ab.CONCLUSIVE_CUTOFFS
+    assert lo < ab.SELF_NOISE_BAND[0] and hi > ab.SELF_NOISE_BAND[1]
+    assert abs(
+        (ab.SELF_NOISE_BAND[0] / lo) - (hi / ab.SELF_NOISE_BAND[1])
+    ) < 0.01
 
     # no usable pairs (all zero-time) → its own inconclusive marker
     assert fields(0.0, 0.0, None)["verdict"] == "inconclusive_no_usable_pairs"

@@ -628,6 +628,7 @@ def test_no_builder_referenced_constant_is_silently_skipped():
 
     from map_reduce_showcase_spark.plans.registry import (
         _CONST_TYPES,
+        _code_names,
         _const_repr,
         _load_all,
         REGISTRY,
@@ -638,13 +639,6 @@ def test_no_builder_referenced_constant_is_silently_skipped():
     for qname, spec in REGISTRY.items():
         fn = spec.builder
         mod_vars = vars(sys.modules[fn.__module__])
-
-        def code_names(code, acc):
-            acc |= set(code.co_names)
-            for c in code.co_consts:
-                if isinstance(c, types.CodeType):
-                    code_names(c, acc)
-            return acc
 
         seen: set[str] = set()
         worklist = [fn]
@@ -669,7 +663,7 @@ def test_no_builder_referenced_constant_is_silently_skipped():
                 codes = [cur.__code__]
             referenced: set[str] = set()
             for code in codes:
-                code_names(code, referenced)
+                _code_names(code, referenced)
             for name in referenced:
                 if name in seen or name.startswith("__"):
                     continue
@@ -760,12 +754,17 @@ def _by_value_import_violations(
     def _resolve_origin(mname: str, mod, level: int, module: str | None):
         if level == 0:
             return module
-        parts = mname.split(".")
-        if not hasattr(mod, "__path__"):
-            parts = parts[:-1]
-        if level > 1:
-            parts = parts[: len(parts) - (level - 1)]
-        return ".".join(parts + ([module] if module else []))
+        # stdlib relative-import resolution — can't drift from the
+        # interpreter's own rules the way hand-rolled level/__path__
+        # arithmetic could
+        import importlib.util
+
+        try:
+            return importlib.util.resolve_name(
+                "." * level + (module or ""), mod.__package__
+            )
+        except (ImportError, ValueError):
+            return None
 
     _bound_cache: dict[str, dict[str, str]] = {}
 
@@ -789,13 +788,6 @@ def _by_value_import_violations(
         _bound_cache[mname] = out
         return out
 
-    def code_names(code, acc):
-        acc |= set(code.co_names)
-        for c in code.co_consts:
-            if isinstance(c, types.CodeType):
-                code_names(c, acc)
-        return acc
-
     violations: list[str] = []
     for qname, fn in builders:
         seen: set[tuple[str, str]] = set()
@@ -811,7 +803,7 @@ def _by_value_import_violations(
                 continue
             bound = import_bound(cur.__module__)
             referenced: set[str] = set()
-            code_names(cur.__code__, referenced)
+            R._code_names(cur.__code__, referenced)
             for name in sorted(referenced):
                 val = vars(mod).get(name)
                 if isinstance(val, types.FunctionType) and getattr(
@@ -890,6 +882,10 @@ def test_by_value_import_guard_fires_on_the_residual_shape(tmp_path):
             "from fp_resid_pkg.b2 import helper\n\n"
             "def builder(spark, sf_dir):\n    return helper()\n"
         )
+        # the finder cached the package dir listing at the first
+        # import above; without this the later-written a2/b2 may be
+        # invisible on filesystems with coarse directory mtimes
+        importlib.invalidate_caches()
         a2 = importlib.import_module("fp_resid_pkg.a2")
         assert (
             _by_value_import_violations(

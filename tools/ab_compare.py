@@ -69,6 +69,19 @@ RUNTIME_FLOOR_SEC = 1.0
 #: measured self-vs-self pair-ratio band at sf0.01 (SCALING.md noise
 #: band); a median ratio inside it is not a conclusion at any size.
 SELF_NOISE_BAND = (0.80, 1.05)
+#: conclusive cutoffs derive from the band edges with the SAME
+#: multiplicative distrust margin on both sides — the 5-pair self
+#: sample under-samples both tails, and the LOWER edge is the side
+#: the self median (0.90) is already biased toward, so a cutoff AT
+#: the observed 0.80 minimum would stamp "b_faster" on a no-op change
+#: whose pairs-median landed at 0.78. The margin is the one the
+#: original a-faster widening implied (1/0.80 over the observed 1.05
+#: edge ≈ 1.19); applying it symmetrically gives (≈0.67, 1.25).
+_EDGE_MARGIN = (1 / SELF_NOISE_BAND[0]) / SELF_NOISE_BAND[1]
+CONCLUSIVE_CUTOFFS = (
+    round(SELF_NOISE_BAND[0] / _EDGE_MARGIN, 3),
+    round(SELF_NOISE_BAND[1] * _EDGE_MARGIN, 3),
+)
 
 
 def verdict_fields(summary: dict) -> dict:
@@ -82,6 +95,7 @@ def verdict_fields(summary: dict) -> dict:
     fields = {
         "runtime_floor_sec": RUNTIME_FLOOR_SEC,
         "self_noise_band": list(SELF_NOISE_BAND),
+        "conclusive_cutoffs": list(CONCLUSIVE_CUTOFFS),
         "below_runtime_floor": min(med_a, med_b) < RUNTIME_FLOOR_SEC,
     }
     if ratio is None:
@@ -94,13 +108,9 @@ def verdict_fields(summary: dict) -> dict:
             "0.80-1.05), so effects smaller than that are "
             "unresolvable; re-run at a larger --sf-dir (sf0.1)"
         )
-    elif ratio < SELF_NOISE_BAND[0]:
+    elif ratio < CONCLUSIVE_CUTOFFS[0]:
         fields["verdict"] = "b_faster"
-    elif ratio > 1 / SELF_NOISE_BAND[0]:
-        # deliberately 1/0.80, not the band's 1.05 upper edge: the
-        # self-run's high tail came from one 5-pair sample, so the
-        # a-faster cutoff takes the reciprocal margin instead of
-        # trusting an under-sampled edge
+    elif ratio > CONCLUSIVE_CUTOFFS[1]:
         fields["verdict"] = "a_faster"
     else:
         fields["verdict"] = "within_noise_band"
