@@ -671,6 +671,15 @@ def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFram
             ev = t(spark, sf_dir, "events").select(
                 "user_id", F.col("ts").cast("timestamp").alias("ts")
             )
+            # the sentinel id must be outside the real id domain — a
+            # real user_id == _FLUSH_USER would be filtered out of the
+            # census with it, and the oracle diff would flag the miss
+            # as a bare hash mismatch (confusing to root-cause)
+            if not ev.filter(F.col("user_id") == _FLUSH_USER).isEmpty():
+                raise AssertionError(
+                    f"events contains the flush sentinel user_id "
+                    f"{_FLUSH_USER}; pick a sentinel outside the domain"
+                )
             ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
             # strictly increasing mtimes in range (= part filename)
             # order, backdated an hour: the file source orders batches
@@ -678,14 +687,25 @@ def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFram
             # so without the stamp a higher-ts file could replay first
             # and the watermark would drop the earlier files' rows
             now = time.time()
-            for i, f in enumerate(sorted(glob.glob(f"{p}/part-*"))):
+            stamped = sorted(glob.glob(f"{p}/part-*"))
+            for i, f in enumerate(stamped):
                 os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
             max_ts = ev.agg(F.max("ts")).first()[0]
-            for hours in (1, 2):
+            # the flush files must replay AFTER every part file and in
+            # write order; their natural mtimes come from two separate
+            # append jobs and could tie on a coarse-mtime filesystem,
+            # so stamp them explicitly like the parts (now-3600+2i
+            # tops out well below `now` for any realistic part count)
+            seen = set(stamped)
+            for k, hours in enumerate((1, 2)):
                 spark.createDataFrame(
                     [(_FLUSH_USER, max_ts + datetime.timedelta(hours=hours))],
                     "user_id BIGINT, ts TIMESTAMP",
                 ).coalesce(1).write.mode("append").parquet(p)
+                for f in sorted(glob.glob(f"{p}/part-*")):
+                    if f not in seen:
+                        os.utime(f, (now + 2 * k, now + 2 * k))
+                        seen.add(f)
 
         in_dir = _ensure_replay(spark, in_dir, write_replay)
     for q in spark.streams.active:
