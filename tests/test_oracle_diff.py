@@ -1104,8 +1104,14 @@ def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
     from drive_contract import SF, _check_eviction_census, check_query
 
     name = "streaming_sessions_timeout_eviction"
+    # r11 verdict #2: the pin is value-anchored against the oracle
+    # con — the RUNNING census's n_users must equal DuckDB's
+    # COUNT(DISTINCT user_id) (== the oracle-green twin's row count),
+    # so the healthy frame here must carry the fixture's real count
+    nd = oracle.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     good = lambda s, sf: s.createDataFrame(  # noqa: E731
-        [(False, 40, 12), (True, 7, 7)], "is_final boolean, n_rows long, n_users long"
+        [(False, 3 * nd, nd), (True, 7, 7)],
+        "is_final boolean, n_rows long, n_users long",
     )
     # the pin applies at the driver-parity default SF only — the
     # builders here ignore sf, so pass SF to engage it
@@ -1158,6 +1164,19 @@ def test_eviction_census_rows_only_record_is_pinned(spark, oracle, sf_dir):
     assert "more evicted users" in _check_eviction_census(
         mk([(False, 4, 2), (True, 5, 5)])
     )
+    # cross-entry value anchor (r11 verdict #2): with a con, the
+    # running census must equal COUNT(DISTINCT user_id) — the row
+    # count the twin streaming_eviction_final_state's oracle proves.
+    # The shape-only checks above pass con=None and stay shape-only.
+    ok = mk([(False, 3 * nd, nd), (True, 2, 2)])
+    assert _check_eviction_census(ok, oracle) is None
+    drifted = mk([(False, 3 * nd, nd + 1), (True, 2, 2)])
+    why = _check_eviction_census(drifted, oracle)
+    assert why and "COUNT(DISTINCT user_id)" in why
+    # the equality is over the RUNNING census only — the final census
+    # legitimately undercounts (no flush sentinels in this replay)
+    under_final = mk([(False, 3 * nd, nd), (True, nd - 1, nd - 1)])
+    assert _check_eviction_census(under_final, oracle) is None
 
 
 def test_current_reverify_band_members_are_fresh_or_flagged():

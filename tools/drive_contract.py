@@ -50,14 +50,31 @@ def value_hash(df: pd.DataFrame):
     return hash(tuple(rows))
 
 
-def _check_eviction_census(df: pd.DataFrame):
+def _check_eviction_census(df: pd.DataFrame, con=None):
     """Pinned expectation for ``streaming_sessions_timeout_eviction``
     (r9 verdict #5): the replay fixture is deterministic, so the
     rows-only record can assert the census SHAPE instead of logging a
     bare count — 2 rows (one running, one final), both groups
     populated, and the evicted-user census bounded by the running
     one (every evicted user emitted at least one non-final update
-    before its timeout fired). Returns a failure reason or None."""
+    before its timeout fired). Returns a failure reason or None.
+
+    Since round 12 the pin is also VALUE-anchored cross-entry (r11
+    verdict #2): the RUNNING census's ``n_users`` must equal DuckDB's
+    ``COUNT(DISTINCT user_id)`` over events — which is exactly the
+    row count the oracle-green twin ``streaming_eviction_final_state``
+    proves (its oracle is ``GROUP BY user_id``), so this ties the
+    rows-only entry to the twin through an independent engine. The
+    verdict phrased the equality over the FINAL census, but that
+    cannot hold by construction: the census replay deliberately has
+    NO flush sentinels (that is the twin's addition), so users whose
+    last events sit within ``gap`` of the replay's max ts end the
+    stream un-evicted — at r10's sf0.01 that was 146 final vs 150
+    running users. Every user DOES emit at least one non-final update
+    in the batch its events arrive (``streaming/stateful.py:147`` —
+    the data path always yields an ``is_final=False`` row), so the
+    running census is the batch-invariant side of the equality; the
+    final census stays bounded by it (asserted above)."""
     if len(df) != 2:
         return f"eviction census expected exactly 2 rows, got {len(df)}"
     by_final = {bool(r.is_final): r for r in df.itertuples(index=False)}
@@ -74,6 +91,16 @@ def _check_eviction_census(df: pd.DataFrame):
             f"more evicted users ({by_final[True].n_users}) than users "
             f"with running updates ({by_final[False].n_users})"
         )
+    if con is not None:
+        n_distinct = con.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events"
+        ).fetchone()[0]
+        if by_final[False].n_users != n_distinct:
+            return (
+                f"running census n_users={by_final[False].n_users} != "
+                f"COUNT(DISTINCT user_id)={n_distinct} (the twin "
+                f"streaming_eviction_final_state's proven row count)"
+            )
     return None
 
 
@@ -140,7 +167,7 @@ def check_query(name, fn, oracle_sql, tags, spark, con, sf=SF):
         # crash (e.g. the query's schema changed under it) must fail
         # THIS entry, not abort the whole 170-query artifact run
         try:
-            why = pinned(got)
+            why = pinned(got, con)
         except Exception as exc:  # noqa: BLE001
             why = f"checker raised {type(exc).__name__}: {exc}"[:250]
         rec["status"] = "rows_only_pinned"
