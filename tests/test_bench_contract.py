@@ -62,6 +62,15 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     for pair in art["load_1m_per_query"].values():
         assert len(pair) == 2 and all(v >= 0 for v in pair)
     assert len(art["loadavg_final"]) == 3
+    # the SINGLE adjudicated field (r11 verdict #4 — the raw samples
+    # above still needed hand-interpretation): ok iff the 1m load
+    # BEFORE any Spark work was under the stamped threshold. The
+    # value itself is box state, so pin derivation, not the boolean.
+    assert art["box_load_threshold_1m"] == bench.BOX_LOAD_THRESHOLD_1M
+    assert art["load_1m_at_start"] >= 0
+    assert art["box_load_ok"] == (
+        art["load_1m_at_start"] < art["box_load_threshold_1m"]
+    )
     # every timing is finite and JSON-round-trippable (the reps=0
     # regression emitted Infinity here)
     json.dumps(art, allow_nan=False)
