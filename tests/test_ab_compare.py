@@ -51,10 +51,14 @@ def test_summarize_uses_per_pair_ratios():
 
 
 def test_verdict_fields_floor_and_band():
-    """Round-10 verdict #5: the artifact must carry the minimum-
-    discriminable-effect floor, and a sub-second median can never be
-    adjudicated — the measured self-vs-self noise at sf0.01 (median
-    0.90, spread 0.80-1.05) swamps <25% effects at that size."""
+    """Round-10 verdict #5 + ADVICE r11: the artifact must carry the
+    minimum-discriminable-effect floor; a sub-second median INSIDE
+    the conclusive cutoffs can never be adjudicated (the measured
+    self-vs-self noise at sf0.01 — median 0.90, spread 0.80-1.05 —
+    swamps <25% effects at that size), but a sub-second ratio BEYOND
+    the cutoffs exceeds that measured noise (which was itself taken
+    on sub-second timings) and must adjudicate rather than be
+    discarded by the floor."""
     ab = _load()
 
     def fields(med_a, med_b, ratio):
@@ -76,6 +80,15 @@ def test_verdict_fields_floor_and_band():
     assert fields(0.8, 0.66, 0.83)["verdict"].startswith(
         "inconclusive_below_floor"
     )
+    # ...but a 2-3x effect at 0.8s exceeds the ±25% measured noise
+    # (ADVICE r11: the floor must not discard a real large win — the
+    # cutoffs were derived from sub-second self-noise, so they are
+    # valid adjudicators there); the floor flag stays stamped for
+    # the skeptic's sf0.1 re-run
+    f2 = fields(0.8, 0.3, 0.375)
+    assert f2["verdict"] == "b_faster" and f2["below_runtime_floor"] is True
+    f3 = fields(0.3, 0.8, 2.67)
+    assert f3["verdict"] == "a_faster" and f3["below_runtime_floor"] is True
 
     # above the floor: the margin-widened cutoffs adjudicate
     assert fields(10.0, 6.0, 0.60)["verdict"] == "b_faster"

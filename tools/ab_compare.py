@@ -98,20 +98,31 @@ def verdict_fields(summary: dict) -> dict:
         "conclusive_cutoffs": list(CONCLUSIVE_CUTOFFS),
         "below_runtime_floor": min(med_a, med_b) < RUNTIME_FLOOR_SEC,
     }
+    # Cutoffs adjudicate FIRST, floor second (ADVICE r11): the
+    # cutoffs derive from the sf0.01 self-vs-self band, which was
+    # itself measured on sub-second timings — so a sub-second median
+    # ratio BEYOND them (say 2-3x) exceeds the measured noise and is
+    # a real effect the floor must not discard. What the floor still
+    # gates is the unresolvable middle: a sub-second ratio INSIDE the
+    # cutoffs could be a modest real effect or pure noise, and only a
+    # larger --sf-dir can tell (``below_runtime_floor`` stays stamped
+    # either way, so a conclusive sub-second verdict is visibly one a
+    # skeptic can re-run at sf0.1).
     if ratio is None:
         fields["verdict"] = "inconclusive_no_usable_pairs"
-    elif fields["below_runtime_floor"]:
-        fields["verdict"] = (
-            "inconclusive_below_floor: a variant's median is under "
-            f"{RUNTIME_FLOOR_SEC}s — sub-second timings on this box "
-            "carry ~±25% noise (self-vs-self median 0.90, spread "
-            "0.80-1.05), so effects smaller than that are "
-            "unresolvable; re-run at a larger --sf-dir (sf0.1)"
-        )
     elif ratio < CONCLUSIVE_CUTOFFS[0]:
         fields["verdict"] = "b_faster"
     elif ratio > CONCLUSIVE_CUTOFFS[1]:
         fields["verdict"] = "a_faster"
+    elif fields["below_runtime_floor"]:
+        fields["verdict"] = (
+            "inconclusive_below_floor: a variant's median is under "
+            f"{RUNTIME_FLOOR_SEC}s and the ratio is inside the "
+            "conclusive cutoffs — sub-second timings on this box "
+            "carry ~±25% noise (self-vs-self median 0.90, spread "
+            "0.80-1.05), so effects this small are unresolvable "
+            "here; re-run at a larger --sf-dir (sf0.1)"
+        )
     else:
         fields["verdict"] = "within_noise_band"
     return fields
