@@ -1,0 +1,101 @@
+"""Artifact-freshness tripwire (r11 verdict #3).
+
+``SCALE_SWEEP.json``'s ``build_fp`` claim is pinned ALWAYS-ON here:
+replica construction changes rarely and a change must ship a sweep
+refresh in the same commit, so a mismatch at any point is a real
+violation.
+
+The LOCAL_DIFF half is deliberately NOT an always-on assertion
+against the repo: mid-round, every query edit legitimately drifts
+from the newest committed differential until the round-end
+regeneration (which the verify skill mandates runs LAST, after all
+query edits) — an always-red test would poison every ``-x`` run and
+the driver's own mid-round pytest. The ROUND-END gate is
+``tools/freshness_check.py`` (verify-skill step); what pytest pins is
+the checker's detection logic, so the gate itself can't rot: each
+drift direction must be caught on synthetic artifacts.
+"""
+
+import importlib.util
+import json
+import pathlib
+import sys
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO / "tools"))
+
+
+def _load_freshness():
+    spec = importlib.util.spec_from_file_location(
+        "freshness_check", _REPO / "tools" / "freshness_check.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scale_sweep_build_fp_matches_head():
+    """The committed sweep must describe replicas HEAD would build —
+    round 5 changed the customer-name replication and only the
+    stamped build_fp kept a later ``--only`` merge from silently
+    mixing provenances; this extends that protection to the COMMIT
+    boundary (edit replica construction => refresh the sweep in the
+    same change)."""
+    from scale_sweep import build_fingerprint
+
+    committed = json.loads((_REPO / "SCALE_SWEEP.json").read_text())
+    assert committed["build_fp"] == build_fingerprint(), (
+        "SCALE_SWEEP.json was measured on replicas a fresh --build "
+        "would no longer produce — re-run scale_sweep --build + --run "
+        "in this change"
+    )
+
+
+def test_stale_entries_detects_each_drift_direction():
+    """The round-end checker's core, on synthetic artifacts: edited
+    builder/oracle (definition drift), edited cross-module helper
+    (helper drift), query added after regeneration (missing), query
+    deleted at HEAD (orphan) — and a matching artifact is clean."""
+    fc = _load_freshness()
+    current = {"q_ok": "aaaa", "q_edit": "bbbb", "q_helper": "cccc", "q_new": "dddd"}
+    helper = {"q_ok": "h3:1111", "q_edit": "h3:2222", "q_helper": "h3:3333"}
+    artifact = {
+        "q_ok": {"fingerprint": "aaaa", "helper_fingerprint": "h3:1111"},
+        "q_edit": {"fingerprint": "OLD", "helper_fingerprint": "h3:2222"},
+        "q_helper": {"fingerprint": "cccc", "helper_fingerprint": "h3:OLD"},
+        "q_gone": {"fingerprint": "eeee"},
+    }
+    stale = fc.stale_entries(artifact, current, helper)
+    assert set(stale) == {"q_edit", "q_helper", "q_new", "q_gone"}
+    assert "definition drift" in stale["q_edit"]
+    assert "helper drift" in stale["q_helper"]
+    assert "missing" in stale["q_new"]
+    assert "deleted at HEAD" in stale["q_gone"]
+    # a query with no helper snapshot expectation (rows-only entries
+    # record helper fingerprints too, but a None current means "not
+    # tracked") is judged on definition only
+    assert fc.stale_entries(
+        {"q": {"fingerprint": "x", "helper_fingerprint": "whatever"}},
+        {"q": "x"},
+        {},
+    ) == {}
+    # clean artifact: empty
+    clean = {
+        n: {"fingerprint": f, "helper_fingerprint": helper.get(n)}
+        for n, f in current.items()
+    }
+    assert fc.stale_entries(clean, current, helper) == {}
+
+
+def test_newest_local_diff_sorts_numerically(tmp_path):
+    """r9 vs r10: lexicographic sort would pick LOCAL_DIFF_r9 over
+    LOCAL_DIFF_r10 — the checker must compare round numbers."""
+    fc = _load_freshness()
+    for n in (4, 9, 10, 11):
+        (tmp_path / f"LOCAL_DIFF_r{n:02d}.json").write_text("{}")
+    (tmp_path / "LOCAL_DIFF_r9.json").write_text("{}")  # unpadded alias
+    newest = fc.newest_local_diff(str(tmp_path))
+    assert newest.endswith("LOCAL_DIFF_r11.json")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert fc.newest_local_diff(str(empty)) is None
