@@ -441,6 +441,54 @@ def _dsir_token_work(spark, sf_dir):
     return int(docs.select(F.explode(T.tokens(F.col("text")))).count())
 
 
+def _fuzzy_names_work(spark, sf_dir):
+    """dedup_fuzzy_names' intrinsic work: input records (the exact-
+    dup collapse scans every customer row — the only corpus-sized
+    pass) + deletion-neighborhood blocking rows over DISTINCT names
+    (|name|+1 keys each, what the self-join shuffles) + candidate
+    pairs the equi-join emits (Σ over block keys of C(df, 2), what
+    the levenshtein verify scans). Linear-by-construction on the
+    replicas: customer names replicate VERBATIM, so the distinct-name
+    terms are CONSTANT across legs and records grow exactly 4x/leg —
+    declared work tracks the query's real cost shape (the constant
+    blocking core amortizing over a linear scan), which is exactly
+    why its raw tail drifts (1.87 in r11, the highest unprobed entry)
+    while time-per-work stays flat. Probe re-declares the pipeline's
+    key expression (round-10 note: a probe is a DECLARED-work anchor;
+    literal drift vs the builder is benign while the probe stays
+    linear-by-construction)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n_records = cust.count()
+    groups = cust.groupBy("c_name").count()
+    keys = groups.select(
+        F.xxhash64("c_name").alias("nh"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("c_name")),
+                    lambda i: F.concat(
+                        F.substring(F.col("c_name"), F.lit(1), i - 1),
+                        F.col("c_name").substr(i + 1, F.length("c_name")),
+                    ),
+                ),
+            )
+        ).alias("block_key"),
+    ).select("nh", F.xxhash64("block_key").alias("kh"))
+    row = (
+        keys.groupBy("kh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0)).alias("rows"),
+            F.coalesce(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0)
+            ).alias("pairs"),
+        )
+        .first()
+    )
+    return int(n_records) + int(row["rows"]) + int(row["pairs"])
+
+
 def _q3_join_work(spark, sf_dir):
     """q3_top_revenue_orders' intrinsic work: QUALIFYING JOIN ROWS —
     the filtered lineitem ⋈ orders ⋈ BUILDING-customer rows feeding
@@ -537,6 +585,13 @@ def _work_measures():
         # overheads amortize.
         "q3_top_revenue_orders": _q3_join_work,
         "q21_single_late_supplier": _q21_candidate_work,
+        # round-12 (r11 verdict #5): at raw tail 1.87 this became the
+        # highest unprobed entry — same insurance that adjudicated
+        # the triangle (0.08 under the raw threshold only via its
+        # probe). Deletion-neighborhood blocking rows + candidate
+        # pairs are constant across legs (verbatim name replicas);
+        # records grow 4x/leg, so declared work is linear.
+        "dedup_fuzzy_names": _fuzzy_names_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
