@@ -102,6 +102,12 @@ def test_verdict_fields_floor_and_band():
     assert fields(10.0, 7.8, 0.78)["verdict"] == "within_noise_band"
     assert fields(10.0, 11.5, 1.15)["verdict"] == "within_noise_band"
     assert f["conclusive_cutoffs"] == list(ab.CONCLUSIVE_CUTOFFS)
+    # the sf0.1 calibration band ships in the artifact too (r11
+    # verdict #6): the cutoffs must stay conservative against it on
+    # the lower (b_faster) edge — a no-op change's sf0.1 pairs-median
+    # can never cross them
+    assert f["self_noise_band_sf0_1"] == list(ab.SELF_NOISE_BAND_SF0_1)
+    assert ab.CONCLUSIVE_CUTOFFS[0] < ab.SELF_NOISE_BAND_SF0_1[0]
     # cutoffs carry the same multiplicative margin on both sides
     lo, hi = ab.CONCLUSIVE_CUTOFFS
     assert lo < ab.SELF_NOISE_BAND[0] and hi > ab.SELF_NOISE_BAND[1]

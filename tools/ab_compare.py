@@ -69,6 +69,18 @@ RUNTIME_FLOOR_SEC = 1.0
 #: measured self-vs-self pair-ratio band at sf0.01 (SCALING.md noise
 #: band); a median ratio inside it is not a conclusion at any size.
 SELF_NOISE_BAND = (0.80, 1.05)
+#: sf0.1 calibration (r11 verdict #6 — the floor verdict directs
+#: sub-second pairs to re-run at sf0.1, so the band there needed its
+#: own measurement, not an sf0.01 extrapolation): two self-vs-self
+#: runs on an idle box, 5 ABBA pairs each, round 12 —
+#: q5_revenue_by_nation median 0.963, minhash pipeline median 1.021,
+#: pooled pair spread 0.886-1.066. Same magnitude as the sf0.01 band
+#: and centered tighter, so the sf0.01-derived CONCLUSIVE_CUTOFFS
+#: TRANSFER: they sit ≥17% beyond the worst observed sf0.1 self
+#: median on both sides (margin-widened sf0.1 cutoffs would be
+#: ≈[0.745, 1.27] — inside the shipped ones on the decisive lower
+#: edge, 1.6% outside on the upper, within the 5-pair sampling slop).
+SELF_NOISE_BAND_SF0_1 = (0.886, 1.066)
 #: conclusive cutoffs derive from the band edges with the SAME
 #: multiplicative distrust margin on both sides — the 5-pair self
 #: sample under-samples both tails, and the LOWER edge is the side
@@ -95,6 +107,7 @@ def verdict_fields(summary: dict) -> dict:
     fields = {
         "runtime_floor_sec": RUNTIME_FLOOR_SEC,
         "self_noise_band": list(SELF_NOISE_BAND),
+        "self_noise_band_sf0_1": list(SELF_NOISE_BAND_SF0_1),
         "conclusive_cutoffs": list(CONCLUSIVE_CUTOFFS),
         "below_runtime_floor": min(med_a, med_b) < RUNTIME_FLOOR_SEC,
     }
