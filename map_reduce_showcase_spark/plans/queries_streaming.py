@@ -556,15 +556,28 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
         spark, "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
     )
     if not copy_ready:
-        in_dir = _ensure_replay(
-            spark,
-            in_dir,
-            lambda p: t(spark, sf_dir, "events")
-            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-            .repartitionByRange(4, "ts")
-            .write.mode("overwrite")
-            .parquet(p),
-        )
+
+        def write_replay(p: str) -> None:
+            import glob
+            import os
+            import time
+
+            t(spark, sf_dir, "events").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            ).repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
+            # strictly increasing mtimes in range (= part filename)
+            # order, same hazard the twin's replay stamps against:
+            # range-partition tasks finish concurrently, so a
+            # higher-ts file can land an earlier mtime and replay
+            # FIRST, jumping the watermark ahead and silently
+            # dropping every earlier file's rows — which would also
+            # undercount the running census the drive_contract pin
+            # now value-anchors to COUNT(DISTINCT user_id)
+            now = time.time()
+            for i, f in enumerate(sorted(glob.glob(f"{p}/part-*"))):
+                os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
+
+        in_dir = _ensure_replay(spark, in_dir, write_replay)
     for q in spark.streams.active:
         if q.name == _TIMEOUT_QUERY_NAME:
             q.stop()
@@ -671,14 +684,20 @@ def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFram
             ev = t(spark, sf_dir, "events").select(
                 "user_id", F.col("ts").cast("timestamp").alias("ts")
             )
-            # the sentinel id must be outside the real id domain — a
-            # real user_id == _FLUSH_USER would be filtered out of the
-            # census with it, and the oracle diff would flag the miss
-            # as a bare hash mismatch (confusing to root-cause)
-            if not ev.filter(F.col("user_id") == _FLUSH_USER).isEmpty():
+            # one scan serves both the flush timestamps and the
+            # sentinel-domain check: a real user_id == _FLUSH_USER
+            # would be filtered out of the census with the sentinel,
+            # and the oracle diff would flag the miss as a bare hash
+            # mismatch (confusing to root-cause)
+            max_ts, n_sentinel = ev.agg(
+                F.max("ts"),
+                F.count_if(F.col("user_id") == F.lit(_FLUSH_USER)),
+            ).first()
+            if n_sentinel:
                 raise AssertionError(
                     f"events contains the flush sentinel user_id "
-                    f"{_FLUSH_USER}; pick a sentinel outside the domain"
+                    f"{_FLUSH_USER} ({n_sentinel} rows); pick a "
+                    f"sentinel outside the domain"
                 )
             ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
             # strictly increasing mtimes in range (= part filename)
@@ -690,7 +709,6 @@ def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFram
             stamped = sorted(glob.glob(f"{p}/part-*"))
             for i, f in enumerate(stamped):
                 os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
-            max_ts = ev.agg(F.max("ts")).first()[0]
             # the flush files must replay AFTER every part file and in
             # write order; their natural mtimes come from two separate
             # append jobs and could tie on a coarse-mtime filesystem,

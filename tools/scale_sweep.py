@@ -457,11 +457,9 @@ def _fuzzy_names_work(spark, sf_dir):
     key expression (round-10 note: a probe is a DECLARED-work anchor;
     literal drift vs the builder is benign while the probe stays
     linear-by-construction)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
     n_records = cust.count()
-    groups = cust.groupBy("c_name").count()
-    keys = groups.select(
-        F.xxhash64("c_name").alias("nh"),
+    keys = cust.distinct().select(
         F.explode(
             F.array_union(
                 F.array(F.col("c_name")),
@@ -474,7 +472,7 @@ def _fuzzy_names_work(spark, sf_dir):
                 ),
             )
         ).alias("block_key"),
-    ).select("nh", F.xxhash64("block_key").alias("kh"))
+    ).select(F.xxhash64("block_key").alias("kh"))
     row = (
         keys.groupBy("kh")
         .agg(F.count(F.lit(1)).alias("df"))
