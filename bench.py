@@ -222,15 +222,17 @@ def main() -> None:
         "box_load_threshold_1m": BOX_LOAD_THRESHOLD_1M,
         "load_1m_at_start": round(load_at_start, 2),
         "box_load_ok": round(load_at_start, 2) < BOX_LOAD_THRESHOLD_1M,
-        # measured on round-10 code, two fresh JVMs, idle box, back
-        # to back: 11.90 / 12.19 s (2.4% spread) — vs 18% for the
-        # single-run era. Totals outside this band on code-identical
-        # headline files indicate box load, not regression. This band
-        # is also the min-of-3-era ANCHOR the 2x bar compares against
-        # (BASELINE.md "Bench anchor, min-of-3 era"): the single-run
-        # 18.444 s anchor includes noise min-of-3 removes, so ratios
-        # against it flatter by ~18%.
-        "min_of_3_fresh_jvm_spread_sec": [11.90, 12.19],
+        # measured across four idle-box fresh-JVM runs on headline-
+        # identical code: 11.90/12.19 s (round-10, back to back),
+        # 11.889 s (round-11), 11.862 s (round-12) — 2.8% spread vs
+        # 18% for the single-run era. Totals outside this band on
+        # code-identical headline files indicate box load, not
+        # regression. This band is also the min-of-3-era ANCHOR the
+        # 2x bar compares against (BASELINE.md "Bench anchor,
+        # min-of-3 era"): the single-run 18.444 s anchor includes
+        # noise min-of-3 removes, so ratios against it flatter by
+        # ~18%.
+        "min_of_3_fresh_jvm_spread_sec": [11.86, 12.19],
         "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",
         "single_run_era": {
             "rounds": "r01-r09",
