@@ -429,16 +429,114 @@ def _substring_runs_work(spark, sf_dir):
     return int(row["grams"]) + int(row["dup_positions"])
 
 
-def _dsir_token_work(spark, sf_dir):
-    """dsir_importance_weights' intrinsic work: corpus token
-    occurrences — the query's ONLY corpus-sized quantity (one explode
-    feeds the 1024-bucket LM aggregate, and per-doc scoring is a
-    scan-local fold over the same tokens; everything else is
-    vocabulary-sized or a broadcast single row)."""
-    from map_reduce_showcase_spark.functions import text as T
+#: one token-occurrence count serves every query whose only
+#: corpus-sized pass is the token fold (wc's explode-agg, simhash's
+#: signature input, bm25's scan-local tf/dl arrays, dsir's LM + scoring
+#: passes) — cached per sf_dir so the probe pass scans each replica
+#: once, not once per subscribed query. Ciphered replica text rotates
+#: characters 1:1, so token counts replicate exactly and the declared
+#: work is linear by construction.
+_TOKEN_WORK_CACHE: dict = {}
 
+
+def _token_occurrence_work(spark, sf_dir):
+    """Corpus token occurrences — the intrinsic work of the
+    scan-shaped text queries (``wc_word_count``, ``dedup_simhash``,
+    ``text_bm25_search``, ``dsir_importance_weights``): each one's
+    only corpus-sized operation folds over the token stream
+    (hash-agg, per-doc signature, tf/dl arrays, LM buckets); their
+    remaining stages are vocabulary-sized or single-row broadcasts."""
+    if sf_dir not in _TOKEN_WORK_CACHE:
+        from map_reduce_showcase_spark.functions import text as T
+
+        docs = load_table(spark, sf_dir, "documents")
+        _TOKEN_WORK_CACHE[sf_dir] = int(
+            docs.select(F.explode(T.tokens(F.col("text")))).count()
+        )
+    return _TOKEN_WORK_CACHE[sf_dir]
+
+
+def _q1_qualifying_rows_work(spark, sf_dir):
+    """q1_pricing_summary's intrinsic work: lineitem rows passing the
+    shipdate predicate — the scan+map-side-combine input; the shuffle
+    itself is groups x partitions (constant). Probe re-declares the
+    builder's filter literal (declared-work anchor, round-10 note)."""
+    return int(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .count()
+    )
+
+
+def _q5_fact_rows_work(spark, sf_dir):
+    """q5_revenue_by_nation's intrinsic work: lineitem rows — every
+    fact row joins its (broadcast) supplier chain and feeds the
+    revenue aggregate; the three dim joins and the 25-row rollup are
+    constant-sized."""
+    return int(load_table(spark, sf_dir, "lineitem").count())
+
+
+def _text_char_work(spark, sf_dir):
+    """text_quality's intrinsic work: total text characters — every
+    signal (punct ratio, stopword ratio, score) is a scan-local fold
+    over the characters; there is no shuffle. Ciphered replicas map
+    characters 1:1, so the count replicates exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return int(docs.select(F.explode(T.tokens(F.col("text")))).count())
+    return int(
+        docs.agg(F.coalesce(F.sum(F.length("text")), F.lit(0))).first()[0]
+    )
+
+
+def _events_rows_work(spark, sf_dir):
+    """events_session_10m's intrinsic work: events rows — the
+    session_window groupBy's input (one shuffle on user_id; the
+    merged-session output is bounded by it)."""
+    return int(load_table(spark, sf_dir, "events").count())
+
+
+def _asof_rows_work(spark, sf_dir):
+    """events_asof_purchase_click's intrinsic work: click+purchase
+    rows — the union-scan the running-MAX window orders (the filter
+    is pushed to the scan; no row explosion by design)."""
+    return int(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .count()
+    )
+
+
+def _orders_rows_work(spark, sf_dir):
+    """topk_orders_per_segment_bounded's intrinsic work: orders rows
+    — the stage-1 salted aggregate's input (the customer join is 1:1
+    on o_custkey); stage 2 merges <= segments x salts x k survivors,
+    constant."""
+    return int(load_table(spark, sf_dir, "orders").count())
+
+
+def _docs_rows_work(spark, sf_dir):
+    """shuffle_train_order's intrinsic work: documents rows — one
+    md5 key per doc, one shard shuffle, per-shard window; every stage
+    is one row in, one row out."""
+    return int(load_table(spark, sf_dir, "documents").count())
+
+
+def _pack_tokens_work(spark, sf_dir):
+    """pack_sequences_greedy's intrinsic work: documents rows + total
+    token count — the shard-local cumsum orders the rows and the pack
+    assignment folds over the token totals; both replicate 1:1 on
+    ciphered replicas."""
+    return _docs_rows_work(spark, sf_dir) + _token_occurrence_work(
+        spark, sf_dir
+    )
+
+
+def _bruteforce_pairs_work(spark, sf_dir):
+    """sim_topk_bruteforce's intrinsic work: query x corpus scored
+    pairs — the definition of a brute-force scan (the 10-vector query
+    batch broadcasts; each corpus row is scored against all of it)."""
+    from map_reduce_showcase_spark.plans.queries_similarity import N_QUERIES
+
+    return int(load_table(spark, sf_dir, "embeddings").count()) * N_QUERIES
 
 
 def _fuzzy_names_work(spark, sf_dir):
@@ -574,7 +672,7 @@ def _work_measures():
         "sim_topk_lsh": _sim_lsh_probe_work,
         "bpe_pair_counts": _bpe_pair_work,
         "dedup_substring_runs": _substring_runs_work,
-        "dsir_importance_weights": _dsir_token_work,
+        "dsir_importance_weights": _token_occurrence_work,
         "dedup_containment_pairs": _containment_pairs_work,
         # round-11 (r10 verdict #6): the two highest raw tails left
         # unprobed — q3 2.13, q21 2.02. Comfortable today, but both
@@ -590,6 +688,27 @@ def _work_measures():
         # pairs are constant across legs (verbatim name replicas);
         # records grow 4x/leg, so declared work is linear.
         "dedup_fuzzy_names": _fuzzy_names_work,
+        # round-12 completion: the remaining 12 entries get probes
+        # too, so EVERY sweep entry is work-adjudicated and the raw
+        # threshold (which rounds 7-11 showed has zero headroom for
+        # linear queries once per-leg overheads amortize) is fully
+        # retired to a recorded-only statistic. Each declares the
+        # query's one corpus-sized pass; all are linear-by-
+        # construction on the replicas (stride rows 1:1, ciphered
+        # text preserves token/char counts, rolled embeddings
+        # preserve row counts).
+        "q1_pricing_summary": _q1_qualifying_rows_work,
+        "q5_revenue_by_nation": _q5_fact_rows_work,
+        "wc_word_count": _token_occurrence_work,
+        "text_quality": _text_char_work,
+        "events_session_10m": _events_rows_work,
+        "events_asof_purchase_click": _asof_rows_work,
+        "topk_orders_per_segment_bounded": _orders_rows_work,
+        "shuffle_train_order": _docs_rows_work,
+        "pack_sequences_greedy": _pack_tokens_work,
+        "dedup_simhash": _token_occurrence_work,
+        "sim_topk_bruteforce": _bruteforce_pairs_work,
+        "text_bm25_search": _token_occurrence_work,
         # the control's probe is DELIBERATELY the linear work an
         # honest blocked dedup would declare over this corpus (one
         # candidate evaluation per document, banded buckets bounded)
