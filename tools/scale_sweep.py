@@ -204,7 +204,8 @@ def _protocol(reps: int) -> str:
         f"ratio t_sf1.6/t_sf0.4 > {TAIL_RATIO_FLAG} (fixed "
         f"per-query overhead deflates endpoint alpha, so the "
         f"overhead-amortized tail leg is the detector); queries with "
-        f"a work probe are adjudicated on tail_time_per_work = "
+        f"a work probe — since round 12, EVERY sweep entry — are "
+        f"adjudicated on tail_time_per_work = "
         f"time-tail/work-tail > {TPW_TAIL_FLAG} instead "
         f"(linear-in-own-work ~1.0, quadratic ~4.0 — the raw "
         f"threshold has zero headroom when intrinsic work grows "
@@ -1075,11 +1076,20 @@ def main() -> None:
                 disk_fp = fh.read().strip()
         except OSError:
             disk_fp = None
-        if disk_fp != build_fingerprint():
+        # computed ONCE and reused for the gate, the --only preflight
+        # and the artifact stamp: build_fingerprint() reads source
+        # from DISK via inspect.getsource, so if this file is edited
+        # while a sweep runs, a write-time recomputation extracts
+        # line-shifted text and stamps a fingerprint that matches
+        # neither the verified scratch nor any code that ever existed
+        # (observed live in round 12 — the freshness tripwire caught
+        # the corrupted stamp)
+        run_fp = build_fingerprint()
+        if disk_fp != run_fp:
             raise SystemExit(
                 "scratch replicas were built by a different build() "
                 f"(disk stamp {disk_fp!r} != current "
-                f"{build_fingerprint()!r}); re-run --build first"
+                f"{run_fp!r}); re-run --build first"
             )
         points = {k: os.path.join(SCRATCH, k) for k in POINTS}
         only = set(args.only.split(",")) if args.only else None
@@ -1094,11 +1104,11 @@ def main() -> None:
             path = os.path.join(REPO, "SCALE_SWEEP.json")
             with open(path) as fh:
                 prior = json.load(fh)
-            if prior.get("build_fp") != build_fingerprint():
+            if prior.get("build_fp") != run_fp:
                 raise SystemExit(
                     "--only merge refused: SCALE_SWEEP.json was "
                     f"measured against build_fp {prior.get('build_fp')!r}, "
-                    f"current is {build_fingerprint()!r} — the replica "
+                    f"current is {run_fp!r} — the replica "
                     "construction changed, run the full sweep"
                 )
             if prior.get("reps", 3) != args.reps:
@@ -1126,7 +1136,7 @@ def main() -> None:
         payload = {
             "protocol": _protocol(args.reps),
             "reps": args.reps,
-            "build_fp": build_fingerprint(),
+            "build_fp": run_fp,
             "tail_ratio_flag_threshold": TAIL_RATIO_FLAG,
             "tpw_tail_flag_threshold": TPW_TAIL_FLAG,
             "queries": fitted,
