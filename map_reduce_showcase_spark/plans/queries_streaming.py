@@ -106,6 +106,32 @@ def _stream_dirs(
     return in_dir, ckpt, os.path.exists(f"{in_dir}/_SUCCESS")
 
 
+def _stamp_increasing_mtimes(path: str) -> list[str]:
+    """Stamp every ``part-*`` file under ``path`` with strictly
+    increasing mtimes in filename (= range-partition) order,
+    backdated an hour. The file stream source orders batches by
+    mtime and range-partition tasks finish concurrently, so without
+    the stamp a higher-ts file can land an earlier mtime and replay
+    FIRST — the watermark jumps ahead and silently drops every
+    earlier file's rows. Shared by both stateful replay writers
+    (the eviction census and its final-state twin) so a future
+    hardening cannot be applied to one and silently missed in the
+    other. Returns the stamped paths; files a caller appends
+    AFTERWARD and stamps at ``time.time()`` or later sort strictly
+    after every part here (the backdating tops out at
+    now - 3600 + 2·parts, far below ``now`` for any realistic part
+    count)."""
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    parts = sorted(glob.glob(f"{path}/part-*"))
+    for i, f in enumerate(parts):
+        os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
+    return parts
+
+
 def _ensure_replay(spark: SparkSession, in_dir: str, write_fn) -> str:
     """Materialize the SHARED replay copy exactly once across
     concurrent sessions: ``write_fn`` writes into an application-id
@@ -552,30 +578,29 @@ def streaming_sessions_timeout_query(spark: SparkSession, sf_dir: str) -> DataFr
     shape at every SF."""
     from ..streaming.stateful import streaming_user_sessions_with_timeout
 
+    # proj carries "+stamped" (round 12): the replay writer's
+    # SEMANTICS changed when mtime stamping landed, and the scratch
+    # key must move with it — a cached pre-stamping copy over the
+    # same testdata would otherwise be served forever with natural
+    # (unordered) part mtimes, exactly the flaky-drop hazard the
+    # stamping fixes (the twin set the precedent: its proj gained
+    # "+flush2" when the flush sentinels landed)
     in_dir, ckpt, copy_ready = _stream_dirs(
-        spark, "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4"
+        spark, "timeout", sf_dir, "user_id:bigint,ts:timestamp@range4+stamped"
     )
     if not copy_ready:
 
         def write_replay(p: str) -> None:
-            import glob
-            import os
-            import time
-
             t(spark, sf_dir, "events").select(
                 "user_id", F.col("ts").cast("timestamp").alias("ts")
             ).repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
-            # strictly increasing mtimes in range (= part filename)
-            # order, same hazard the twin's replay stamps against:
-            # range-partition tasks finish concurrently, so a
-            # higher-ts file can land an earlier mtime and replay
-            # FIRST, jumping the watermark ahead and silently
-            # dropping every earlier file's rows — which would also
+            # strictly increasing mtimes in range order, same hazard
+            # the twin's replay stamps against: a higher-ts file
+            # replaying first jumps the watermark ahead and silently
+            # drops every earlier file's rows — which would also
             # undercount the running census the drive_contract pin
-            # now value-anchors to COUNT(DISTINCT user_id)
-            now = time.time()
-            for i, f in enumerate(sorted(glob.glob(f"{p}/part-*"))):
-                os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
+            # value-anchors to COUNT(DISTINCT user_id)
+            _stamp_increasing_mtimes(p)
 
         in_dir = _ensure_replay(spark, in_dir, write_replay)
     for q in spark.streams.active:
@@ -700,21 +725,13 @@ def streaming_eviction_final_state(spark: SparkSession, sf_dir: str) -> DataFram
                     f"sentinel outside the domain"
                 )
             ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(p)
-            # strictly increasing mtimes in range (= part filename)
-            # order, backdated an hour: the file source orders batches
-            # by mtime, and range-partition tasks finish concurrently,
-            # so without the stamp a higher-ts file could replay first
-            # and the watermark would drop the earlier files' rows
-            now = time.time()
-            stamped = sorted(glob.glob(f"{p}/part-*"))
-            for i, f in enumerate(stamped):
-                os.utime(f, (now - 3600 + 2 * i, now - 3600 + 2 * i))
+            seen = set(_stamp_increasing_mtimes(p))
             # the flush files must replay AFTER every part file and in
             # write order; their natural mtimes come from two separate
             # append jobs and could tie on a coarse-mtime filesystem,
-            # so stamp them explicitly like the parts (now-3600+2i
-            # tops out well below `now` for any realistic part count)
-            seen = set(stamped)
+            # so stamp them explicitly too — at `now + 2k`, strictly
+            # after every backdated part (see the helper's contract)
+            now = time.time()
             for k, hours in enumerate((1, 2)):
                 spark.createDataFrame(
                     [(_FLUSH_USER, max_ts + datetime.timedelta(hours=hours))],

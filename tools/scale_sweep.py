@@ -1058,6 +1058,17 @@ def main() -> None:
         )
         return
     _load_all()
+    # computed ONCE, up front, and reused for the --build stamp, the
+    # --run gate, the --only preflight and the artifact stamp:
+    # build_fingerprint() reads source from DISK via
+    # inspect.getsource, so if this file is edited while a build or
+    # sweep runs, a later recomputation extracts line-shifted text
+    # and stamps a fingerprint that matches neither the data on disk
+    # nor any code that ever existed (observed live in round 12 on
+    # the --run path — the freshness tripwire caught the corrupted
+    # artifact stamp; a mid---build edit would likewise have poisoned
+    # BUILD_FP.txt and forced a spurious full rebuild)
+    run_fp = build_fingerprint()
     spark = get_spark(app_name="mrs-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     stamp_path = os.path.join(SCRATCH, "BUILD_FP.txt")
@@ -1066,7 +1077,7 @@ def main() -> None:
             out = build(spark, k)
             print(f"built {out}", file=sys.stderr)
         with open(stamp_path, "w") as fh:
-            fh.write(build_fingerprint())
+            fh.write(run_fp)
     if args.run:
         # provenance gate: the data on disk must have been built by
         # the CURRENT construction code — a stale scratch from an
@@ -1076,15 +1087,6 @@ def main() -> None:
                 disk_fp = fh.read().strip()
         except OSError:
             disk_fp = None
-        # computed ONCE and reused for the gate, the --only preflight
-        # and the artifact stamp: build_fingerprint() reads source
-        # from DISK via inspect.getsource, so if this file is edited
-        # while a sweep runs, a write-time recomputation extracts
-        # line-shifted text and stamps a fingerprint that matches
-        # neither the verified scratch nor any code that ever existed
-        # (observed live in round 12 — the freshness tripwire caught
-        # the corrupted stamp)
-        run_fp = build_fingerprint()
         if disk_fp != run_fp:
             raise SystemExit(
                 "scratch replicas were built by a different build() "
