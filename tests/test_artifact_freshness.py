@@ -99,3 +99,29 @@ def test_newest_local_diff_sorts_numerically(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert fc.newest_local_diff(str(empty)) is None
+
+
+def test_scaling_current_state_table_matches_committed_artifact():
+    """Doc/artifact drift, mechanized (ADVICE r11's finding class —
+    a SCALING.md bullet kept superseded values a reader cross-checked
+    against the artifact): the current-state table's rows must be
+    exactly what tools/scaling_table.py generates from the committed
+    SCALE_SWEEP.json. A sweep refresh that forgets the table update
+    now fails here instead of waiting for a reviewer."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_table", _REPO / "tools" / "scaling_table.py"
+    )
+    st = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(st)
+
+    artifact = json.loads((_REPO / "SCALE_SWEEP.json").read_text())
+    committed = st.committed_table_rows((_REPO / "SCALING.md").read_text())
+    label = st.round_label_of(committed)
+    assert label, "committed table rows carry no '§... |' label"
+    assert committed == st.rows(artifact, label), (
+        "SCALING.md's current-state table no longer matches "
+        "SCALE_SWEEP.json — regenerate it with tools/scaling_table.py"
+    )

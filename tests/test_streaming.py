@@ -823,3 +823,43 @@ def test_stream_replay_environmental_lock_error_resolves_immediately(
     assert raised
     assert time.time() - t0 < 10
     assert open(f"{in_dir}/part-0").read() == "partial"  # untouched
+
+
+def test_stamp_increasing_mtimes_orders_parts_by_filename(tmp_path):
+    """The shared replay-mtime stamper (round-12 review: extracted so
+    a hardening can't be applied to one stateful fixture and missed
+    in the other): part files get strictly increasing mtimes in
+    FILENAME order regardless of their natural (task-completion)
+    mtimes, non-part files are untouched, all stamps land in the
+    past, and later appends stamped at time.time() sort after every
+    part."""
+    import os
+    import time
+
+    from map_reduce_showcase_spark.plans import queries_streaming as qs
+
+    p = tmp_path / "in"
+    p.mkdir()
+    # natural mtimes deliberately REVERSED vs filename order — the
+    # concurrent-task hazard the stamper exists to fix
+    now = time.time()
+    names = [f"part-{i:05d}" for i in range(5)]
+    for i, name in enumerate(names):
+        f = p / name
+        f.write_text("x")
+        os.utime(f, (now - i * 10, now - i * 10))
+    marker = p / "_SUCCESS"
+    marker.write_text("")
+    os.utime(marker, (now - 999, now - 999))
+
+    stamped = qs._stamp_increasing_mtimes(str(p))
+
+    assert [os.path.basename(f) for f in stamped] == names
+    mts = [os.path.getmtime(str(p / n)) for n in names]
+    assert all(b > a for a, b in zip(mts, mts[1:]))
+    assert all(m < time.time() for m in mts)  # backdated: appends win
+    assert os.path.getmtime(marker) == pytest.approx(now - 999, abs=1)
+    # empty dir: no crash, nothing stamped
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert qs._stamp_increasing_mtimes(str(empty)) == []

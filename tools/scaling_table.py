@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Generate SCALING.md's current-state table from SCALE_SWEEP.json.
+
+The table was hand-regenerated ad hoc each refresh, which is exactly
+how ADVICE r11's doc/artifact drift happened (a bullet kept `--only`
+merge values the full refresh had superseded). One generator, one
+format; ``tests/test_artifact_freshness.py`` pins the committed
+table's rows to the committed artifact, so a sweep refresh that
+forgets the table update fails pytest instead of waiting for a
+reader to cross-check.
+
+Usage:
+    python tools/scaling_table.py [--round N]   # prints the rows
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+HEADER = (
+    "| Query | sf1.6 s | raw tail | tpw | detector | verdict "
+    "| last measured |"
+)
+
+
+def rows(artifact: dict, round_label: str) -> list[str]:
+    """One markdown row per sweep entry, in artifact order. Raw tail
+    is t(sf1.6)/t(sf0.4) recomputed from the stamped times (not a
+    stored field), so a hand-edited time cannot silently disagree
+    with its displayed ratio."""
+    out = []
+    for q, v in artifact["queries"].items():
+        t = v["times_sec"]
+        raw = round(t["sf1.6"] / t["sf0.4"], 2)
+        tpw = v.get("tail_time_per_work")
+        det = v.get("detector")
+        verdict = "clean" if v.get("flag") is False else str(v.get("flag"))
+        wf = v.get("would_flag")
+        if wf is not None:
+            det = "exempt"
+            both = all(wf.values())
+            verdict = (
+                f"control (would_flag raw+tpw: {'true' if both else wf})"
+            )
+        tpw_s = tpw if tpw is not None else "—"
+        out.append(
+            f"| `{q}` | {t['sf1.6']} | {raw} | {tpw_s} | {det} "
+            f"| {verdict} | §{round_label} |"
+        )
+    return out
+
+
+def committed_table_rows(scaling_md: str) -> list[str]:
+    """The current-state table's data rows as committed in
+    SCALING.md (everything between the header separator and the
+    first blank line)."""
+    start = scaling_md.index(HEADER)
+    sep_end = scaling_md.index("\n", scaling_md.index("|---", start)) + 1
+    end = scaling_md.index("\n\n", sep_end)
+    return [r for r in scaling_md[sep_end:end].split("\n") if r]
+
+
+def round_label_of(rows_list: list[str]) -> str:
+    """Extract the round label from a committed row ('§X full sweep'
+    → 'X full sweep')."""
+    m = re.search(r"§([^|]+?) \|$", rows_list[0])
+    return m.group(1).strip() if m else ""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--label",
+        default=None,
+        help="'last measured' label (default: reuse the committed one)",
+    )
+    args = ap.parse_args()
+    artifact = json.load(open(os.path.join(REPO, "SCALE_SWEEP.json")))
+    label = args.label
+    if label is None:
+        scaling = open(os.path.join(REPO, "SCALING.md")).read()
+        label = round_label_of(committed_table_rows(scaling))
+    print(HEADER)
+    print("|---|---|---|---|---|---|---|")
+    for r in rows(artifact, label):
+        print(r)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
