@@ -67,80 +67,72 @@ HEADLINE = [
 #: without false-tripping on the OS's own background flutter.
 BOX_LOAD_THRESHOLD_1M = 2.0
 
+#: Bounded wait-for-idle (round-12 verdict #2): ``box_load_ok:
+#: false`` made a loaded run self-REPORTING, but the r12 driver run
+#: still got graded at load 10.4 — the harness should spend bounded
+#: wall-clock making the number good, not just annotating that it
+#: isn't. Before creating the SparkSession the bench polls the 1m
+#: loadavg every ``poll`` seconds until it drops under the threshold
+#: or ``cap`` seconds elapse; the full trajectory is stamped so a
+#: reader sees exactly what the box did. 600 s cap ≈ two residual
+#: sweep/pytest sessions' 1m-average decay; override with
+#: $SPARK_GRAFT_BENCH_IDLE_WAIT_CAP_SEC (tests set 0 — pytest itself
+#: drives the load the wait would otherwise stall on).
+IDLE_WAIT_CAP_SEC = 600.0
+IDLE_WAIT_POLL_SEC = 30.0
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # External-load reading taken BEFORE any Spark work (r11 verdict
-    # #4): the per-query samples below include the bench's own decay
-    # (warm-up alone pushes the 1m average past any idle threshold on
-    # local[32]), so the one sample that cleanly discriminates "box
-    # was busy when the run started" is this pre-SparkSession one.
-    load_at_start = os.getloadavg()[0]
-    _load_all()
-    # SPARK_GRAFT_BENCH_SET=all sweeps every registered query instead
-    # of the stable 18-query headline set (which stays the default so
-    # cross-round totals compare like sets) — the local profiling mode
-    # used to catch scale pathologies outside the headline window.
-    headline = (
-        list(REGISTRY) if os.environ.get("SPARK_GRAFT_BENCH_SET") == "all" else HEADLINE
-    )
-    spark = get_spark(app_name="mrs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+#: Non-anchor trend section (round-12 verdict #4): the sweep's most
+#: expensive entries have no per-round sf0.1 wall-time trend — a
+#: regression there is only visible through the sweep's 16x tail,
+#: which moves ~1.4x cross-round on box state alone. Measured with
+#: the SAME min-of-N protocol in the same JVM, stamped under
+#: ``extended_queries``, and EXCLUDED from the anchor total: the 18
+#: headline queries stay frozen so cross-round totals compare like
+#: sets against the [11.86, 12.19] band.
+EXTENDED = [
+    "graph_triangle_summary",
+    "graph_pagerank",
+    "dedup_fuzzy_names",
+    "dedup_containment_pairs",
+]
 
-    # The accumulator-GC ERROR spam (Python GC reaps accumulators
-    # while late tasks report in) starts during the rapid-fire
-    # warm-up, not just the measured loop — silence below FATAL for
-    # BOTH phases so the artifact tail stays clean; real failures
-    # still surface via the errors dict and stderr prints.
-    spark.sparkContext.setLogLevel("FATAL")
 
-    # warm-up: JVM, whole-stage codegen, Python worker pool, parquet
-    # footer caches — run EVERY headline query once at the smallest
-    # SF so plan construction + codegen compilation (identical plan
-    # shapes, cached by the JVM) isn't billed to the measured sf0.1
-    # runs. Warm-up failures are ignored; the measured loop records
-    # them properly.
-    warm_sf = "/root/testdata/sf0.001"
-    for name in headline:
-        try:
-            REGISTRY[name].builder(spark, warm_sf).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass
+def wait_for_idle(
+    cap_sec: float,
+    poll_sec: float = IDLE_WAIT_POLL_SEC,
+    threshold: float = BOX_LOAD_THRESHOLD_1M,
+    sample=lambda: os.getloadavg()[0],
+    sleep=time.sleep,
+) -> tuple[list[float], float]:
+    """Poll the 1m loadavg until it drops under ``threshold`` or
+    ``cap_sec`` elapses; returns ``(trajectory, waited_sec)``. The
+    comparison uses the ROUNDED sample so the stamped trajectory and
+    the adjudicated ``box_load_ok`` can't disagree at the boundary.
+    ``sample``/``sleep`` are injectable so the contract test can
+    drive both paths without a 10-minute pytest stall."""
+    trajectory = [round(sample(), 2)]
+    waited = 0.0
+    while trajectory[-1] >= threshold and waited < cap_sec:
+        step = min(poll_sec, cap_sec - waited)
+        sleep(step)
+        waited += step
+        trajectory.append(round(sample(), 2))
+    return trajectory, round(waited, 1)
 
-    # Failure-isolated: one broken query must never destroy the whole
-    # artifact (round 2 lost all 18 numbers to a single loader bug).
-    # Failures land in "errors"; the JSON line always prints.
-    # clamp to >= 1: reps=0 would leave every `best` at math.inf and
-    # json.dumps would emit the non-RFC `Infinity` token — breaking
-    # the one-JSON-line contract with no error recorded anywhere.
-    # A NON-NUMERIC value falls back to 3 the same way (ADVICE r10:
-    # an uncaught ValueError here aborted before any JSON printed —
-    # the exact broken-artifact mode the clamp exists to prevent).
-    try:
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    except ValueError:
-        print(
-            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_REPS="
-            f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r}, using 3",
-            file=sys.stderr,
-        )
-        reps = 3
+
+def _measure_set(
+    spark, names: list[str], sf_dir: str, reps: int, jvm_gc
+) -> tuple[dict[str, float], dict[str, str], dict[str, list[float]]]:
+    """Min-of-``reps`` same-JVM timing loop over ``names`` — shared by
+    the anchor headline set and the non-anchor extended set so the two
+    sections can never drift onto different protocols. Returns
+    ``(times, errors, load_1m_samples)``; failure-isolated per query
+    (round-2 lesson: one broken query must never destroy the whole
+    artifact)."""
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # 1-minute loadavg sampled around each query (round-10 verdict
-    # #4): the min-of-3 protocol kills within-JVM noise, but a loaded
-    # BOX still inflates a whole driver run (r10: 17.2 s driver-graded
-    # vs 11.9 s idle on identical code) — with the samples in the
-    # artifact that call needs no cross-referencing. On local[32] the
-    # bench itself drives load toward ~32 while a query runs; what the
-    # samples discriminate is a NONZERO BASELINE before the first
-    # query and between-queries floors well above the core count.
     load_1m: dict[str, list[float]] = {}
-    jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
-    for name in headline:
+    for name in names:
         best = math.inf
         l_before = os.getloadavg()[0]
         try:
@@ -165,6 +157,101 @@ def main() -> None:
             print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
         finally:
             load_1m[name] = [round(l_before, 2), round(os.getloadavg()[0], 2)]
+    return times, errors, load_1m
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # External-load reading taken BEFORE any Spark work (r11 verdict
+    # #4): the per-query samples below include the bench's own decay
+    # (warm-up alone pushes the 1m average past any idle threshold on
+    # local[32]), so the one sample that cleanly discriminates "box
+    # was busy when the run started" is this pre-SparkSession one —
+    # and since r13 the bench WAITS (bounded) for it to go idle
+    # before falling through to ``box_load_ok: false``.
+    try:
+        idle_cap = max(
+            0.0,
+            float(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_IDLE_WAIT_CAP_SEC", IDLE_WAIT_CAP_SEC
+                )
+            ),
+        )
+    except ValueError:
+        print(
+            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_IDLE_WAIT_CAP_SEC="
+            f"{os.environ['SPARK_GRAFT_BENCH_IDLE_WAIT_CAP_SEC']!r}, "
+            f"using {IDLE_WAIT_CAP_SEC}",
+            file=sys.stderr,
+        )
+        idle_cap = IDLE_WAIT_CAP_SEC
+    load_trajectory, waited_sec = wait_for_idle(idle_cap)
+    load_at_start = load_trajectory[-1]
+    _load_all()
+    # SPARK_GRAFT_BENCH_SET=all sweeps every registered query instead
+    # of the stable 18-query headline set (which stays the default so
+    # cross-round totals compare like sets) — the local profiling mode
+    # used to catch scale pathologies outside the headline window.
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_SET") == "all"
+    headline = list(REGISTRY) if bench_all else HEADLINE
+    # the "all" sweep already contains every extended query — running
+    # the section would just measure four names twice in one artifact
+    extended = [] if bench_all else [q for q in EXTENDED if q not in headline]
+    spark = get_spark(app_name="mrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # The accumulator-GC ERROR spam (Python GC reaps accumulators
+    # while late tasks report in) starts during the rapid-fire
+    # warm-up, not just the measured loop — silence below FATAL for
+    # BOTH phases so the artifact tail stays clean; real failures
+    # still surface via the errors dict and stderr prints.
+    spark.sparkContext.setLogLevel("FATAL")
+
+    # warm-up: JVM, whole-stage codegen, Python worker pool, parquet
+    # footer caches — run EVERY headline query once at the smallest
+    # SF so plan construction + codegen compilation (identical plan
+    # shapes, cached by the JVM) isn't billed to the measured sf0.1
+    # runs. Warm-up failures are ignored; the measured loop records
+    # them properly.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in headline + extended:
+        try:
+            REGISTRY[name].builder(spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+    # clamp to >= 1: reps=0 would leave every `best` at math.inf and
+    # json.dumps would emit the non-RFC `Infinity` token — breaking
+    # the one-JSON-line contract with no error recorded anywhere.
+    # A NON-NUMERIC value falls back to 3 the same way (ADVICE r10:
+    # an uncaught ValueError here aborted before any JSON printed —
+    # the exact broken-artifact mode the clamp exists to prevent).
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    except ValueError:
+        print(
+            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_REPS="
+            f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r}, using 3",
+            file=sys.stderr,
+        )
+        reps = 3
+    jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
+    # 1-minute loadavg sampled around each query (round-10 verdict
+    # #4): the min-of-3 protocol kills within-JVM noise, but a loaded
+    # BOX still inflates a whole driver run (r10: 17.2 s driver-graded
+    # vs 11.9 s idle on identical code) — with the samples in the
+    # artifact that call needs no cross-referencing. On local[32] the
+    # bench itself drives load toward ~32 while a query runs; what the
+    # samples discriminate is a NONZERO BASELINE before the first
+    # query and between-queries floors well above the core count.
+    times, errors, load_1m = _measure_set(spark, headline, sf_dir, reps, jvm_gc)
+    # extended set runs AFTER the full headline loop so the anchor
+    # section sees the same JVM history it has since round 10
+    ext_times, ext_errors, _ = _measure_set(spark, extended, sf_dir, reps, jvm_gc)
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
@@ -222,6 +309,18 @@ def main() -> None:
         "box_load_threshold_1m": BOX_LOAD_THRESHOLD_1M,
         "load_1m_at_start": round(load_at_start, 2),
         "box_load_ok": round(load_at_start, 2) < BOX_LOAD_THRESHOLD_1M,
+        # Bounded wait-for-idle record (r12 verdict #2): the samples
+        # the bench took while waiting for the box to go idle, plus
+        # how long it actually waited. ``load_1m_at_start`` above is
+        # the LAST trajectory sample — i.e. post-wait — so a run that
+        # still stamps ``box_load_ok: false`` did so only after
+        # burning the full cap without the load dropping.
+        "idle_wait": {
+            "cap_sec": idle_cap,
+            "poll_sec": IDLE_WAIT_POLL_SEC,
+            "waited_sec": waited_sec,
+            "load_trajectory_1m": load_trajectory,
+        },
         # measured across four idle-box fresh-JVM runs on headline-
         # identical code: 11.90/12.19 s (round-10, back to back),
         # 11.889 s (round-11), 11.862 s (round-12) — 2.8% spread vs
@@ -242,6 +341,17 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Non-anchor trend section (r12 verdict #4): same min-of-N
+    # protocol, same JVM, measured after the headline loop; NOT in
+    # "value" and its failures never null the anchor total — the
+    # headline set stays the frozen 18 so totals compare like sets.
+    out["extended_queries"] = ext_times
+    out["extended_note"] = (
+        "non-anchor sf-dir trend for the sweep heavies; excluded "
+        "from 'value' and from the [11.86, 12.19] anchor band"
+    )
+    if ext_errors:
+        out["extended_errors"] = ext_errors
     print(json.dumps(out))
 
 
