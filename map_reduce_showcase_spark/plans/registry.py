@@ -163,7 +163,12 @@ def _helper_modules(builder_module: str) -> list[str]:
     way: the helper's source hash doesn't change, the defining
     module never enters the closure, and the value lives in the
     helper's globals, not the builder's. Caught by the round-end
-    local differential instead."""
+    local differential instead. Since round 13 the residual's exact
+    inventory is PINNED (tests/test_oracle_diff.py::
+    test_h3_by_value_import_residual_pinned_exactly): three
+    module-level oracle-f-string fragment imports, each proven
+    definition_fingerprint-covered; a fourth appearing fails the
+    suite."""
     import sys
     import types
 

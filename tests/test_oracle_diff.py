@@ -900,6 +900,166 @@ def test_by_value_import_guard_fires_on_the_residual_shape(tmp_path):
                 sys.modules.pop(m)
 
 
+def _module_level_by_value_imports(
+    modnames: list[str], pkg: str
+) -> list[tuple[str, str, str]]:
+    """``(module, name, origin)`` for every module-level ``from X
+    import NAME`` in ``modnames`` where NAME is bound to a plain
+    constant (``registry._CONST_TYPES``) and the intra-package origin
+    X escapes the importing module's helper closure — i.e. editing
+    X's definition of NAME moves no helper fingerprint through the
+    module walk. Pure so the pin test and the synthetic
+    failure-direction test share one detector."""
+    import ast
+    import importlib.util
+    import inspect
+    import sys
+
+    from map_reduce_showcase_spark.plans import registry as R
+
+    hits: list[tuple[str, str, str]] = []
+    for mname in modnames:
+        mod = sys.modules.get(mname)
+        if mod is None:
+            continue
+        try:
+            tree = ast.parse(inspect.getsource(mod))
+        except (OSError, TypeError, SyntaxError):
+            continue
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom):
+                continue
+            if node.level:
+                try:
+                    origin = importlib.util.resolve_name(
+                        "." * node.level + (node.module or ""),
+                        mod.__package__,
+                    )
+                except (ImportError, ValueError):
+                    continue
+            else:
+                origin = node.module
+            if not (origin and origin.startswith(pkg)):
+                continue
+            for a in node.names:
+                val = vars(mod).get(a.asname or a.name)
+                if isinstance(val, R._CONST_TYPES):
+                    closure = set(R._helper_modules(mname)) | {
+                        mname,
+                        R.__name__,
+                    }
+                    if origin not in closure:
+                        hits.append((mname, a.name, origin))
+    return sorted(hits)
+
+
+#: The EXACT current inventory of the h3 residual (round-12 verdict
+#: #3: pin it while the registry is frozen — cheaper than an h4 era
+#: and sufficient because every member is oracle-f-string-only). The
+#: verdict's "4 known hits" counted the four ``from .queries_text
+#: import`` statements; ``queries_pipeline``'s is NOT in this list
+#: because that module also imports two functions from queries_text,
+#: which pulls queries_text into its helper closure — its constants
+#: are therefore walk-covered, leaving these three escapes.
+_PKG = "map_reduce_showcase_spark"
+_KNOWN_BY_VALUE_RESIDUAL = [
+    (f"{_PKG}.plans.queries_dedup", "_TOKENS_SQL", f"{_PKG}.plans.queries_text"),
+    (f"{_PKG}.plans.queries_packing", "_NTOK_SQL", f"{_PKG}.plans.queries_text"),
+    (
+        f"{_PKG}.plans.queries_relational2",
+        "_TOKENS_SQL",
+        f"{_PKG}.plans.queries_text",
+    ),
+]
+
+
+def test_h3_by_value_import_residual_pinned_exactly():
+    """Round-12 verdict #3: the by-value-import escapes that the h3
+    helper walk cannot see are pinned to the exact known list — a new
+    one appearing (or one silently vanishing, which would mean the
+    closure semantics changed) fails the suite and forces a decision:
+    either restructure the import so the origin enters the closure,
+    or extend this pin with the same oracle-coverage proof.
+
+    Each pinned member must also be provably covered by
+    ``definition_fingerprint``: the fragment's EXPANDED text appears
+    in at least one registered oracle from the importing module, so
+    editing the fragment's definition in queries_text moves those
+    queries' definition fingerprints even though no helper
+    fingerprint moves. (Runtime builder-side uses need no pin:
+    builder-module constants are hashed by VALUE in
+    ``_same_module_parts``, and cross-module runtime helpers are
+    asserted violation-free by
+    test_no_builder_reachable_cross_module_by_value_constant.)"""
+    import sys
+
+    from map_reduce_showcase_spark.plans import registry as R
+
+    R._load_all()
+    modnames = [m for m in sys.modules if m.startswith(_PKG)]
+    assert (
+        _module_level_by_value_imports(modnames, _PKG)
+        == _KNOWN_BY_VALUE_RESIDUAL
+    )
+    for mname, name, _origin in _KNOWN_BY_VALUE_RESIDUAL:
+        frag = vars(sys.modules[mname])[name]
+        assert isinstance(frag, str) and frag, (mname, name)
+        oracles = [
+            s.oracle
+            for s in R.REGISTRY.values()
+            if s.builder.__module__ == mname and s.oracle
+        ]
+        assert any(frag in o for o in oracles), (
+            f"{mname}.{name}: fragment no longer expanded into any "
+            f"registered oracle from its module — the residual is no "
+            f"longer definition_fingerprint-covered; restructure the "
+            f"import or extend the fingerprint walk"
+        )
+
+
+def test_by_value_residual_pin_fires_on_a_synthetic_fifth_hit(tmp_path):
+    """Failure direction for the pin: a new module-level constant
+    import whose origin escapes the closure must be DETECTED (the pin
+    equality would then fail on the real tree). Control: a module
+    whose constant is defined locally stays clean."""
+    import importlib
+    import sys
+    import textwrap
+
+    pkg_dir = tmp_path / "pin_resid_pkg"
+    pkg_dir.mkdir()
+    (pkg_dir / "__init__.py").write_text("")
+    (pkg_dir / "x.py").write_text("_FRAG_SQL = 'len(tokens)'\n")
+    (pkg_dir / "user.py").write_text(
+        textwrap.dedent(
+            """
+            from pin_resid_pkg.x import _FRAG_SQL
+
+            ORACLE = f"SELECT {_FRAG_SQL} AS n"
+            """
+        )
+    )
+    (pkg_dir / "clean.py").write_text(
+        "_LOCAL_SQL = 'x'\n\nORACLE = f\"SELECT {_LOCAL_SQL}\"\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        importlib.invalidate_caches()
+        importlib.import_module("pin_resid_pkg.user")
+        importlib.import_module("pin_resid_pkg.clean")
+        hits = _module_level_by_value_imports(
+            ["pin_resid_pkg.user", "pin_resid_pkg.clean"], "pin_resid_pkg"
+        )
+        assert hits == [
+            ("pin_resid_pkg.user", "_FRAG_SQL", "pin_resid_pkg.x")
+        ]
+    finally:
+        sys.path.remove(str(tmp_path))
+        for m in list(sys.modules):
+            if m.startswith("pin_resid_pkg"):
+                sys.modules.pop(m)
+
+
 def _era_violations(
     artifact: dict, current_era: str, green: dict, seed_covered
 ) -> list[str]:
