@@ -71,11 +71,21 @@ def test_stale_entries_detects_each_drift_direction():
     assert "helper drift" in stale["q_helper"]
     assert "missing" in stale["q_new"]
     assert "deleted at HEAD" in stale["q_gone"]
-    # a query with no helper snapshot expectation (rows-only entries
-    # record helper fingerprints too, but a None current means "not
-    # tracked") is judged on definition only
+    # ADVICE r12: an artifact that RECORDS a helper fingerprint while
+    # HEAD reports none is not "judged on definition only" — that
+    # shape means helper tracking was removed (per-query or a registry
+    # regression dropping it wholesale) and must be flagged as stale
+    removed = fc.stale_entries(
+        {"q": {"fingerprint": "x", "helper_fingerprint": "h3:whatever"}},
+        {"q": "x"},
+        {},
+    )
+    assert set(removed) == {"q"}
+    assert "helper tracking removed" in removed["q"]
+    # ...but an entry where NEITHER side tracks helpers stays clean
+    # (both legitimately None — nothing was removed)
     assert fc.stale_entries(
-        {"q": {"fingerprint": "x", "helper_fingerprint": "whatever"}},
+        {"q": {"fingerprint": "x", "helper_fingerprint": None}},
         {"q": "x"},
         {},
     ) == {}
@@ -99,6 +109,32 @@ def test_newest_local_diff_sorts_numerically(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert fc.newest_local_diff(str(empty)) is None
+
+
+def test_scaling_table_lookup_failures_are_self_explanatory():
+    """ADVICE r12: a reworded header, a missing '|---' separator, or
+    a table running to EOF used to surface as a bare 'substring not
+    found' from the pinning pytest — each direction must now raise a
+    message naming what was expected."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_table", _REPO / "tools" / "scaling_table.py"
+    )
+    st = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(st)
+
+    with pytest.raises(ValueError, match="table header not found"):
+        st.committed_table_rows("# SCALING\n\nno table here\n")
+    with pytest.raises(ValueError, match="no '\\|---' separator"):
+        st.committed_table_rows(st.HEADER + "\nrow without separator\n\n")
+    with pytest.raises(ValueError, match="not terminated by a blank line"):
+        st.committed_table_rows(st.HEADER + "\n|---|\n| `q` | 1 |")
+    # the happy path still parses the generator's own shape
+    doc = st.HEADER + "\n|---|\n| `q` | 1 | §X |\n\nrest\n"
+    assert st.committed_table_rows(doc) == ["| `q` | 1 | §X |"]
 
 
 def test_scaling_current_state_table_matches_committed_artifact():

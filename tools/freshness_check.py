@@ -72,7 +72,19 @@ def stale_entries(
             )
             continue
         hf = current_helper.get(name)
-        if hf is not None and e.get("helper_fingerprint") != hf:
+        if hf is None:
+            # ADVICE r12: skipping the helper comparison when HEAD
+            # reports no fingerprint would pass a query that STOPPED
+            # tracking helpers (or a registry regression dropping
+            # helper fingerprints wholesale) as fresh on definition
+            # match alone — flag the direction explicitly.
+            if e.get("helper_fingerprint") is not None:
+                stale[name] = (
+                    f"helper tracking removed: artifact records "
+                    f"{e.get('helper_fingerprint')!r} but HEAD reports "
+                    f"no helper fingerprint for this query"
+                )
+        elif e.get("helper_fingerprint") != hf:
             stale[name] = (
                 f"helper drift: artifact {e.get('helper_fingerprint')!r} "
                 f"!= HEAD {hf!r}"

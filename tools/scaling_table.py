@@ -59,10 +59,35 @@ def rows(artifact: dict, round_label: str) -> list[str]:
 def committed_table_rows(scaling_md: str) -> list[str]:
     """The current-state table's data rows as committed in
     SCALING.md (everything between the header separator and the
-    first blank line)."""
-    start = scaling_md.index(HEADER)
-    sep_end = scaling_md.index("\n", scaling_md.index("|---", start)) + 1
-    end = scaling_md.index("\n\n", sep_end)
+    first blank line). Lookup failures raise with a message naming
+    what was expected where (ADVICE r12: a bare ``str.index``
+    ValueError — 'substring not found' — is what the pinning pytest
+    would otherwise surface on a reworded header or a table that
+    runs to EOF)."""
+    try:
+        start = scaling_md.index(HEADER)
+    except ValueError:
+        raise ValueError(
+            f"SCALING.md: current-state table header not found — "
+            f"expected the exact line {HEADER!r}; regenerate the "
+            f"table with tools/scaling_table.py"
+        ) from None
+    try:
+        sep_end = scaling_md.index("\n", scaling_md.index("|---", start)) + 1
+    except ValueError:
+        raise ValueError(
+            "SCALING.md: no '|---' separator line after the "
+            "current-state table header — the table must be the "
+            "markdown shape tools/scaling_table.py emits"
+        ) from None
+    try:
+        end = scaling_md.index("\n\n", sep_end)
+    except ValueError:
+        raise ValueError(
+            "SCALING.md: current-state table is not terminated by a "
+            "blank line — keep one blank line after the last row so "
+            "the table's extent is unambiguous"
+        ) from None
     return [r for r in scaling_md[sep_end:end].split("\n") if r]
 
 
