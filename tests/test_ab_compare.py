@@ -107,7 +107,23 @@ def test_verdict_fields_floor_and_band():
     # the lower (b_faster) edge — a no-op change's sf0.1 pairs-median
     # can never cross them
     assert f["self_noise_band_sf0_1"] == list(ab.SELF_NOISE_BAND_SF0_1)
+    assert f["self_median_range_sf0_1"] == list(ab.SELF_MEDIAN_RANGE_SF0_1)
     assert ab.CONCLUSIVE_CUTOFFS[0] < ab.SELF_NOISE_BAND_SF0_1[0]
+    # upper edge, mirrored (ADVICE r12): the a_faster cutoff must sit
+    # beyond BOTH the pooled sf0.1 pair spread's upper edge and the
+    # margin-widened upper edge of the observed idle self-MEDIAN
+    # range (the median is the adjudicating statistic; the pair
+    # extreme is the wrong object to margin-widen — see the
+    # SELF_NOISE_BAND_SF0_1 provenance comment)
+    assert ab.CONCLUSIVE_CUTOFFS[1] > ab.SELF_NOISE_BAND_SF0_1[1]
+    assert (
+        ab.CONCLUSIVE_CUTOFFS[1]
+        > ab.SELF_MEDIAN_RANGE_SF0_1[1] * ab._EDGE_MARGIN
+    )
+    assert (
+        ab.CONCLUSIVE_CUTOFFS[0]
+        < ab.SELF_MEDIAN_RANGE_SF0_1[0] / ab._EDGE_MARGIN
+    )
     # cutoffs carry the same multiplicative margin on both sides
     lo, hi = ab.CONCLUSIVE_CUTOFFS
     assert lo < ab.SELF_NOISE_BAND[0] and hi > ab.SELF_NOISE_BAND[1]

@@ -71,16 +71,26 @@ RUNTIME_FLOOR_SEC = 1.0
 SELF_NOISE_BAND = (0.80, 1.05)
 #: sf0.1 calibration (r11 verdict #6 — the floor verdict directs
 #: sub-second pairs to re-run at sf0.1, so the band there needed its
-#: own measurement, not an sf0.01 extrapolation): two self-vs-self
-#: runs on an idle box, 5 ABBA pairs each, round 12 —
-#: q5_revenue_by_nation median 0.963, minhash pipeline median 1.021,
-#: pooled pair spread 0.886-1.066. Same magnitude as the sf0.01 band
-#: and centered tighter, so the sf0.01-derived CONCLUSIVE_CUTOFFS
-#: TRANSFER: they sit ≥17% beyond the worst observed sf0.1 self
-#: median on both sides (margin-widened sf0.1 cutoffs would be
-#: ≈[0.745, 1.27] — inside the shipped ones on the decisive lower
-#: edge, 1.6% outside on the upper, within the 5-pair sampling slop).
-SELF_NOISE_BAND_SF0_1 = (0.886, 1.066)
+#: own measurement, not an sf0.01 extrapolation). PROVENANCE
+#: (r12 verdict #5 asked for sample count + dates): FOUR idle-box
+#: self-vs-self runs, 5 ABBA pairs each (20 pairs pooled):
+#:   2026-08-15 r12  q5_revenue_by_nation   median 0.963
+#:   2026-08-15 r12  dedup_minhash_lsh      median 1.021
+#:   2026-08-15 r13  q5_revenue_by_nation   median 1.002  spread 0.895-1.202
+#:   2026-08-15 r13  dedup_minhash_lsh      median 0.977  spread 0.790-1.003
+#: The band is the pooled per-PAIR ratio spread; individual pairs
+#: reach ±20% even idle, but the DECISION statistic is the 5-pair
+#: median, whose observed idle range is SELF_MEDIAN_RANGE_SF0_1.
+#: A fifth r13 run is EXCLUDED and recorded as a stress observation:
+#: concurrent pytest/tooling activity during it pushed the self
+#: median to 1.187 — still inside the conclusive cutoffs, and the
+#: reason the artifact now stamps loadavg fields (a polluted run
+#: must be visibly polluted, not silently adjudicated).
+SELF_NOISE_BAND_SF0_1 = (0.79, 1.202)
+#: observed range of idle-box 5-pair self-vs-self MEDIANS at sf0.1
+#: (the four runs above) — the object the conclusive cutoffs must
+#: bound, since the median is what adjudicates.
+SELF_MEDIAN_RANGE_SF0_1 = (0.963, 1.021)
 #: conclusive cutoffs derive from the band edges with the SAME
 #: multiplicative distrust margin on both sides — the 5-pair self
 #: sample under-samples both tails, and the LOWER edge is the side
@@ -89,6 +99,16 @@ SELF_NOISE_BAND_SF0_1 = (0.886, 1.066)
 #: whose pairs-median landed at 0.78. The margin is the one the
 #: original a-faster widening implied (1/0.80 over the observed 1.05
 #: edge ≈ 1.19); applying it symmetrically gives (≈0.67, 1.25).
+#:
+#: Upper-edge adequacy at sf0.1 (ADVICE r12 flagged that a
+#: margin-widened PAIR extreme would cross 1.25): the pair extreme is
+#: the wrong object to margin-widen — single pairs reach 1.202 idle
+#: but the adjudicating median's observed idle range tops out at
+#: 1.021, whose margin-widened bound (×1.19 ≈ 1.215) stays under the
+#: 1.25 cutoff; even the excluded POLLUTED run's median (1.187, under
+#: concurrent load) did not cross it. Both edges are test-pinned
+#: against SELF_MEDIAN_RANGE_SF0_1 and SELF_NOISE_BAND_SF0_1 in
+#: tests/test_ab_compare.py.
 _EDGE_MARGIN = (1 / SELF_NOISE_BAND[0]) / SELF_NOISE_BAND[1]
 CONCLUSIVE_CUTOFFS = (
     round(SELF_NOISE_BAND[0] / _EDGE_MARGIN, 3),
@@ -108,6 +128,7 @@ def verdict_fields(summary: dict) -> dict:
         "runtime_floor_sec": RUNTIME_FLOOR_SEC,
         "self_noise_band": list(SELF_NOISE_BAND),
         "self_noise_band_sf0_1": list(SELF_NOISE_BAND_SF0_1),
+        "self_median_range_sf0_1": list(SELF_MEDIAN_RANGE_SF0_1),
         "conclusive_cutoffs": list(CONCLUSIVE_CUTOFFS),
         "below_runtime_floor": min(med_a, med_b) < RUNTIME_FLOOR_SEC,
     }
@@ -195,6 +216,12 @@ def main() -> None:
 
     from map_reduce_showcase_spark.session import get_spark
 
+    # pre-SparkSession load sample, same adjudication as bench.py's
+    # box_load_ok: the r13 calibration caught a self-vs-self median
+    # at 1.187 purely from concurrent tooling activity — a polluted
+    # A/B must be visibly polluted in its own artifact line.
+    load_at_start = round(os.getloadavg()[0], 2)
+
     builders = {"a": _resolve(args.a), "b": _resolve(args.b)}
     spark = get_spark(app_name="mrs-ab-compare")
     spark.sparkContext.setLogLevel("FATAL")
@@ -228,6 +255,8 @@ def main() -> None:
             "median per-pair ratio; per-query deltas under ~2x "
             "between SINGLE runs are box noise (SCALING.md)"
         ),
+        "load_1m_at_start": load_at_start,
+        "box_load_ok": load_at_start < 2.0,
     }
     times: dict[str, list[float]] = {"a": [], "b": []}
     for key in ab_schedule(args.pairs):
@@ -253,6 +282,7 @@ def main() -> None:
         times[key].append(time.time() - t0)
         print(f"  {key}: {times[key][-1]:.3f}s", file=sys.stderr)
 
+    out["loadavg_final"] = [round(x, 2) for x in os.getloadavg()]
     out.update(summarize(times["a"], times["b"]))
     out.update(verdict_fields(out))
     print(json.dumps(out))
