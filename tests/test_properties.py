@@ -461,3 +461,25 @@ def test_lengthdelim_codec_round_trips_arbitrary_bytes(tmp_path_factory, pairs):
     import os
 
     assert os.path.getsize(path) == sum(8 + len(k) + len(v) for k, v in pairs)
+
+
+def test_slow_inventory_resolves():
+    """Every entry in conftest's slow-tier inventory must name a real
+    file and a real test function — a rename that orphans an entry
+    would silently drop the test back into the fast tier (growing it)
+    while the inventory keeps claiming coverage. Checked textually
+    ('def <name>' in the file) so this stays sub-millisecond."""
+    import pathlib
+
+    from tests import conftest
+
+    tests_dir = pathlib.Path(__file__).resolve().parent
+    for fname in conftest.SLOW_FILES:
+        assert (tests_dir / fname).is_file(), f"SLOW_FILES: {fname} gone"
+    for fname, func in conftest.SLOW_FUNCS:
+        p = tests_dir / fname
+        assert p.is_file(), f"SLOW_FUNCS: {fname} gone"
+        assert f"def {func}(" in p.read_text(), (
+            f"SLOW_FUNCS: {fname}::{func} no longer exists — update "
+            f"the inventory in tests/conftest.py"
+        )
