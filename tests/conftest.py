@@ -8,7 +8,7 @@ inventory below centrally marks the expensive tests so
 
     python -m pytest tests/ -m "not slow" -q
 
-runs the remaining ~180 tests in well under 90 s. The round-end
+runs the remaining ~140 tests in well under 90 s. The round-end
 recipe and the driver still run the FULL suite — the tier exists to
 tighten the inner loop, never to weaken the gate."""
 

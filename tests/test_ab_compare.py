@@ -135,6 +135,22 @@ def test_verdict_fields_floor_and_band():
     assert fields(0.0, 0.0, None)["verdict"] == "inconclusive_no_usable_pairs"
 
 
+def test_box_load_threshold_shared_with_bench():
+    """Review r13: 'idle' must mean the same thing in every artifact —
+    ab_compare's box_load_ok adjudicates on bench.py's
+    BOX_LOAD_THRESHOLD_1M (imported, not copied), so retuning the
+    bench threshold retunes the A/B tool in the same edit."""
+    import importlib.util
+
+    ab = _load()
+    spec = importlib.util.spec_from_file_location(
+        "bench", _TOOLS.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert ab.BOX_LOAD_THRESHOLD_1M == bench.BOX_LOAD_THRESHOLD_1M
+
+
 def test_resolve_accepts_file_path_variant(tmp_path):
     ab = _load()
     f = tmp_path / "variant.py"

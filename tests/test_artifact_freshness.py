@@ -128,10 +128,21 @@ def test_scaling_table_lookup_failures_are_self_explanatory():
 
     with pytest.raises(ValueError, match="table header not found"):
         st.committed_table_rows("# SCALING\n\nno table here\n")
-    with pytest.raises(ValueError, match="no '\\|---' separator"):
+    with pytest.raises(ValueError, match="not a '\\|---' separator"):
         st.committed_table_rows(st.HEADER + "\nrow without separator\n\n")
+    # a LATER markdown table's separator must not be silently adopted
+    # when the current-state table's own separator line is missing
+    with pytest.raises(ValueError, match="not a '\\|---' separator"):
+        st.committed_table_rows(
+            st.HEADER + "\nprose\n\n| other | table |\n|---|---|\n| x |\n\n"
+        )
     with pytest.raises(ValueError, match="not terminated by a blank line"):
         st.committed_table_rows(st.HEADER + "\n|---|\n| `q` | 1 |")
+    # ...including EOF landing exactly at the separator's end (the
+    # review-found shape where the old two-lookups-one-try block
+    # raised the misleading separator-missing message)
+    with pytest.raises(ValueError, match="not terminated by a blank line"):
+        st.committed_table_rows(st.HEADER + "\n|---|")
     # the happy path still parses the generator's own shape
     doc = st.HEADER + "\n|---|\n| `q` | 1 | §X |\n\nrest\n"
     assert st.committed_table_rows(doc) == ["| `q` | 1 | §X |"]

@@ -926,7 +926,11 @@ def _module_level_by_value_imports(
             tree = ast.parse(inspect.getsource(mod))
         except (OSError, TypeError, SyntaxError):
             continue
-        for node in ast.walk(tree):
+        # direct children only — a function-LOCAL `from X import NAME`
+        # must not count as a module-level binding (review r13:
+        # ast.walk would attribute a same-named module-level constant
+        # to the local import's origin and flag a phantom residual)
+        for node in tree.body:
             if not isinstance(node, ast.ImportFrom):
                 continue
             if node.level:

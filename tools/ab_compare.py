@@ -45,6 +45,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# single source of truth for "idle" (review r13): a retuned bench
+# threshold must retune this tool in the same instant, and the
+# artifact must be self-describing — a reader re-derives box_load_ok
+# from the stamped threshold, as with bench.py's artifact.
+from bench import BOX_LOAD_THRESHOLD_1M  # noqa: E402
+
 
 def ab_schedule(pairs: int) -> list[str]:
     """ABBA run order: pair i runs (A,B) when i is even, (B,A) when
@@ -256,7 +262,8 @@ def main() -> None:
             "between SINGLE runs are box noise (SCALING.md)"
         ),
         "load_1m_at_start": load_at_start,
-        "box_load_ok": load_at_start < 2.0,
+        "box_load_threshold_1m": BOX_LOAD_THRESHOLD_1M,
+        "box_load_ok": load_at_start < BOX_LOAD_THRESHOLD_1M,
     }
     times: dict[str, list[float]] = {"a": [], "b": []}
     for key in ab_schedule(args.pairs):

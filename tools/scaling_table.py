@@ -72,23 +72,25 @@ def committed_table_rows(scaling_md: str) -> list[str]:
             f"expected the exact line {HEADER!r}; regenerate the "
             f"table with tools/scaling_table.py"
         ) from None
-    try:
-        sep_end = scaling_md.index("\n", scaling_md.index("|---", start)) + 1
-    except ValueError:
+    # the separator must be the line IMMEDIATELY after the header — a
+    # free-ranging index("|---") would silently lock onto some LATER
+    # markdown table's separator if this one were deleted
+    header_end = scaling_md.find("\n", start + len(HEADER))
+    if header_end == -1 or not scaling_md[header_end + 1 :].startswith("|---"):
         raise ValueError(
-            "SCALING.md: no '|---' separator line after the "
-            "current-state table header — the table must be the "
-            "markdown shape tools/scaling_table.py emits"
-        ) from None
-    try:
-        end = scaling_md.index("\n\n", sep_end)
-    except ValueError:
+            "SCALING.md: the line after the current-state table "
+            "header is not a '|---' separator — the table must be "
+            "the markdown shape tools/scaling_table.py emits"
+        )
+    sep_end = scaling_md.find("\n", header_end + 1)
+    end = scaling_md.find("\n\n", sep_end) if sep_end != -1 else -1
+    if sep_end == -1 or end == -1:
         raise ValueError(
             "SCALING.md: current-state table is not terminated by a "
             "blank line — keep one blank line after the last row so "
             "the table's extent is unambiguous"
-        ) from None
-    return [r for r in scaling_md[sep_end:end].split("\n") if r]
+        )
+    return [r for r in scaling_md[sep_end + 1 : end].split("\n") if r]
 
 
 def round_label_of(rows_list: list[str]) -> str:
