@@ -88,7 +88,7 @@ IDLE_WAIT_POLL_SEC = 30.0
 #: the SAME min-of-N protocol in the same JVM, stamped under
 #: ``extended_queries``, and EXCLUDED from the anchor total: the 18
 #: headline queries stay frozen so cross-round totals compare like
-#: sets against the [11.86, 12.19] band.
+#: sets against the ``min_of_3_fresh_jvm_spread_sec`` anchor band.
 EXTENDED = [
     "graph_triangle_summary",
     "graph_pagerank",
