@@ -3,9 +3,18 @@
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ONE JSON line:
+prints TWO JSON lines: the full diagnostic record first, then a
+compact FINAL line the driver grades:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>, ...}
+The split exists because the driver records only a ~2,000-char TAIL
+of stdout: round 13's single grown line overflowed it and the head
+("value" + 5 query timings) was truncated away (``BENCH_r13.json``
+``parsed: null``). The final line is budget-capped at
+``FINAL_LINE_BUDGET_BYTES`` and byte-budget-tested in
+``tests/test_bench_contract.py``; everything that grows with stamps
+(load samples, idle-wait trajectory, protocol prose, error details)
+lives only on the diagnostic line.
 
 Each query is fully materialized through the ``noop`` sink (compute
 everything, collect nothing) so the number is engine time, not
@@ -61,11 +70,10 @@ HEADLINE = [
     "sim_topk_lsh",
 ]
 
-#: 1-minute loadavg above which the run is stamped ``box_load_ok:
-#: false`` — on this 32-core box an idle baseline reads well under 1;
-#: 2.0 (~6% busy) catches any concurrent Spark/pytest/sweep session
-#: without false-tripping on the OS's own background flutter.
-BOX_LOAD_THRESHOLD_1M = 2.0
+# Shared with tools/ab_compare.py via the engine-free constants
+# module (ADVICE r13) — re-exported here so bench.BOX_LOAD_THRESHOLD_1M
+# readers (tests, docs) keep a single source of truth.
+from bench_constants import BOX_LOAD_THRESHOLD_1M  # noqa: E402,F401
 
 #: Bounded wait-for-idle (round-12 verdict #2): ``box_load_ok:
 #: false`` made a loaded run self-REPORTING, but the r12 driver run
@@ -95,6 +103,41 @@ EXTENDED = [
     "dedup_fuzzy_names",
     "dedup_containment_pairs",
 ]
+
+#: Hard byte budget for the FINAL stdout line (r13 verdict #1). The
+#: driver captures only a ~2,000-char stdout tail; 1,500 leaves a 25%
+#: margin for trailing whitespace/log bleed. The budget is pinned by
+#: tests/test_bench_contract.py against the worst-case shapes the real
+#: HEADLINE/EXTENDED lists can produce (all-success with max-width
+#: timings, and all-failed).
+FINAL_LINE_BUDGET_BYTES = 1500
+
+
+def compact_record(diag: dict) -> dict:
+    """Driver-facing compact record derived from the full diagnostic
+    record: everything the driver grades (metric/value/unit/queries/sf
+    plus the adjudicated ``box_load_ok`` and the non-anchor extended
+    timings), nothing that grows with stamps. Error DETAILS stay on
+    the diagnostic line; here failures are sorted name lists, so even
+    the all-18-failing worst case stays inside the byte budget."""
+    compact = {
+        "metric": diag["metric"],
+        "value": diag["value"],
+        "unit": diag["unit"],
+        "queries": diag["queries"],
+        "n_measured": diag["n_measured"],
+        "n_expected": diag["n_expected"],
+        "sf": diag["sf"],
+        "runs_per_query": diag["runs_per_query"],
+        "box_load_ok": diag["box_load_ok"],
+        "extended_queries": diag["extended_queries"],
+        "diagnostics": "full record on preceding stdout line",
+    }
+    if diag.get("errors"):
+        compact["failed"] = sorted(diag["errors"])
+    if diag.get("extended_errors"):
+        compact["extended_failed"] = sorted(diag["extended_errors"])
+    return compact
 
 
 def wait_for_idle(
@@ -251,7 +294,9 @@ def main() -> None:
     times, errors, load_1m = _measure_set(spark, headline, sf_dir, reps, jvm_gc)
     # extended set runs AFTER the full headline loop so the anchor
     # section sees the same JVM history it has since round 10
-    ext_times, ext_errors, _ = _measure_set(spark, extended, sf_dir, reps, jvm_gc)
+    ext_times, ext_errors, ext_load = _measure_set(
+        spark, extended, sf_dir, reps, jvm_gc
+    )
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
@@ -354,9 +399,20 @@ def main() -> None:
         "from 'value' and from the min_of_3_fresh_jvm_spread_sec "
         "anchor band"
     )
+    # per-query [before, after] load for the extended section too
+    # (r13 verdict #3): it runs LAST, on the most-loaded box state of
+    # the whole run (r13: loadavg 5.6-7.0 by then; pagerank's 1.34x-
+    # vs-idle driver point was unexplainable from the artifact alone
+    # because these samples were measured and then discarded).
+    out["extended_load_1m_per_query"] = ext_load
     if ext_errors:
         out["extended_errors"] = ext_errors
+    # Two-line artifact (r13 verdict #1): full diagnostic record
+    # first, compact budget-capped record LAST — the driver's ~2,000-
+    # char stdout tail capture must always contain the whole final
+    # line (BENCH_r13.json parsed:null is what one grown line does).
     print(json.dumps(out))
+    print(json.dumps(compact_record(out)))
 
 
 if __name__ == "__main__":

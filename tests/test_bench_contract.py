@@ -1,13 +1,16 @@
 """Contract tests for ``bench.py`` — the driver-graded benchmark
 surface.
 
-The driver runs ``python bench.py`` each round and records the one
-JSON line as ``BENCH_r{N}.json``; until round 10 nothing in the test
-suite exercised that path, so a harness regression (e.g. the reps=0
-clamp gap that emitted the non-RFC ``Infinity`` token) could only
-surface in the driver's own run — after the round's code was frozen.
-These tests pin the artifact contract on a tiny headline set at
-sf0.001: one parseable JSON line, the min-of-N protocol stamped,
+The driver runs ``python bench.py`` each round and records a ~2,000-
+char stdout TAIL as ``BENCH_r{N}.json``; until round 10 nothing in the
+test suite exercised that path, so a harness regression (e.g. the
+reps=0 clamp gap that emitted the non-RFC ``Infinity`` token) could
+only surface in the driver's own run — after the round's code was
+frozen. Round 13 added a second failure mode: the single artifact line
+outgrew the tail capture and the driver recorded ``parsed: null``.
+These tests pin the r14 two-line contract on a tiny headline set at
+sf0.001: a full diagnostic JSON line followed by a compact FINAL line
+under ``FINAL_LINE_BUDGET_BYTES``, the min-of-N protocol stamped,
 failure isolation (a broken query nulls the total but never the
 artifact), and the reps clamp."""
 
@@ -51,12 +54,35 @@ def _run(
     monkeypatch.setattr(bench, "EXTENDED", list(extended))
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
-    # the contract: the LAST stdout line is the one JSON artifact line
-    return json.loads(out[-1])
+    # the r14 contract: TWO stdout JSON lines — the full diagnostic
+    # record, then the compact budget-capped FINAL line the driver's
+    # ~2,000-char stdout tail capture always contains in full
+    compact_line = out[-1]
+    assert len(compact_line.encode()) <= bench.FINAL_LINE_BUDGET_BYTES
+    return json.loads(out[-2]), json.loads(compact_line)
 
 
 def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
-    art = _run(bench, capsys, monkeypatch, ["topk_orders", "grep_docs"])
+    art, compact = _run(bench, capsys, monkeypatch, ["topk_orders", "grep_docs"])
+    # the compact FINAL line carries exactly what the driver grades,
+    # copied (not recomputed) from the diagnostic record
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "n_measured",
+        "n_expected",
+        "sf",
+        "runs_per_query",
+        "box_load_ok",
+        "extended_queries",
+    ):
+        assert compact[key] == art[key], key
+    assert "preceding stdout line" in compact["diagnostics"]
+    # growth-prone stamps stay OFF the final line
+    for absent in ("load_1m_per_query", "idle_wait", "protocol", "errors"):
+        assert absent not in compact
     assert art["metric"] == "headline_queries_total_sec"
     assert art["unit"] == "sec"
     assert art["runs_per_query"] == 2
@@ -108,12 +134,18 @@ def test_bench_failure_isolation_nulls_total_not_artifact(
     lesson baked into bench.py): its error is recorded, the healthy
     query's timing survives, and the TOTAL is null — a partial sum
     would compare unlike sets across rounds."""
-    art = _run(bench, capsys, monkeypatch, ["topk_orders", "no_such_query"])
+    art, compact = _run(bench, capsys, monkeypatch, ["topk_orders", "no_such_query"])
     assert art["value"] is None
     assert art["n_measured"] == 1 and art["n_expected"] == 2
     assert "topk_orders" in art["queries"]
     assert "no_such_query" in art["errors"]
     assert "KeyError" in art["errors"]["no_such_query"]
+    # the compact line records WHICH queries failed (bounded name
+    # list); the error DETAILS live only on the diagnostic line so
+    # the worst case (all 18 failing) can't blow the byte budget
+    assert compact["value"] is None
+    assert compact["failed"] == ["no_such_query"]
+    assert "errors" not in compact
     # load samples cover FAILED queries too (the load context of a
     # failure is exactly when you want the sample)
     assert set(art["load_1m_per_query"]) == {"topk_orders", "no_such_query"}
@@ -121,7 +153,7 @@ def test_bench_failure_isolation_nulls_total_not_artifact(
 
 
 def test_bench_reps_clamped_to_at_least_one(bench, capsys, monkeypatch, spark):
-    art = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="0")
+    art, _ = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="0")
     assert art["runs_per_query"] == 1
     assert art["value"] is not None and art["value"] > 0
     json.dumps(art, allow_nan=False)
@@ -133,12 +165,23 @@ def test_bench_extended_section_measured_but_not_in_anchor(
     """r12 verdict #4: extended queries run on the same min-of-N
     protocol but live outside the anchor — the total must be the
     HEADLINE sum only, with the extended timing stamped separately."""
-    art = _run(
+    art, compact = _run(
         bench, capsys, monkeypatch, ["topk_orders"], extended=["grep_docs"]
     )
     assert set(art["extended_queries"]) == {"grep_docs"}
     assert art["extended_queries"]["grep_docs"] > 0
     assert "extended_errors" not in art
+    # r13 verdict #3: the extended section runs LAST, on the most-
+    # loaded box state of the run — its per-query [before, after]
+    # load samples must be stamped too (r13 measured then DISCARDED
+    # them, leaving the pagerank 1.34x-vs-idle point unexplainable)
+    assert set(art["extended_load_1m_per_query"]) == {"grep_docs"}
+    for pair in art["extended_load_1m_per_query"].values():
+        assert len(pair) == 2 and all(v >= 0 for v in pair)
+    # the compact final line carries the extended timings (they're
+    # the sf0.1 trend the verdict reads) but not the load stamps
+    assert compact["extended_queries"] == art["extended_queries"]
+    assert "extended_load_1m_per_query" not in compact
     # anchor total is headline-only
     assert art["value"] == pytest.approx(
         round(sum(art["queries"].values()), 3), abs=1e-6
@@ -155,13 +198,16 @@ def test_bench_extended_failure_never_nulls_anchor_total(
     """An extended-section failure is recorded but must NOT null the
     headline total — only headline errors make cross-round totals
     compare unlike sets."""
-    art = _run(
+    art, compact = _run(
         bench, capsys, monkeypatch, ["topk_orders"], extended=["no_such_query"]
     )
     assert art["value"] is not None and art["value"] > 0
     assert "errors" not in art
     assert "KeyError" in art["extended_errors"]["no_such_query"]
     assert art["extended_queries"] == {}
+    assert compact["value"] is not None
+    assert compact["extended_failed"] == ["no_such_query"]
+    assert "failed" not in compact
     json.dumps(art, allow_nan=False)
 
 
@@ -209,7 +255,64 @@ def test_bench_non_numeric_reps_falls_back(bench, capsys, monkeypatch, spark):
     """ADVICE r10: a malformed SPARK_GRAFT_BENCH_REPS aborted before
     any JSON printed — the exact broken-artifact mode the reps clamp
     exists to prevent; it must fall back to the default instead."""
-    art = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="three")
+    art, _ = _run(bench, capsys, monkeypatch, ["topk_orders"], reps="three")
     assert art["runs_per_query"] == 3
     assert art["value"] is not None and art["value"] > 0
     json.dumps(art, allow_nan=False)
+
+
+def test_bench_final_line_byte_budget_worst_case(bench):
+    """r13 verdict #1: BENCH_r13.json went ``parsed: null`` because the
+    single artifact line outgrew the driver's ~2,000-char stdout tail
+    capture. The compact FINAL line must fit FINAL_LINE_BUDGET_BYTES
+    for every shape the REAL headline/extended lists can produce —
+    pinned here on the two adversarial extremes: (a) every query
+    succeeds at max-width timings (widest per-name encoding), (b)
+    every query fails with long error messages (which must reach the
+    final line only as name lists)."""
+
+    def diag(times, errors, ext_times, ext_errors):
+        d = {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(times.values()), 3) if not errors else None,
+            "unit": "sec",
+            "queries": times,
+            "n_measured": len(times),
+            "n_expected": len(times) + len(errors),
+            "sf": 0.1,
+            "runs_per_query": 3,
+            "box_load_ok": False,
+            "extended_queries": ext_times,
+        }
+        if errors:
+            d["errors"] = errors
+        if ext_errors:
+            d["extended_errors"] = ext_errors
+        return d
+
+    wide = 99999.999
+    long_err = "SomeVeryLongExceptionClassName: " + "x" * 300
+    all_ok = diag(
+        {n: wide for n in bench.HEADLINE},
+        {},
+        {n: wide for n in bench.EXTENDED},
+        {},
+    )
+    all_fail = diag(
+        {},
+        {n: long_err for n in bench.HEADLINE},
+        {},
+        {n: long_err for n in bench.EXTENDED},
+    )
+    for d in (all_ok, all_fail):
+        compact = bench.compact_record(d)
+        line = json.dumps(compact)
+        assert len(line.encode()) <= bench.FINAL_LINE_BUDGET_BYTES, len(line)
+        # error details must never reach the final line
+        assert "errors" not in compact and "extended_errors" not in compact
+    assert all_fail["errors"] and bench.compact_record(all_fail)["failed"] == sorted(
+        bench.HEADLINE
+    )
+    # the budget itself keeps a >=25% margin under the ~2,000-char
+    # driver tail capture
+    assert bench.FINAL_LINE_BUDGET_BYTES <= 1500

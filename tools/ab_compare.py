@@ -26,7 +26,7 @@ signature).
 
 Usage:
     python tools/ab_compare.py --a graph_pagerank --b my_rewrite.py::pagerank_v2 \\
-        [--sf-dir /root/testdata/sf0.1] [--pairs 5]
+        [--sf-dir /root/testdata/sf0.1] [--pairs 9]
 
 Prints one JSON line: per-pair times, medians, per-pair ratios, and
 ``median_ratio_b_over_a`` (< 1.0 = B faster).
@@ -48,8 +48,11 @@ sys.path.insert(0, REPO)
 # single source of truth for "idle" (review r13): a retuned bench
 # threshold must retune this tool in the same instant, and the
 # artifact must be self-describing — a reader re-derives box_load_ok
-# from the stamped threshold, as with bench.py's artifact.
-from bench import BOX_LOAD_THRESHOLD_1M  # noqa: E402
+# from the stamped threshold, as with bench.py's artifact. Imported
+# from the engine-free constants module (ADVICE r13): importing it
+# from bench.py executed bench's top level, which drags in the whole
+# plans REGISTRY/session chain before this tool even parses args.
+from bench_constants import BOX_LOAD_THRESHOLD_1M  # noqa: E402
 
 
 def ab_schedule(pairs: int) -> list[str]:
@@ -221,7 +224,12 @@ def main() -> None:
     ap.add_argument("--a", required=True, help="registry name or file.py::func")
     ap.add_argument("--b", required=True, help="registry name or file.py::func")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--pairs", type=lambda v: max(1, int(v)), default=5)
+    # default 9 (r13 verdict #5): the five calibration runs showed
+    # 5-pair self-vs-self MEDIANS wandering +/-11% on no-op changes
+    # (SELF_MEDIAN_RANGE_SF0_1) — more pairs shrink the median's
+    # wander directly, and the protocol already loops, so the extra
+    # cost is 8 more runs of the variant pair.
+    ap.add_argument("--pairs", type=lambda v: max(1, int(v)), default=9)
     args = ap.parse_args()
 
     from map_reduce_showcase_spark.session import get_spark
