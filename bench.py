@@ -73,7 +73,10 @@ HEADLINE = [
 # Shared with tools/ab_compare.py via the engine-free constants
 # module (ADVICE r13) — re-exported here so bench.BOX_LOAD_THRESHOLD_1M
 # readers (tests, docs) keep a single source of truth.
-from bench_constants import BOX_LOAD_THRESHOLD_1M  # noqa: E402,F401
+from bench_constants import (  # noqa: E402,F401
+    ANCHOR_BAND_MIN_OF_3_SEC,
+    BOX_LOAD_THRESHOLD_1M,
+)
 
 #: Bounded wait-for-idle (round-12 verdict #2): ``box_load_ok:
 #: false`` made a loaded run self-REPORTING, but the r12 driver run
@@ -366,20 +369,17 @@ def main() -> None:
             "waited_sec": waited_sec,
             "load_trajectory_1m": load_trajectory,
         },
-        # measured across six idle-box fresh-JVM runs on headline-
-        # identical code: 11.90/12.19 s (round-10, back to back),
-        # 11.889 s (round-11), 11.862 s (round-12), 11.17/10.529 s
-        # (round-13, back to back after that round's fresh testdata
-        # regeneration — a reproducible DATA-state shift, so the band
-        # absorbs per-round data regimes as well as box state; within
-        # one data regime the spread stays ~3-6%). Totals outside
-        # this band on code-identical headline files indicate box
-        # load, not regression. This band is also the min-of-3-era
-        # ANCHOR the 2x bar compares against (BASELINE.md "Bench
-        # anchor, min-of-3 era"): the single-run 18.444 s anchor
-        # includes noise min-of-3 removes, so ratios against it
-        # flatter by ~18%.
-        "min_of_3_fresh_jvm_spread_sec": [10.53, 12.19],
+        # the idle-box band on headline-identical code — run
+        # provenance and maintenance rules live on the constant
+        # (bench_constants.ANCHOR_BAND_MIN_OF_3_SEC; eight runs as of
+        # round 14, absorbing per-round DATA regimes as well as box
+        # state). Totals outside this band on code-identical headline
+        # files indicate box load or a new data regime, not
+        # regression. This band is also the min-of-3-era ANCHOR the
+        # 2x bar compares against (BASELINE.md "Bench anchor,
+        # min-of-3 era"): the single-run 18.444 s anchor includes
+        # noise min-of-3 removes, so ratios against it flatter ~18%.
+        "min_of_3_fresh_jvm_spread_sec": list(ANCHOR_BAND_MIN_OF_3_SEC),
         "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",
         "single_run_era": {
             "rounds": "r01-r09",
