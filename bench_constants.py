@@ -20,16 +20,16 @@ BOX_LOAD_THRESHOLD_1M = 2.0
 
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
-#: ``tools/bench_trend.py`` adjudicates against). NINE idle runs on
+#: ``tools/bench_trend.py`` adjudicates against). TEN idle runs on
 #: headline-identical code: 11.90/12.19 s (round-10, back to back),
 #: 11.889 s (r11), 11.862 s (r12), 11.17/10.529 s (r13 pair, after
 #: that round's testdata regeneration — a faster data regime), and
-#: the round-14 post-regeneration TRIPLET 12.364/12.53/11.852 s
-#: (2026-08-16, freshly-booted box, start loads 1.26/0.17/0.00 —
-#: the ROUND-14 regenerated testdata reads at the band's high
-#: region, with the two high points carrying residual 5m-scale box
-#: state and the cleanest-start run landing back inside the old
-#: 12.19 edge). The band absorbs per-round DATA regimes as well as
+#: the round-14 post-regeneration QUADRUPLET
+#: 12.364/12.53/11.852/12.245 s (2026-08-16, freshly-booted box,
+#: start loads 1.26/0.17/0.00/0.00 — the ROUND-14 regenerated
+#: testdata reads at the band's high region, 11.85-12.53 s, with the
+#: two early high points carrying residual 5m-scale box state and
+#: both clean-start runs inside the envelope). The band absorbs per-round DATA regimes as well as
 #: box state; within one regime the spread stays ~3-6%. Maintained
 #: edge-by-edge with provenance, never point-to-point
 #: (SCALING.md#noise-band).
@@ -46,12 +46,14 @@ SINGLE_RUN_ERA_BAND_SEC = [13.94, 16.45]
 #: heavies (r13 verdict #4), same min-of-3 protocol, measured AFTER
 #: the headline loop (so every point carries Spark's own accumulated
 #: self-load — the [before, after] stamps distinguish that from
-#: EXTERNAL load). Seven idle runs: the r13 pair + the pre-regen r14
-#: pair (2026-08-15) + the post-regen r14 TRIPLET (2026-08-16; the
-#: regenerated regime reads triangle 4.805/5.10 — above the old
-#: 3.59-4.41 edge on two of three runs, edge moved with provenance —
-#: fuzzy 2.377/2.567 under the old 2.44 low edge, and containment
-#: 1.947 in the triplet's third run, above the old 1.82 edge).
+#: EXTERNAL load). Eight idle runs: the r13 pair + the pre-regen r14
+#: pair (2026-08-15) + the post-regen r14 QUADRUPLET (2026-08-16; the
+#: regenerated regime reads triangle 4.805/5.10/3.98/4.115 — above
+#: the old 3.59-4.41 edge on two of four runs, edge moved with
+#: provenance — fuzzy 2.377-2.625 nudging the old 2.44 low edge
+#: down, and containment 1.678-1.947, whose third-run 1.947 moved
+#: the high edge and whose fourth run, 1.8, confirms the edge is
+#: not still growing).
 #: Machine-readable copy of SCALING.md's "Extended-heavy observed
 #: ranges"; ``tools/bench_trend.py`` grades against these.
 EXTENDED_OBSERVED_RANGES_SEC = {
