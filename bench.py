@@ -133,6 +133,15 @@ def compact_record(diag: dict) -> dict:
         "sf": diag["sf"],
         "runs_per_query": diag["runs_per_query"],
         "box_load_ok": diag["box_load_ok"],
+        # run-level load stamps (fixed-size, ~90 bytes): without them
+        # an above-band driver artifact with box_load_ok true could
+        # not be adjudicated from the compact line at all — bench_trend
+        # needs start load + final loadavg to tell external load from
+        # a real regression (review r14). .get(): adjudication-optional,
+        # so a stamp-less synthetic diag still compacts.
+        "load_1m_at_start": diag.get("load_1m_at_start"),
+        "loadavg_final": diag.get("loadavg_final"),
+        "box_load_threshold_1m": diag.get("box_load_threshold_1m"),
         "extended_queries": diag["extended_queries"],
         "diagnostics": "full record on preceding stdout line",
     }
@@ -140,6 +149,19 @@ def compact_record(diag: dict) -> dict:
         compact["failed"] = sorted(diag["errors"])
     if diag.get("extended_errors"):
         compact["extended_failed"] = sorted(diag["extended_errors"])
+    # Runtime budget guard: the byte-budget test pins the default
+    # HEADLINE/EXTENDED shapes, but SPARK_GRAFT_BENCH_SET=all sweeps
+    # the whole registry and its 171-entry queries dict (~6 KB) would
+    # reintroduce the r13 truncation. Degrade, never overflow: drop
+    # the per-query dicts (the full record on the PRECEDING line keeps
+    # them) until the line fits.
+    for victim in ("queries", "extended_queries"):
+        if len(json.dumps(compact).encode()) <= FINAL_LINE_BUDGET_BYTES:
+            break
+        compact[victim] = (
+            f"<{len(diag[victim])} entries — over final-line budget, "
+            "see full record on preceding stdout line>"
+        )
     return compact
 
 

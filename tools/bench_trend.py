@@ -4,36 +4,46 @@ bands (r13 verdict #4's end goal: "so r15 can adjudicate an extended
 riser mechanically").
 
 Reads driver artifacts (``BENCH_r{N}.json`` — the driver's
-``{"n", "rc", "tail"}`` stdout-tail capture) and builder artifacts
-(``BENCH_LOCAL_r{N}.json`` — the full diagnostic record bench.py prints
-first), extracts the compact record, and grades:
+``{"n", "rc", "parsed", "tail"}`` stdout-tail capture) and builder
+artifacts (``BENCH_LOCAL_r{N}.json`` — the full diagnostic record
+bench.py prints first), extracts the record, and grades:
 
-- the headline total against the min-of-3 idle-box ANCHOR band
-  (``bench_constants.ANCHOR_BAND_MIN_OF_3_SEC``, the same band bench.py
-  stamps as ``min_of_3_fresh_jvm_spread_sec``), and
+- the headline total against the era-matched band
+  (``bench_constants.ANCHOR_BAND_MIN_OF_3_SEC`` for min-of-3 records,
+  ``SINGLE_RUN_ERA_BAND_SEC`` for r01-r09 single-run artifacts), and
 - each ``extended_queries`` heavy against its observed idle range
   (``bench_constants.EXTENDED_OBSERVED_RANGES_SEC`` — the machine-
   readable copy of SCALING.md's "Extended-heavy observed ranges").
 
-Out-of-band readings are adjudicated from the artifact's own load
-stamps per the standing rules (SCALING.md#noise-band): a reading whose
-pre-query 1m loadavg exceeded the ``box_load_threshold_1m`` is stamped
-``load_suspect`` (box state, not regression); an out-of-band reading on
-an idle box is stamped ``investigate`` — that's either a plan
-regression (check ``tools/freshness_check.py`` / git) or a per-round
-DATA-regime shift (the bands absorb regimes: update the constant WITH
-provenance once the new regime reproduces on an idle pair, as the
-round-13 fresh-testdata shift did for the anchor band).
+Out-of-band readings are adjudicated from the RUN-LEVEL load stamps
+(start load / box_load_ok / final loadavg / first headline query's
+pre-sample) per the standing rules (SCALING.md#noise-band): a run that
+demonstrably started loaded — or whose 5m average shows external work
+draining — is stamped ``load_suspect`` (box state, not regression); an
+out-of-band reading on a clean-start run is stamped ``investigate`` —
+either a plan regression (check ``tools/freshness_check.py`` / git) or
+a per-round DATA-regime shift (the bands absorb regimes: update the
+constant WITH provenance once the new regime reproduces on an idle
+pair, as the round-13 and round-14 regenerations did).
+
+Deliberately NOT used for adjudication: the extended section's mid-run
+``extended_load_1m_per_query`` samples. The section runs LAST, after
+minutes of measurement, so those samples always carry Spark's OWN
+accumulated self-load (2.8-11.3 on the committed idle runs) — a
+threshold on them would stamp every real extended regression
+``load_suspect``. They are attached as evidence only.
 
 Usage::
 
     python tools/bench_trend.py              # newest round's artifacts
     python tools/bench_trend.py --artifact BENCH_LOCAL_r14.json
     python tools/bench_trend.py --all        # cross-round trend table
-    python tools/bench_trend.py --strict     # exit 1 on any 'investigate'
+    python tools/bench_trend.py --strict     # exit 1 unless cleanly graded
 
-Report-only by default (exit 0); ``--strict`` exits 1 when any entry
-grades ``investigate`` so a round-end recipe can gate on it.
+Report-only by default (exit 0); ``--strict`` exits 1 when any graded
+entry is ``investigate`` OR when an artifact in the graded set cannot
+be graded at all (unparseable tail, null total) — an ungradable round
+is a gate failure, not an all-clear (the r13 truncation lesson).
 """
 
 from __future__ import annotations
@@ -56,42 +66,106 @@ from bench_constants import (  # noqa: E402
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _best_record(candidates: list[dict]) -> dict | None:
+    """The fullest record wins: the diagnostic line carries strictly
+    more keys than the compact line derived from it."""
+    with_value = [c for c in candidates if isinstance(c, dict) and "value" in c]
+    return max(with_value, key=lambda c: len(c), default=None)
+
+
+def _scan_json_lines(text: str) -> list[dict]:
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            cand = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(cand, dict):
+            out.append(cand)
+    return out
+
+
 def extract_record(path: Path) -> dict:
     """Parse one artifact into ``{round, kind, record, reason}``.
 
-    ``record`` is the compact/diagnostic dict (or None when
+    ``record`` is the diagnostic/compact dict (or None when
     unrecoverable, with ``reason`` saying why — e.g. round 13's
     truncated driver tail, the defect the compact final line fixed).
     """
-    raw = json.loads(path.read_text())
     m = re.search(r"_r(\d+)", path.name)
     rnd = int(m.group(1)) if m else None
-    if "tail" in raw and "rc" in raw:
-        # Driver capture: the record is the LAST parseable JSON object
-        # line in the ~2,000-char stdout tail. Since round 14 that is
-        # the compact final line (budget-capped, always whole); older
-        # tails may hold a whole single-line record (r10-r12) or a
-        # truncated head (r13 -> unrecoverable).
-        rec, reason = None, "no parseable JSON line in driver tail"
-        for line in raw["tail"].splitlines():
-            line = line.strip()
-            if not (line.startswith("{") and line.endswith("}")):
-                continue
-            try:
-                cand = json.loads(line)
-            except ValueError:
-                continue
-            if isinstance(cand, dict) and "value" in cand:
-                rec, reason = cand, None
+    text = path.read_text()
+    try:
+        raw = json.loads(text)
+    except ValueError:
+        # A local artifact captured via `python bench.py > file` holds
+        # TWO JSON lines (diagnostic + compact) — not one document.
+        rec = _best_record(_scan_json_lines(text))
+        return {"round": rnd, "kind": "local", "record": rec,
+                "reason": None if rec else "no parseable JSON record",
+                "path": str(path)}
+    if isinstance(raw, dict) and "tail" in raw and "rc" in raw:
+        # Driver capture. The driver's own extraction ("parsed") is
+        # authoritative when non-null — grade what the driver graded;
+        # scan the tail only for the parsed:null recovery case (r13).
+        parsed = raw.get("parsed")
+        if isinstance(parsed, dict) and "value" in parsed:
+            rec = parsed
+        else:
+            rec = _best_record(_scan_json_lines(raw["tail"]))
         return {
             "round": raw.get("n", rnd),
             "kind": "driver",
             "record": rec,
-            "reason": reason,
+            "reason": None if rec else "no parseable JSON line in driver tail",
             "path": str(path),
         }
     return {"round": rnd, "kind": "local", "record": raw, "reason": None,
             "path": str(path)}
+
+
+def _load_adjudication(rec: dict) -> dict:
+    """Standing rule, applied at RUN level: blame box state when the
+    run's own stamps show external load; a clean-start run's
+    out-of-band reading needs investigation. Mid-run per-query samples
+    are NOT thresholded (Spark self-load dominates them)."""
+    thresh = rec.get("box_load_threshold_1m", BOX_LOAD_THRESHOLD_1M)
+    start = rec.get("load_1m_at_start")
+    final = rec.get("loadavg_final")
+    per_q = rec.get("load_1m_per_query") or {}
+    has_any_stamp = ("box_load_ok" in rec or start is not None
+                     or final is not None or bool(per_q))
+    if not has_any_stamp:
+        # Pre-r11 driver artifacts carry no load stamps at all — the
+        # reading can't be adjudicated from the artifact, and those
+        # driver runs are known loaded-box sessions. Not an
+        # 'investigate' flag: there is nothing current to act on.
+        return {"adjudication": "unadjudicable_no_load_stamps",
+                "evidence": {}}
+    if (start is not None and start >= thresh) or not rec.get(
+            "box_load_ok", True):
+        return {"adjudication": "load_suspect",
+                "evidence": {"load_1m_at_start": start,
+                             "box_load_ok": rec.get("box_load_ok")}}
+    # r11-style records: no run-level start stamp, but the FIRST
+    # headline query's pre-sample is a clean start-of-run reading
+    # (before Spark's own threads accumulate into the average).
+    if start is None and per_q:
+        samples = [v for v in per_q.values() if v]
+        first_before = samples[0][0] if samples else None
+        if first_before is not None and first_before >= thresh:
+            return {"adjudication": "load_suspect",
+                    "evidence": {"first_query_load_before": first_before}}
+    if final is not None and len(final) > 1 and final[1] >= 2 * thresh:
+        # 5m average still draining external work (SCALING.md:
+        # box_load_ok can pass while 5m-scale state inflates ~1.25x).
+        return {"adjudication": "load_suspect",
+                "evidence": {"loadavg_final_5m": final[1]}}
+    return {"adjudication": "investigate",
+            "evidence": {"load_1m_at_start": start}}
 
 
 def _grade_headline(rec: dict) -> dict:
@@ -104,6 +178,8 @@ def _grade_headline(rec: dict) -> dict:
     out = {"value": value, "band": [lo, hi],
            "era": "min_of_3" if min_of_3 else "single_run"}
     if value is None:
+        # A nulled total (all headline queries failed) is ungradable —
+        # surfaced as a gate failure in --strict, never an all-clear.
         out["grade"] = "no_value"
         return out
     if lo <= value <= hi:
@@ -116,64 +192,17 @@ def _grade_headline(rec: dict) -> dict:
     else:
         out["grade"] = "above_band"
         out["ratio_to_high_edge"] = round(value / hi, 3)
-        out.update(_load_adjudication(rec, None))
+        out.update(_load_adjudication(rec))
     return out
-
-
-def _load_adjudication(rec: dict, query: str | None) -> dict:
-    """Standing rule: blame box state when the artifact's own stamps
-    show it; otherwise the reading needs investigation."""
-    thresh = rec.get("box_load_threshold_1m", BOX_LOAD_THRESHOLD_1M)
-    loads = None
-    if query is not None:
-        loads = (rec.get("extended_load_1m_per_query") or {}).get(query) \
-            or (rec.get("load_1m_per_query") or {}).get(query)
-    if loads is None:
-        # Headline total / compact record: adjudicate from the run-
-        # level stamps (start load + final loadavg).
-        start = rec.get("load_1m_at_start")
-        final = rec.get("loadavg_final")
-        if (start is not None and start >= thresh) or not rec.get(
-                "box_load_ok", True):
-            return {"adjudication": "load_suspect",
-                    "evidence": {"load_1m_at_start": start}}
-        if final is not None and len(final) > 1 and final[1] >= 2 * thresh:
-            # 5m average still draining (SCALING.md: box_load_ok can
-            # pass while 5m-scale state inflates ~1.25x).
-            return {"adjudication": "load_suspect",
-                    "evidence": {"loadavg_final_5m": final[1]}}
-        if start is None and rec.get("load_1m_per_query"):
-            # r11-style records: no run-level start stamp, but per-
-            # query [before, after] samples exist — a PRE-query sample
-            # at/over threshold means concurrent load during the run.
-            # (Post-query samples include Spark's own 32 threads, so
-            # only the first 'before' is a clean box-state reading.)
-            samples = [v for v in rec["load_1m_per_query"].values() if v]
-            first_before = samples[0][0] if samples else None
-            if first_before is not None and first_before >= thresh:
-                return {"adjudication": "load_suspect",
-                        "evidence": {"first_query_load_before":
-                                     first_before}}
-        if start is None and final is None:
-            # Pre-r11 driver artifacts carry no load stamps at all —
-            # the reading can't be adjudicated from the artifact, and
-            # those driver runs are known loaded-box sessions. Not an
-            # 'investigate' flag: there is nothing current to act on.
-            return {"adjudication": "unadjudicable_no_load_stamps",
-                    "evidence": {}}
-        return {"adjudication": "investigate",
-                "evidence": {"load_1m_at_start": start}}
-    if loads and max(loads) >= thresh:
-        return {"adjudication": "load_suspect",
-                "evidence": {"load_1m_before_after": loads}}
-    return {"adjudication": "investigate",
-            "evidence": {"load_1m_before_after": loads}}
 
 
 def _grade_extended(rec: dict) -> dict:
     out = {}
+    ext = rec.get("extended_queries")
+    if not isinstance(ext, dict):
+        ext = {}  # budget-degraded compact line or old artifact
     for q, band in EXTENDED_OBSERVED_RANGES_SEC.items():
-        t = (rec.get("extended_queries") or {}).get(q)
+        t = ext.get(q)
         entry = {"value": t, "band": list(band)}
         if t is None:
             entry["grade"] = "not_measured"
@@ -184,7 +213,14 @@ def _grade_extended(rec: dict) -> dict:
         else:
             entry["grade"] = "above_band"
             entry["ratio_to_high_edge"] = round(t / band[1], 3)
-            entry.update(_load_adjudication(rec, q))
+            # RUN-level adjudication (see module docstring: the mid-run
+            # extended samples always carry Spark self-load, so they
+            # can't separate external load from a real riser).
+            entry.update(_load_adjudication(rec))
+            mid = (rec.get("extended_load_1m_per_query") or {}).get(q)
+            if mid is not None:
+                entry.setdefault("evidence", {})[
+                    "mid_run_load_before_after_self_load_included"] = mid
         out[q] = entry
     return out
 
@@ -223,11 +259,13 @@ def main(argv=None) -> int:
     ap.add_argument("--all", action="store_true",
                     help="grade every committed artifact (trend table)")
     ap.add_argument("--strict", action="store_true",
-                    help="exit 1 if any grade is 'investigate'")
+                    help="exit 1 unless every graded artifact is cleanly "
+                         "in band or load-adjudicated")
     ap.add_argument("--json", action="store_true",
                     help="machine output: one JSON line per artifact")
     args = ap.parse_args(argv)
 
+    historical = False  # --all grades eras the gate shouldn't fail on
     if args.artifact:
         paths = [Path(a) for a in args.artifact]
     else:
@@ -235,26 +273,36 @@ def main(argv=None) -> int:
         if not paths:
             print("no BENCH artifacts found", file=sys.stderr)
             return 2
-        if not args.all:
-            newest = max(
-                (p for p in paths), key=lambda p: (
-                    int(re.search(r"_r(\d+)", p.name).group(1))))
-            rn = int(re.search(r"_r(\d+)", newest.name).group(1))
-            paths = [p for p in paths
-                     if re.search(rf"_r0*{rn}\.json$", p.name)]
+        if args.all:
+            historical = True
+        else:
+            rounds = [int(re.search(r"_r(\d+)", p.name).group(1))
+                      for p in paths]
+            rn = max(rounds)
+            paths = [p for p, r in zip(paths, rounds) if r == rn]
 
-    investigate = False
+    investigate, ungradable = [], []
     for p in paths:
         g = grade(extract_record(p))
+        rn = g["round"] if g["round"] is not None else "?"
+        if g.get("grade") == "unparseable":
+            # Historical unparseables (r02 pre-JSON, r13 truncation)
+            # are known; a CURRENT one is the r13 defect recurring.
+            if not historical:
+                ungradable.append(f"{p.name}: {g['reason']}")
+            if args.json:
+                print(json.dumps(g, sort_keys=True))
+            else:
+                print(f"r{rn:>2} {g['kind']:<6} {p.name}: "
+                      f"UNPARSEABLE — {g['reason']}")
+            continue
+        h = g["headline"]
+        if h["grade"] == "no_value" and not historical:
+            ungradable.append(f"{p.name}: headline total is null")
         if args.json:
             print(json.dumps(g, sort_keys=True))
         else:
-            if g.get("grade") == "unparseable":
-                print(f"r{g['round']:>2} {g['kind']:<6} {p.name}: "
-                      f"UNPARSEABLE — {g['reason']}")
-                continue
-            h = g["headline"]
-            print(f"r{g['round']:>2} {g['kind']:<6} {p.name}: "
+            print(f"r{rn:>2} {g['kind']:<6} {p.name}: "
                   f"headline {h['value']} s vs {h['band']} -> "
                   f"{_fmt_grade(h)}")
             for q, e in g["extended"].items():
@@ -262,13 +310,20 @@ def main(argv=None) -> int:
                     continue
                 print(f"      extended {q}: {e['value']} s vs "
                       f"{e['band']} -> {_fmt_grade(e)}")
-        for section in ([g.get("headline", {})]
-                        + list(g.get("extended", {}).values())):
+        for section in [h] + list(g["extended"].values()):
             if section.get("adjudication") == "investigate":
-                investigate = True
+                investigate.append(
+                    f"{p.name}: {section.get('value')} s vs "
+                    f"{section['band']}")
+    if ungradable:
+        print("VERDICT: ungradable artifact(s) — " + "; ".join(ungradable)
+              + ". An ungradable round is a gate failure, not an "
+              "all-clear (the r13 truncation lesson).")
+        return 1 if args.strict else 0
     if investigate:
-        print("VERDICT: investigate — out-of-band reading(s) on an idle "
-              "box; check freshness_check / git history, or record a "
+        print("VERDICT: investigate — out-of-band reading(s) on a "
+              "clean-start run: " + "; ".join(investigate)
+              + ". Check freshness_check / git history, or record a "
               "reproduced data-regime shift in bench_constants with "
               "provenance.")
         return 1 if args.strict else 0
