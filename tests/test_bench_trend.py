@@ -131,6 +131,26 @@ def test_r11_style_per_query_stamps_adjudicate_the_headline():
     assert g["evidence"]["first_query_load_before"] == 4.34
 
 
+def test_load_arriving_during_warmup_is_load_suspect():
+    """Observed live in round 14: a run stamped start 0.02 and
+    box_load_ok true, but external load arrived during the warm-up
+    pass — the first MEASURED query's pre-sample read 2.43 and the
+    total came in 1.17x its clean twin. The first headline pre-sample
+    must adjudicate even when the run-level start stamp is present
+    and clean."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    rec = {"value": hi * 1.11, "runs_per_query": 3,
+           "box_load_ok": True, "load_1m_at_start": 0.02,
+           "loadavg_final": [8.59, 3.28, 2.34],
+           "load_1m_per_query": {"wc_word_count": [2.43, 2.43],
+                                 "grep_docs": [2.43, 2.43]}}
+    g = bt._grade_headline(rec)
+    assert g["grade"] == "above_band"
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["first_query_load_before"] == 2.43
+
+
 def test_extended_riser_on_loaded_run_is_load_suspect():
     bt = _load()
     q = "graph_pagerank"

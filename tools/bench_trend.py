@@ -150,10 +150,17 @@ def _load_adjudication(rec: dict) -> dict:
         return {"adjudication": "load_suspect",
                 "evidence": {"load_1m_at_start": start,
                              "box_load_ok": rec.get("box_load_ok")}}
-    # r11-style records: no run-level start stamp, but the FIRST
-    # headline query's pre-sample is a clean start-of-run reading
-    # (before Spark's own threads accumulate into the average).
-    if start is None and per_q:
+    # The FIRST headline query's pre-sample is a second start-of-
+    # measurement reading — taken AFTER the warm-up pass, so it
+    # catches external load that arrived between the run-level start
+    # stamp and the measured loop (observed live in round 14: a run
+    # stamped start 0.02 / box_load_ok true carried 2.4-2.8 through
+    # the whole headline loop and read 13.86 s, 1.17x its clean twin;
+    # Spark's own threads have not yet accumulated into the 1m
+    # average at this first sample, so the threshold is meaningful
+    # here — unlike the mid-run/extended samples). Also the only
+    # signal for r11-style records that lack run-level stamps.
+    if per_q:
         samples = [v for v in per_q.values() if v]
         first_before = samples[0][0] if samples else None
         if first_before is not None and first_before >= thresh:
