@@ -24,13 +24,16 @@ BOX_LOAD_THRESHOLD_1M = 2.0
 #: headline-identical code: 11.90/12.19 s (round-10, back to back),
 #: 11.889 s (r11), 11.862 s (r12), 11.17/10.529 s (r13 pair, after
 #: that round's testdata regeneration — a faster data regime), and
-#: the round-14 post-regeneration QUADRUPLET
-#: 12.364/12.53/11.852/12.245 s (2026-08-16, freshly-booted box,
-#: start loads 1.26/0.17/0.00/0.00 — the ROUND-14 regenerated
-#: testdata reads at the band's high region, 11.85-12.53 s, with the
-#: two early high points carrying residual 5m-scale box state and
-#: both clean-start runs inside the envelope). The band absorbs per-round DATA regimes as well as
-#: box state; within one regime the spread stays ~3-6%. Maintained
+#: the round-14 post-regeneration QUINTUPLET
+#: 12.364/12.53/11.852/12.245/11.083 s (2026-08-16, freshly-booted
+#: box, start loads 1.26/0.17/0.00/0.00/0.01; one further run was
+#: EXCLUDED as polluted — its own load stamps caught external load
+#: arriving during warm-up). The regime spans the band's upper
+#: region, 11.08-12.53 s. The band absorbs per-round DATA regimes as
+#: well as box state; within one regime the spread is ~3-13% (the
+#: r14 regime's three clean-start points alone span 11.08-12.25 —
+#: the old ~3-6% figure came from two-point pairs and underestimated
+#: it). Maintained
 #: edge-by-edge with provenance, never point-to-point
 #: (SCALING.md#noise-band).
 ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 12.53]
