@@ -18,6 +18,20 @@ the two views equal.
 #: background flutter.
 BOX_LOAD_THRESHOLD_1M = 2.0
 
+#: Settle criterion (r14 verdict #2): the 1m gate alone passed a run
+#: at load 1.58 that still read 1.25x its idle twin — the 1m average
+#: decays minutes before the box actually finishes draining a heavy
+#: job. The gate now additionally requires EITHER the 5m loadavg
+#: under this threshold (box demonstrably idle on the 5-minute
+#: scale too) OR ``IDLE_SETTLE_MIN_SEC`` elapsed since the wait
+#: trajectory's last above-threshold 1m sample (bounded settle when
+#: the 5m average would take too long to decay). ``bench.py`` stamps
+#: which criterion gated (``gate_criterion``) so
+#: ``tools/bench_trend.py`` can grade an unsettled run
+#: ``load_suspect`` mechanically.
+BOX_LOAD_THRESHOLD_5M = 2.0
+IDLE_SETTLE_MIN_SEC = 120.0
+
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
 #: ``tools/bench_trend.py`` adjudicates against). TEN idle runs on

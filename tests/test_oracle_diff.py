@@ -120,21 +120,73 @@ def test_unverified_queries_export_inside_driver_window():
     import json
     import pathlib
 
-    from map_reduce_showcase_spark.plans.registry import query_map
+    from map_reduce_showcase_spark.plans.registry import (
+        _rows_only_proven,
+        query_map,
+    )
 
     repo = pathlib.Path(__file__).resolve().parent.parent
+    order = list(query_map())  # triggers _load_all for _rows_only_proven
     green: set[str] = set()
     for art in sorted(repo.glob("CORRECTNESS_r*.json")):
         for n, e in json.loads(art.read_text()).items():
-            if e.get("rows_match") and e.get("schema_match") and e.get("hash_match"):
+            if (
+                e.get("rows_match") and e.get("schema_match") and e.get("hash_match")
+            ) or _rows_only_proven(n, e):
+                # hash-green, or — for a query that is rows-only BY
+                # CURRENT DEFINITION — the strongest proof it can ever
+                # earn (r14 verdict #3: a permanent never-green entry
+                # burned one window slot every round forever)
                 green.add(n)
     # (pivot_event_types_daily regressed in round 2 while hidden in
     # the tail; its fix got fresh green evidence in CORRECTNESS_r03,
     # so it may ride the tail again like any other proven query)
-    order = list(query_map())
     tail = order[50:]
     not_proven = [n for n in tail if n not in green]
     assert not not_proven, f"unverified queries stuck in truncation tail: {not_proven}"
+
+
+def test_rows_only_proof_policy():
+    """r14 verdict #3: a rows-only-by-design query whose driver
+    artifact shows a clean rows-only record (err: no_oracle,
+    spark_rows > 0) is proven-at-that-round — it must NOT re-claim a
+    band-1 window slot forever. The weaker proof counts ONLY while
+    the spec is still rows-only today: adding an oracle demotes every
+    past rows-only record back to not-proof."""
+    from map_reduce_showcase_spark.plans.registry import (
+        REGISTRY,
+        _latest_green_round,
+        _load_all,
+        _rows_only_proven,
+        query_map,
+    )
+
+    _load_all()
+    clean = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 2, "oracle_rows": None, "err": "no_oracle"}
+    # the real permanent rows-only entry: currently oracle-less, so a
+    # clean rows-only record is full proof...
+    name = "streaming_sessions_timeout_eviction"
+    assert REGISTRY[name].oracle is None
+    assert _rows_only_proven(name, clean)
+    # ...and the artifacts on disk do prove it: it carries a green
+    # round and exports in the TAIL, not band 1
+    green = _latest_green_round()
+    assert name in green
+    order = list(query_map())
+    assert name not in order[:50], "rows-only entry still burning a window slot"
+    # zero rows is vacuous — never proof
+    assert not _rows_only_proven(name, {**clean, "spark_rows": 0})
+    # a driver ERROR is never proof
+    assert not _rows_only_proven(name, {**clean, "err": "SomeError: boom"})
+    # an oracle-PAIRED query's no_oracle record is never proof (e.g. a
+    # stale artifact from before its oracle existed)
+    oracled = next(n for n, s in REGISTRY.items() if s.oracle is not None)
+    assert not _rows_only_proven(oracled, clean)
+    # hash-green entries must not double-count through this path
+    assert not _rows_only_proven(
+        name, {**clean, "hash_match": True, "err": None}
+    )
 
 
 def test_export_order_is_evidence_priority():
