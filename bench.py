@@ -76,6 +76,8 @@ HEADLINE = [
 from bench_constants import (  # noqa: E402,F401
     ANCHOR_BAND_MIN_OF_3_SEC,
     BOX_LOAD_THRESHOLD_1M,
+    BOX_LOAD_THRESHOLD_5M,
+    IDLE_SETTLE_MIN_SEC,
 )
 
 #: Bounded wait-for-idle (round-12 verdict #2): ``box_load_ok:
@@ -142,26 +144,60 @@ def compact_record(diag: dict) -> dict:
         "load_1m_at_start": diag.get("load_1m_at_start"),
         "loadavg_final": diag.get("loadavg_final"),
         "box_load_threshold_1m": diag.get("box_load_threshold_1m"),
+        # settle stamps (r14 verdict #2): fixed-size, and the driver's
+        # parsed record is what bench_trend adjudicates — without them
+        # an unsettled run could not be graded load_suspect from the
+        # compact line
+        "box_settled": diag.get("box_settled"),
+        "gate_criterion": diag.get("gate_criterion"),
         "extended_queries": diag["extended_queries"],
+        # era stamp for bench_trend's band dispatch (fresh-order vs
+        # the legacy after-headline ranges)
+        "extended_order": diag.get("extended_order"),
+        "extended_queries_postheadline": diag.get(
+            "extended_queries_postheadline"
+        ),
         "diagnostics": "full record on preceding stdout line",
     }
     if diag.get("errors"):
         compact["failed"] = sorted(diag["errors"])
     if diag.get("extended_errors"):
         compact["extended_failed"] = sorted(diag["extended_errors"])
+    if diag.get("extended_postheadline_errors"):
+        compact["extended_postheadline_failed"] = sorted(
+            diag["extended_postheadline_errors"]
+        )
     # Runtime budget guard: the byte-budget test pins the default
     # HEADLINE/EXTENDED shapes, but SPARK_GRAFT_BENCH_SET=all sweeps
-    # the whole registry and its 171-entry queries dict (~6 KB) would
-    # reintroduce the r13 truncation. Degrade, never overflow: drop
-    # the per-query dicts (the full record on the PRECEDING line keeps
-    # them) until the line fits.
-    for victim in ("queries", "extended_queries"):
+    # the whole registry, and its 171-entry queries dict (~6 KB) — or
+    # a registry-wide FAILURE list (ADVICE r14: ~171 sorted names is
+    # another ~4-5 KB the old loop never shrank) — would reintroduce
+    # the r13 truncation. Degrade, never overflow: replace the
+    # unbounded collections with a count (the full record on the
+    # PRECEDING line keeps the detail) until the line fits.
+    for victim in (
+        "queries",
+        "failed",
+        "extended_queries",
+        "extended_failed",
+        "extended_queries_postheadline",
+        "extended_postheadline_failed",
+    ):
         if len(json.dumps(compact).encode()) <= FINAL_LINE_BUDGET_BYTES:
             break
-        compact[victim] = (
-            f"<{len(diag[victim])} entries — over final-line budget, "
-            "see full record on preceding stdout line>"
-        )
+        if isinstance(compact.get(victim), (dict, list)) and compact[victim]:
+            compact[victim] = (
+                f"<{len(compact[victim])} entries — over final-line "
+                "budget, see full record on preceding stdout line>"
+            )
+    # everything left is fixed-size; a line still over budget here is
+    # a bug in THIS function, and overflowing silently is exactly the
+    # r13 parsed:null failure — fail loudly instead
+    line = json.dumps(compact).encode()
+    assert len(line) <= FINAL_LINE_BUDGET_BYTES, (
+        f"compact record {len(line)} bytes > {FINAL_LINE_BUDGET_BYTES} "
+        "after degrading every unbounded field"
+    )
     return compact
 
 
@@ -169,23 +205,70 @@ def wait_for_idle(
     cap_sec: float,
     poll_sec: float = IDLE_WAIT_POLL_SEC,
     threshold: float = BOX_LOAD_THRESHOLD_1M,
-    sample=lambda: os.getloadavg()[0],
+    threshold_5m: float = BOX_LOAD_THRESHOLD_5M,
+    settle_min_sec: float = IDLE_SETTLE_MIN_SEC,
+    sample=os.getloadavg,
     sleep=time.sleep,
-) -> tuple[list[float], float]:
-    """Poll the 1m loadavg until it drops under ``threshold`` or
-    ``cap_sec`` elapses; returns ``(trajectory, waited_sec)``. The
-    comparison uses the ROUNDED sample so the stamped trajectory and
-    the adjudicated ``box_load_ok`` can't disagree at the boundary.
-    ``sample``/``sleep`` are injectable so the contract test can
-    drive both paths without a 10-minute pytest stall."""
-    trajectory = [round(sample(), 2)]
+) -> dict:
+    """Poll the loadavg until the box is idle AND settled, or
+    ``cap_sec`` elapses. Two criteria must hold to pass (r14 verdict
+    #2 — the 1m threshold alone passed a run at load 1.58 that still
+    read 1.25x its idle twin, because the 1m average decays minutes
+    before a heavy job's residue actually drains):
+
+    1. the 1m loadavg is under ``threshold``, and
+    2. EITHER the 5m loadavg is under ``threshold_5m`` (idle on the
+       5-minute scale too — the instant-pass path on a genuinely
+       quiet box) OR at least ``settle_min_sec`` elapsed since the
+       trajectory's last above-threshold 1m sample (bounded settle
+       when the 5m average would take several more minutes to decay
+       below threshold after a long heavy job). The settle clock
+       starts at the wait's own start when no hot sample was ever
+       observed — arriving mid-drain (1m already decayed, 5m still
+       high) gets the same minimum settle.
+
+    Returns a dict with the stamped record: ``load_trajectory_1m``,
+    ``load_trajectory_5m``, ``waited_sec``, and ``gate_criterion``
+    (``"1m_and_5m_idle"`` | ``"1m_idle_settled"`` |
+    ``"cap_exhausted"``) so ``tools/bench_trend.py`` can grade an
+    unsettled (cap-exhausted) run ``load_suspect`` mechanically.
+    Comparisons use the ROUNDED samples so the stamped trajectory and
+    the adjudicated booleans can't disagree at the boundary.
+    ``sample`` (returning an ``os.getloadavg()``-shaped triple) and
+    ``sleep`` are injectable so the contract test can drive every
+    path — including the r14 must-wait trajectory — without a
+    10-minute pytest stall."""
+    traj_1m: list[float] = []
+    traj_5m: list[float] = []
     waited = 0.0
-    while trajectory[-1] >= threshold and waited < cap_sec:
+    hot_anchor = None  # waited-time of the last 1m sample >= threshold
+    criterion = "cap_exhausted"
+    while True:
+        la = sample()
+        l1, l5 = round(la[0], 2), round(la[1], 2)
+        traj_1m.append(l1)
+        traj_5m.append(l5)
+        if l1 >= threshold:
+            hot_anchor = waited
+        elif l5 < threshold_5m:
+            criterion = "1m_and_5m_idle"
+            break
+        elif waited - (hot_anchor if hot_anchor is not None else 0.0) >= settle_min_sec:
+            criterion = "1m_idle_settled"
+            break
+        if waited >= cap_sec:
+            break
         step = min(poll_sec, cap_sec - waited)
         sleep(step)
         waited += step
-        trajectory.append(round(sample(), 2))
-    return trajectory, round(waited, 1)
+    return {
+        "load_trajectory_1m": traj_1m,
+        "load_trajectory_5m": traj_5m,
+        "waited_sec": round(waited, 1),
+        "gate_criterion": criterion,
+        "settle_min_sec": settle_min_sec,
+        "threshold_5m": threshold_5m,
+    }
 
 
 def _measure_set(
@@ -228,7 +311,104 @@ def _measure_set(
     return times, errors, load_1m
 
 
+def _reps_from_env() -> int:
+    # clamp to >= 1: reps=0 would leave every `best` at math.inf and
+    # json.dumps would emit the non-RFC `Infinity` token — breaking
+    # the one-JSON-line contract with no error recorded anywhere.
+    # A NON-NUMERIC value falls back to 3 the same way (ADVICE r10:
+    # an uncaught ValueError here aborted before any JSON printed —
+    # the exact broken-artifact mode the clamp exists to prevent).
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    except ValueError:
+        print(
+            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_REPS="
+            f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r}, using 3",
+            file=sys.stderr,
+        )
+        return 3
+
+
+def _extended_fresh_child() -> None:
+    """``python bench.py --extended-fresh`` — the r14-verdict-#4
+    child: measure the extended heavies in their OWN fresh JVM,
+    BEFORE the parent's headline loop, so the primary extended
+    numbers stop riding on Spark's accumulated end-of-run self-load
+    (the reason the r13/r14 observed ranges were ±30% wide). The
+    parent passes the names via $SPARK_GRAFT_BENCH_EXTENDED and has
+    already run the idle gate; the child prints ONE JSON line —
+    ``{"extended_queries", "extended_errors",
+    "extended_load_1m_per_query"}`` — on a single stdout line the
+    parent parses. Same warm-up + min-of-N protocol as every other
+    measured section (``_measure_set``)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "").split(",") if n]
+    reps = _reps_from_env()
+    _load_all()
+    spark = get_spark(app_name="mrs-bench-ext")
+    spark.sparkContext.setLogLevel("FATAL")
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            REGISTRY[name].builder(spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
+    times, errors, load_1m = _measure_set(spark, names, sf_dir, reps, jvm_gc)
+    out = {
+        "extended_queries": times,
+        "extended_load_1m_per_query": load_1m,
+    }
+    if errors:
+        out["extended_errors"] = errors
+    print(json.dumps(out))
+
+
+def _extended_fresh_subprocess(
+    names: list[str], reps: int
+) -> tuple[dict[str, float], dict[str, str], dict[str, list[float]]]:
+    """Run the fresh-JVM extended child and parse its one-line JSON.
+    Failure-isolated like every measured section: a crashed or
+    unparseable child records a synthetic ``_fresh_jvm`` error and
+    never touches the headline anchor."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_EXTENDED"] = ",".join(names)
+    env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extended-fresh"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                return (
+                    rec.get("extended_queries", {}),
+                    rec.get("extended_errors", {}),
+                    rec.get("extended_load_1m_per_query", {}),
+                )
+        raise ValueError(
+            f"no JSON line in child stdout (rc={proc.returncode}, "
+            f"stderr tail: {proc.stderr[-200:]!r})"
+        )
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        msg = f"{type(exc).__name__}: {exc}"
+        print(f"bench: extended fresh-JVM child FAILED: {msg}", file=sys.stderr)
+        return {}, {"_fresh_jvm": msg[:300]}, {}
+
+
 def main() -> None:
+    if "--extended-fresh" in sys.argv[1:]:
+        _extended_fresh_child()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # External-load reading taken BEFORE any Spark work (r11 verdict
@@ -255,8 +435,13 @@ def main() -> None:
             file=sys.stderr,
         )
         idle_cap = IDLE_WAIT_CAP_SEC
-    load_trajectory, waited_sec = wait_for_idle(idle_cap)
-    load_at_start = load_trajectory[-1]
+    gate = wait_for_idle(idle_cap)
+    load_at_start = gate["load_trajectory_1m"][-1]
+    # settled iff the gate passed on a criterion, not by burning the
+    # cap (r14 verdict #2): a cap-exhausted exit means the box was
+    # either still loaded on the 1m scale or inside the settle window
+    # of a recent heavy job when measurement began
+    box_settled = gate["gate_criterion"] != "cap_exhausted"
     _load_all()
     # SPARK_GRAFT_BENCH_SET=all sweeps every registered query instead
     # of the stable 18-query headline set (which stays the default so
@@ -267,6 +452,25 @@ def main() -> None:
     # the "all" sweep already contains every extended query — running
     # the section would just measure four names twice in one artifact
     extended = [] if bench_all else [q for q in EXTENDED if q not in headline]
+    reps = _reps_from_env()
+    # PRIMARY extended measurement FIRST, in its own fresh JVM (r14
+    # verdict #4): the old after-headline order measured the heavies
+    # on Spark's accumulated end-of-run self-load, which is why their
+    # observed ranges were ±30% wide and their mid-run load stamps
+    # unusable for adjudication. Running the child before the parent's
+    # SparkSession keeps the headline JVM history byte-identical to
+    # rounds 10-14 (the anchor band stays valid); only the loadavg
+    # DECAY of the child's work bleeds into the parent's early
+    # per-query samples — which is why the first-headline-pre-sample
+    # adjudication in tools/bench_trend.py is era-gated on the
+    # ``extended_order`` stamp.
+    ext_fresh_times: dict[str, float] = {}
+    ext_fresh_errors: dict[str, str] = {}
+    ext_fresh_load: dict[str, list[float]] = {}
+    if extended:
+        ext_fresh_times, ext_fresh_errors, ext_fresh_load = (
+            _extended_fresh_subprocess(extended, reps)
+        )
     spark = get_spark(app_name="mrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -292,21 +496,6 @@ def main() -> None:
         except Exception:
             pass
 
-    # clamp to >= 1: reps=0 would leave every `best` at math.inf and
-    # json.dumps would emit the non-RFC `Infinity` token — breaking
-    # the one-JSON-line contract with no error recorded anywhere.
-    # A NON-NUMERIC value falls back to 3 the same way (ADVICE r10:
-    # an uncaught ValueError here aborted before any JSON printed —
-    # the exact broken-artifact mode the clamp exists to prevent).
-    try:
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    except ValueError:
-        print(
-            "bench: ignoring non-numeric SPARK_GRAFT_BENCH_REPS="
-            f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r}, using 3",
-            file=sys.stderr,
-        )
-        reps = 3
     jvm_gc = spark.sparkContext._jvm.System.gc  # noqa: SLF001
     # 1-minute loadavg sampled around each query (round-10 verdict
     # #4): the min-of-3 protocol kills within-JVM noise, but a loaded
@@ -317,9 +506,13 @@ def main() -> None:
     # samples discriminate is a NONZERO BASELINE before the first
     # query and between-queries floors well above the core count.
     times, errors, load_1m = _measure_set(spark, headline, sf_dir, reps, jvm_gc)
-    # extended set runs AFTER the full headline loop so the anchor
-    # section sees the same JVM history it has since round 10
-    ext_times, ext_errors, ext_load = _measure_set(
+    # SECONDARY extended trend: the legacy after-headline order, kept
+    # so the r13/r14 observed ranges stay comparable while the fresh-
+    # order bands accumulate provenance (r14 verdict #4 "keep the
+    # after-headline numbers as a secondary trend"). The headline
+    # anchor section still sees the same JVM history it has since
+    # round 10 — warm-up then the 18 headline queries.
+    ext_post_times, ext_post_errors, ext_post_load = _measure_set(
         spark, extended, sf_dir, reps, jvm_gc
     )
 
@@ -375,25 +568,33 @@ def main() -> None:
         # concurrent JVM/sweep/pytest session (those run 8-32 wide).
         # adjudicated on the ROUNDED stamped value so the artifact is
         # self-consistent (a reader re-deriving ok from the fields
-        # must get the same boolean, including at the boundary)
+        # must get the same boolean, including at the boundary).
+        # Since r15 "ok" additionally requires the SETTLE criterion
+        # (r14 verdict #2): the 1m threshold alone passed a run at
+        # load 1.58 that still read 1.25x its idle twin while the box
+        # drained a just-finished heavy job.
         "box_load_threshold_1m": BOX_LOAD_THRESHOLD_1M,
         "load_1m_at_start": round(load_at_start, 2),
-        "box_load_ok": round(load_at_start, 2) < BOX_LOAD_THRESHOLD_1M,
+        "box_settled": box_settled,
+        "gate_criterion": gate["gate_criterion"],
+        "box_load_ok": (
+            round(load_at_start, 2) < BOX_LOAD_THRESHOLD_1M and box_settled
+        ),
         # Bounded wait-for-idle record (r12 verdict #2): the samples
         # the bench took while waiting for the box to go idle, plus
-        # how long it actually waited. ``load_1m_at_start`` above is
+        # how long it actually waited and WHICH criterion let it
+        # proceed (r14 verdict #2). ``load_1m_at_start`` above is
         # the LAST trajectory sample — i.e. post-wait — so a run that
         # still stamps ``box_load_ok: false`` did so only after
-        # burning the full cap without the load dropping.
+        # burning the full cap without the box going idle+settled.
         "idle_wait": {
             "cap_sec": idle_cap,
             "poll_sec": IDLE_WAIT_POLL_SEC,
-            "waited_sec": waited_sec,
-            "load_trajectory_1m": load_trajectory,
+            **gate,
         },
         # the idle-box band on headline-identical code — run
         # provenance and maintenance rules live on the constant
-        # (bench_constants.ANCHOR_BAND_MIN_OF_3_SEC; eight runs as of
+        # (bench_constants.ANCHOR_BAND_MIN_OF_3_SEC; eleven runs as of
         # round 14, absorbing per-round DATA regimes as well as box
         # state). Totals outside this band on code-identical headline
         # files indicate box load or a new data regime, not
@@ -412,23 +613,35 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # Non-anchor trend section (r12 verdict #4): same min-of-N
-    # protocol, same JVM, measured after the headline loop; NOT in
-    # "value" and its failures never null the anchor total — the
-    # headline set stays the frozen 18 so totals compare like sets.
-    out["extended_queries"] = ext_times
+    # protocol; NOT in "value" and its failures never null the anchor
+    # total — the headline set stays the frozen 18 so totals compare
+    # like sets. Since r15 the PRIMARY numbers come from the fresh-JVM
+    # before-headline child (r14 verdict #4) and the legacy after-
+    # headline order rides along as the secondary trend; the
+    # ``extended_order`` stamp is what tools/bench_trend.py dispatches
+    # its band choice (fresh vs legacy) on.
+    out["extended_queries"] = ext_fresh_times
+    out["extended_order"] = "fresh_jvm_before_headline"
     out["extended_note"] = (
         "non-anchor sf-dir trend for the sweep heavies; excluded "
         "from 'value' and from the min_of_3_fresh_jvm_spread_sec "
-        "anchor band"
+        "anchor band; measured in a fresh JVM BEFORE the headline "
+        "loop since r15 (the postheadline section keeps the legacy "
+        "order as a secondary trend)"
     )
-    # per-query [before, after] load for the extended section too
-    # (r13 verdict #3): it runs LAST, on the most-loaded box state of
-    # the whole run (r13: loadavg 5.6-7.0 by then; pagerank's 1.34x-
-    # vs-idle driver point was unexplainable from the artifact alone
-    # because these samples were measured and then discarded).
-    out["extended_load_1m_per_query"] = ext_load
-    if ext_errors:
-        out["extended_errors"] = ext_errors
+    # per-query [before, after] load for the extended sections too
+    # (r13 verdict #3): the postheadline one runs LAST, on the most-
+    # loaded box state of the whole run (r13: loadavg 5.6-7.0 by
+    # then; pagerank's 1.34x-vs-idle driver point was unexplainable
+    # from the artifact alone because these samples were measured and
+    # then discarded).
+    out["extended_load_1m_per_query"] = ext_fresh_load
+    if ext_fresh_errors:
+        out["extended_errors"] = ext_fresh_errors
+    out["extended_queries_postheadline"] = ext_post_times
+    out["extended_postheadline_load_1m_per_query"] = ext_post_load
+    if ext_post_errors:
+        out["extended_postheadline_errors"] = ext_post_errors
     # Two-line artifact (r13 verdict #1): full diagnostic record
     # first, compact budget-capped record LAST — the driver's ~2,000-
     # char stdout tail capture must always contain the whole final

@@ -34,7 +34,7 @@ IDLE_SETTLE_MIN_SEC = 120.0
 
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
-#: ``tools/bench_trend.py`` adjudicates against). TEN idle runs on
+#: ``tools/bench_trend.py`` adjudicates against). ELEVEN idle runs on
 #: headline-identical code: 11.90/12.19 s (round-10, back to back),
 #: 11.889 s (r11), 11.862 s (r12), 11.17/10.529 s (r13 pair, after
 #: that round's testdata regeneration — a faster data regime), and
@@ -74,6 +74,20 @@ SINGLE_RUN_ERA_BAND_SEC = [13.94, 16.45]
 #: Machine-readable copy of SCALING.md's "Extended-heavy observed
 #: ranges"; ``tools/bench_trend.py`` grades against these.
 EXTENDED_OBSERVED_RANGES_SEC = {
+    "graph_triangle_summary": [3.59, 5.10],
+    "graph_pagerank": [4.75, 6.18],
+    "dedup_fuzzy_names": [2.377, 2.92],
+    "dedup_containment_pairs": [1.47, 1.947],
+}
+
+#: FRESH-order idle ranges for the r15+ primary extended section
+#: (r14 verdict #4): the heavies measured in their OWN fresh JVM
+#: BEFORE the headline loop, so the numbers stop riding Spark's
+#: accumulated end-of-run self-load. PROVISIONAL — to be calibrated
+#: from two idle fresh-order runs this round; until then seeded from
+#: the legacy ranges (fresh-order points should read at or below the
+#: legacy after-headline envelope).
+EXTENDED_FRESH_RANGES_SEC = {
     "graph_triangle_summary": [3.59, 5.10],
     "graph_pagerank": [4.75, 6.18],
     "dedup_fuzzy_names": [2.377, 2.92],

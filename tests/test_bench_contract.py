@@ -76,12 +76,23 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
         "sf",
         "runs_per_query",
         "box_load_ok",
+        "box_settled",
+        "gate_criterion",
         "extended_queries",
+        "extended_order",
+        "extended_queries_postheadline",
     ):
         assert compact[key] == art[key], key
     assert "preceding stdout line" in compact["diagnostics"]
     # growth-prone stamps stay OFF the final line
-    for absent in ("load_1m_per_query", "idle_wait", "protocol", "errors"):
+    for absent in (
+        "load_1m_per_query",
+        "idle_wait",
+        "protocol",
+        "errors",
+        "extended_load_1m_per_query",
+        "extended_postheadline_load_1m_per_query",
+    ):
         assert absent not in compact
     assert art["metric"] == "headline_queries_total_sec"
     assert art["unit"] == "sec"
@@ -107,17 +118,30 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     # value itself is box state, so pin derivation, not the boolean.
     assert art["box_load_threshold_1m"] == bench.BOX_LOAD_THRESHOLD_1M
     assert art["load_1m_at_start"] >= 0
+    # r14 verdict #2: "ok" = 1m idle AND settled (gate passed on a
+    # criterion, not by burning the cap) — pin derivation, not the
+    # booleans themselves (both are box state under pytest load)
+    assert art["box_settled"] == (art["gate_criterion"] != "cap_exhausted")
     assert art["box_load_ok"] == (
         art["load_1m_at_start"] < art["box_load_threshold_1m"]
+        and art["box_settled"]
     )
     # bounded wait-for-idle record (r12 verdict #2): the artifact is
-    # self-describing about how long it waited and what the load did;
-    # with the test's 0 s cap it must have taken exactly one sample
-    # and never slept
+    # self-describing about how long it waited, what the load did,
+    # and WHICH criterion let it proceed (r14 verdict #2); with the
+    # test's 0 s cap it must have taken exactly one sample and never
+    # slept
     iw = art["idle_wait"]
     assert iw["cap_sec"] == 0.0 and iw["waited_sec"] == 0.0
     assert len(iw["load_trajectory_1m"]) == 1
+    assert len(iw["load_trajectory_5m"]) == 1
     assert art["load_1m_at_start"] == iw["load_trajectory_1m"][-1]
+    assert iw["gate_criterion"] == art["gate_criterion"]
+    assert iw["gate_criterion"] in (
+        "1m_and_5m_idle", "1m_idle_settled", "cap_exhausted"
+    )
+    assert iw["settle_min_sec"] == bench.IDLE_SETTLE_MIN_SEC
+    assert iw["threshold_5m"] == bench.BOX_LOAD_THRESHOLD_5M
     # extended section present (empty here — _run pins EXTENDED=[])
     # and excluded from the anchor semantics by construction
     assert art["extended_queries"] == {}
@@ -164,24 +188,40 @@ def test_bench_extended_section_measured_but_not_in_anchor(
 ):
     """r12 verdict #4: extended queries run on the same min-of-N
     protocol but live outside the anchor — the total must be the
-    HEADLINE sum only, with the extended timing stamped separately."""
+    HEADLINE sum only, with the extended timing stamped separately.
+    Since r15 (r14 verdict #4) the PRIMARY extended numbers come from
+    a fresh-JVM child run BEFORE the headline loop (this test runs
+    the real subprocess), with the legacy after-headline order riding
+    along as ``extended_queries_postheadline``."""
     art, compact = _run(
         bench, capsys, monkeypatch, ["topk_orders"], extended=["grep_docs"]
     )
+    # primary = fresh-order, stamped with its era marker
+    assert art["extended_order"] == "fresh_jvm_before_headline"
     assert set(art["extended_queries"]) == {"grep_docs"}
     assert art["extended_queries"]["grep_docs"] > 0
     assert "extended_errors" not in art
-    # r13 verdict #3: the extended section runs LAST, on the most-
-    # loaded box state of the run — its per-query [before, after]
-    # load samples must be stamped too (r13 measured then DISCARDED
-    # them, leaving the pagerank 1.34x-vs-idle point unexplainable)
+    # secondary = the legacy after-headline order, kept as a trend
+    assert set(art["extended_queries_postheadline"]) == {"grep_docs"}
+    assert art["extended_queries_postheadline"]["grep_docs"] > 0
+    assert "extended_postheadline_errors" not in art
+    # r13 verdict #3: per-query [before, after] load samples for BOTH
+    # extended sections (r13 measured then DISCARDED them, leaving
+    # the pagerank 1.34x-vs-idle point unexplainable)
     assert set(art["extended_load_1m_per_query"]) == {"grep_docs"}
+    assert set(art["extended_postheadline_load_1m_per_query"]) == {"grep_docs"}
     for pair in art["extended_load_1m_per_query"].values():
         assert len(pair) == 2 and all(v >= 0 for v in pair)
-    # the compact final line carries the extended timings (they're
+    # the compact final line carries both orders' timings (they're
     # the sf0.1 trend the verdict reads) but not the load stamps
     assert compact["extended_queries"] == art["extended_queries"]
+    assert compact["extended_order"] == art["extended_order"]
+    assert (
+        compact["extended_queries_postheadline"]
+        == art["extended_queries_postheadline"]
+    )
     assert "extended_load_1m_per_query" not in compact
+    assert "extended_postheadline_load_1m_per_query" not in compact
     # anchor total is headline-only
     assert art["value"] == pytest.approx(
         round(sum(art["queries"].values()), 3), abs=1e-6
@@ -203,52 +243,132 @@ def test_bench_extended_failure_never_nulls_anchor_total(
     )
     assert art["value"] is not None and art["value"] > 0
     assert "errors" not in art
+    # the fresh-JVM child records the failure per-name (or, if the
+    # child itself died, under the synthetic _fresh_jvm key — either
+    # way the anchor total survives)
     assert "KeyError" in art["extended_errors"]["no_such_query"]
     assert art["extended_queries"] == {}
+    # the legacy after-headline section is failure-isolated the same way
+    assert "KeyError" in art["extended_postheadline_errors"]["no_such_query"]
+    assert art["extended_queries_postheadline"] == {}
     assert compact["value"] is not None
     assert compact["extended_failed"] == ["no_such_query"]
+    assert compact["extended_postheadline_failed"] == ["no_such_query"]
     assert "failed" not in compact
     json.dumps(art, allow_nan=False)
 
 
+def test_bench_fresh_child_crash_is_isolated(bench, capsys, monkeypatch, spark):
+    """A crashed/unparseable fresh-JVM child must never null the
+    anchor total or kill the artifact: it records a synthetic
+    ``_fresh_jvm`` error and the run continues (same round-2
+    failure-isolation lesson as per-query errors)."""
+    monkeypatch.setattr(
+        bench, "_extended_fresh_subprocess",
+        lambda names, reps: ({}, {"_fresh_jvm": "ValueError: no JSON line"}, {}),
+    )
+    art, compact = _run(
+        bench, capsys, monkeypatch, ["topk_orders"], extended=["grep_docs"]
+    )
+    assert art["value"] is not None and art["value"] > 0
+    assert art["extended_queries"] == {}
+    assert art["extended_errors"] == {"_fresh_jvm": "ValueError: no JSON line"}
+    # the legacy in-JVM section still measured
+    assert art["extended_queries_postheadline"]["grep_docs"] > 0
+    assert compact["extended_failed"] == ["_fresh_jvm"]
+    json.dumps(art, allow_nan=False)
+
+
 def test_bench_wait_for_idle_paths(bench):
-    """The wait loop's three behaviors, driven through injected
-    sample/sleep so the test never touches the real clock: (a) an
-    already-idle box takes one sample and never sleeps; (b) a loaded
-    box that decays is waited out, trajectory recording the decay;
-    (c) a box that never idles burns exactly the cap and stops."""
-    # (a) idle immediately
+    """The settle-aware wait loop (r14 verdict #2), driven through
+    injected sample/sleep so the test never touches the real clock:
+    (a) a genuinely idle box (1m AND 5m under threshold) takes one
+    sample and never sleeps; (b) the literal r14 trajectory — 1m
+    decayed under threshold while the 5m average shows the box still
+    draining — MUST keep waiting until the settle minimum elapses
+    since the last above-threshold 1m sample (the old gate passed at
+    1.94 and read 1.25x its idle twin); (c) a 5m drop under threshold
+    releases the wait without the settle minimum; (d) a box that
+    never idles burns exactly the cap and stamps cap_exhausted; (e)
+    arriving mid-drain (1m already decayed, 5m still high, no hot
+    sample ever observed) gets the same minimum settle from the
+    wait's own start."""
+
+    def feed(pairs):
+        it = iter(pairs)
+        return lambda: (*next(it), 0.0)  # (1m, 5m, 15m) triple
+
+    # (a) idle immediately on both scales
     sleeps: list[float] = []
-    traj, waited = bench.wait_for_idle(
-        600.0, sample=lambda: 0.5, sleep=sleeps.append
-    )
-    assert traj == [0.5] and waited == 0.0 and sleeps == []
+    g = bench.wait_for_idle(600.0, sample=feed([(0.5, 0.6)]), sleep=sleeps.append)
+    assert g["load_trajectory_1m"] == [0.5]
+    assert g["load_trajectory_5m"] == [0.6]
+    assert g["waited_sec"] == 0.0 and sleeps == []
+    assert g["gate_criterion"] == "1m_and_5m_idle"
 
-    # (b) decays: 10.4 -> 4.0 -> 1.2 (under the 2.0 threshold)
-    readings = iter([10.4, 4.0, 1.2])
+    # (b) the r14 must-wait case: 1m trajectory 14.15 -> 1.94 (the
+    # old gate's pass point, 120 s in) with the 5m average still far
+    # above threshold — the gate must NOT pass at 1.94; it waits
+    # until settle_min_sec (120 s) elapsed since the last hot 1m
+    # sample (3.2 at 90 s), i.e. until 210 s
+    ones = [14.15, 8.57, 5.19, 3.2, 1.94, 1.5, 1.2, 1.0]
+    fives = [10.0, 9.0, 8.0, 7.0, 6.5, 6.0, 5.5, 5.0]
     sleeps = []
-    traj, waited = bench.wait_for_idle(
-        600.0, poll_sec=30.0, sample=lambda: next(readings), sleep=sleeps.append
+    g = bench.wait_for_idle(
+        600.0, poll_sec=30.0, sample=feed(zip(ones, fives)), sleep=sleeps.append
     )
-    assert traj == [10.4, 4.0, 1.2]
-    assert waited == 60.0 and sleeps == [30.0, 30.0]
+    assert g["load_trajectory_1m"] == ones
+    assert g["waited_sec"] == 210.0 and sleeps == [30.0] * 7
+    assert g["gate_criterion"] == "1m_idle_settled"
 
-    # (c) never idles: stops at the cap, last step truncated to fit
+    # (c) the 5m average dropping under threshold releases the wait
+    # immediately — no settle minimum needed on a demonstrably
+    # drained box
     sleeps = []
-    traj, waited = bench.wait_for_idle(
-        70.0, poll_sec=30.0, sample=lambda: 9.9, sleep=sleeps.append
+    g = bench.wait_for_idle(
+        600.0, poll_sec=30.0,
+        sample=feed([(5.0, 4.0), (1.0, 1.5)]), sleep=sleeps.append
     )
-    assert waited == 70.0 and sleeps == [30.0, 30.0, 10.0]
-    assert traj == [9.9, 9.9, 9.9, 9.9]
+    assert g["waited_sec"] == 30.0 and g["gate_criterion"] == "1m_and_5m_idle"
 
-    # boundary: adjudication uses the rounded sample, so a reading
-    # that ROUNDS to the threshold keeps waiting (box_load_ok would
-    # be false for it)
-    readings = iter([2.004, 1.99])
-    traj, waited = bench.wait_for_idle(
-        600.0, sample=lambda: next(readings), sleep=lambda s: None
+    # (d) never idles: stops at the cap, last step truncated to fit
+    sleeps = []
+    g = bench.wait_for_idle(
+        70.0, poll_sec=30.0, sample=lambda: (9.9, 9.9, 9.9), sleep=sleeps.append
     )
-    assert traj == [2.0, 1.99]
+    assert g["waited_sec"] == 70.0 and sleeps == [30.0, 30.0, 10.0]
+    assert g["load_trajectory_1m"] == [9.9, 9.9, 9.9, 9.9]
+    assert g["gate_criterion"] == "cap_exhausted"
+
+    # (e) arriving mid-drain: 1m idle from the first sample but 5m
+    # hot and no hot 1m sample ever seen — the settle clock anchors
+    # at the wait's start, so it passes at settle_min_sec
+    pairs = [(1.6, 6.0), (1.5, 5.5), (1.4, 5.0), (1.3, 4.5), (1.2, 4.0)]
+    sleeps = []
+    g = bench.wait_for_idle(
+        600.0, poll_sec=30.0, sample=feed(pairs), sleep=sleeps.append
+    )
+    assert g["waited_sec"] == 120.0
+    assert g["gate_criterion"] == "1m_idle_settled"
+
+    # boundary: adjudication uses the ROUNDED sample, so a reading
+    # that rounds to the threshold is still hot (box_load_ok would be
+    # false for it) and re-anchors the settle clock
+    g = bench.wait_for_idle(
+        600.0, sample=feed([(2.004, 1.0), (1.99, 1.0)]), sleep=lambda s: None
+    )
+    assert g["load_trajectory_1m"] == [2.0, 1.99]
+    assert g["gate_criterion"] == "1m_and_5m_idle"
+
+    # cap_exhausted can also mean "idle but UNSETTLED when the cap
+    # ran out" — the r14 defect shape under a too-short cap: 1m
+    # decayed, 5m hot, settle window not yet elapsed
+    g = bench.wait_for_idle(
+        30.0, poll_sec=30.0,
+        sample=feed([(5.0, 8.0), (1.5, 7.0)]), sleep=lambda s: None
+    )
+    assert g["gate_criterion"] == "cap_exhausted"
+    assert g["waited_sec"] == 30.0
 
 
 def test_bench_non_numeric_reps_falls_back(bench, capsys, monkeypatch, spark):
@@ -313,6 +433,23 @@ def test_bench_final_line_byte_budget_worst_case(bench):
     assert all_fail["errors"] and bench.compact_record(all_fail)["failed"] == sorted(
         bench.HEADLINE
     )
+
+    # ADVICE r14: under SPARK_GRAFT_BENCH_SET=all a registry-wide
+    # FAILURE list (~171 sorted names, ~4-5 KB) must degrade to a
+    # count like the per-query dicts do — the old loop shrank only
+    # 'queries'/'extended_queries', reintroducing the r13 truncation
+    # in exactly the mode the guard was added for
+    many = [f"some_registry_query_name_{i:03d}" for i in range(171)]
+    registry_all_fail = diag({}, {n: long_err for n in many}, {}, {})
+    compact = bench.compact_record(registry_all_fail)
+    line = json.dumps(compact)
+    assert len(line.encode()) <= bench.FINAL_LINE_BUDGET_BYTES, len(line)
+    assert isinstance(compact["failed"], str) and "171 entries" in compact["failed"]
+    registry_all_ok = diag({n: wide for n in many}, {}, {}, {})
+    compact = bench.compact_record(registry_all_ok)
+    assert len(json.dumps(compact).encode()) <= bench.FINAL_LINE_BUDGET_BYTES
+    assert isinstance(compact["queries"], str) and "171 entries" in compact["queries"]
+
     # the budget itself keeps a >=25% margin under the ~2,000-char
     # driver tail capture
     assert bench.FINAL_LINE_BUDGET_BYTES <= 1500

@@ -95,13 +95,78 @@ def test_above_band_on_stamped_loaded_box_is_load_suspect():
     assert g["adjudication"] == "load_suspect"
 
 
-def test_above_band_with_draining_5m_average_is_load_suspect():
+def test_final_loadavg_never_masks_a_regression_as_load_suspect():
+    """ADVICE r14 (the medium finding): ``loadavg_final`` is sampled
+    at END of run, after minutes of the bench's own local[32] load —
+    a genuine ~1.5-2x regression lengthens the run and pushes its OWN
+    final 5m average past any fixed threshold, so the r14
+    implementation's final-5m check stamped the regression
+    load_suspect and --strict exited 0 (larger regressions
+    self-masked more reliably). End-of-run signals must NOT
+    adjudicate: a clean-START run with an elevated final 5m average
+    is an 'investigate', never a silent load_suspect."""
     bt = _load()
     hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
-    rec = {"value": hi * 1.1, "runs_per_query": 3,
+    rec = {"value": hi * 1.6, "runs_per_query": 3,
            "load_1m_at_start": 0.1, "box_load_ok": True,
-           "loadavg_final": [0.2, 4.5, 3.0]}
-    assert bt._grade_headline(rec)["adjudication"] == "load_suspect"
+           "loadavg_final": [0.2, 4.5, 3.0]}  # the run's own self-load
+    assert bt._grade_headline(rec)["adjudication"] == "investigate"
+
+
+def test_unsettled_gate_run_is_load_suspect_from_compact_stamps():
+    """r14 verdict #2 end-to-end: a run whose idle gate exhausted the
+    cap (box idle on the 1m scale but still draining — the 13.78 s
+    r14 case) stamps box_load_ok false + gate_criterion
+    cap_exhausted, and an above-band total on it must grade
+    load_suspect mechanically, with the gate stamps as evidence."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    rec = {"value": hi * 1.25, "runs_per_query": 3,
+           "load_1m_at_start": 1.58, "box_load_ok": False,
+           "box_settled": False, "gate_criterion": "cap_exhausted"}
+    g = bt._grade_headline(rec)
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["gate_criterion"] == "cap_exhausted"
+    assert g["evidence"]["box_settled"] is False
+
+
+def test_first_query_sample_is_ignored_for_fresh_order_records():
+    """With the r15 fresh-JVM extended child running BEFORE the
+    headline loop, the first headline query's pre-sample carries the
+    decay of the bench's OWN extended work — it stops being a
+    start-side signal. For records stamped extended_order:
+    fresh_jvm_before_headline an above-band total with a hot first
+    pre-sample but clean run-level stamps must reach 'investigate',
+    not hide behind load_suspect."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    rec = {"value": hi * 1.4, "runs_per_query": 3,
+           "box_load_ok": True, "load_1m_at_start": 0.1,
+           "extended_order": "fresh_jvm_before_headline",
+           "load_1m_per_query": {"wc_word_count": [3.1, 2.9]}}
+    assert bt._grade_headline(rec)["adjudication"] == "investigate"
+    # ...while a LEGACY record with the same shape still adjudicates
+    # from the first pre-sample (the round-14 warm-up-arrival case)
+    legacy = dict(rec)
+    legacy.pop("extended_order")
+    assert bt._grade_headline(legacy)["adjudication"] == "load_suspect"
+
+
+def test_min_of_3_record_without_stamps_fails_strict(tmp_path):
+    """ADVICE r14 (low): every r10+ record stamps loads, so a
+    min-of-3-era above-band reading that LOST its stamps is a harness
+    defect — --strict must fail, not silently pass."""
+    bt = _load()
+    rec = {"metric": "headline_queries_total_sec",
+           "value": bt.ANCHOR_BAND_MIN_OF_3_SEC[1] * 1.3, "unit": "sec",
+           "queries": {}, "runs_per_query": 3, "sf": 0.1,
+           "extended_queries": {}}
+    p = _driver_artifact(tmp_path, json.dumps(rec) + "\n", n=20)
+    g = bt.grade(bt.extract_record(p))
+    assert g["headline"]["adjudication"] == "unadjudicable_no_load_stamps"
+    assert g["headline"]["strict_fail"] is True
+    assert bt.main(["--artifact", str(p), "--strict"]) == 1
+    assert bt.main(["--artifact", str(p)]) == 0  # report-only unchanged
 
 
 def test_above_band_on_idle_box_is_investigate():
@@ -181,6 +246,31 @@ def test_extended_riser_on_clean_start_run_is_investigate():
     # ...and the self-load samples ride along as labeled evidence.
     assert g["evidence"][
         "mid_run_load_before_after_self_load_included"] == [5.6, 6.2]
+
+
+def test_extended_band_dispatch_on_order_stamp():
+    """r14 verdict #4: fresh-order records grade their primary
+    extended section against EXTENDED_FRESH_RANGES_SEC and their
+    postheadline section against the legacy ranges; legacy records
+    keep the legacy ranges for their single section."""
+    bt = _load()
+    q = "graph_pagerank"
+    fresh_band = bt.EXTENDED_FRESH_RANGES_SEC[q]
+    legacy_band = bt.EXTENDED_OBSERVED_RANGES_SEC[q]
+    rec = {"extended_order": "fresh_jvm_before_headline",
+           "box_load_ok": True, "load_1m_at_start": 0.1,
+           "extended_queries": {q: fresh_band[1]},
+           "extended_queries_postheadline": {q: legacy_band[1]}}
+    g = bt._grade_extended(rec)
+    assert g[q]["band"] == list(fresh_band)
+    assert g[q]["grade"] == "in_band"
+    assert g[f"{q} (postheadline)"]["band"] == list(legacy_band)
+    assert g[f"{q} (postheadline)"]["grade"] == "in_band"
+    # legacy record: single section, legacy band
+    legacy_rec = {"extended_queries": {q: legacy_band[1]}}
+    g2 = bt._grade_extended(legacy_rec)
+    assert g2[q]["band"] == list(legacy_band)
+    assert f"{q} (postheadline)" not in g2
 
 
 def test_below_band_is_never_an_investigate_flag():

@@ -59,6 +59,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bench_constants import (  # noqa: E402
     ANCHOR_BAND_MIN_OF_3_SEC,
     BOX_LOAD_THRESHOLD_1M,
+    EXTENDED_FRESH_RANGES_SEC,
     EXTENDED_OBSERVED_RANGES_SEC,
     SINGLE_RUN_ERA_BAND_SEC,
 )
@@ -128,28 +129,43 @@ def extract_record(path: Path) -> dict:
 
 
 def _load_adjudication(rec: dict) -> dict:
-    """Standing rule, applied at RUN level: blame box state when the
-    run's own stamps show external load; a clean-start run's
-    out-of-band reading needs investigation. Mid-run per-query samples
-    are NOT thresholded (Spark self-load dominates them)."""
+    """Standing rule, applied at RUN level and ONLY from start-side
+    signals (ADVICE r14): the run-level start stamp, ``box_load_ok``
+    (which since r15 folds in the settle criterion), the idle-wait
+    gate outcome, and — when the extended section did not run first —
+    the first headline query's pre-sample. End-of-run signals are
+    deliberately NOT thresholded: ``loadavg_final`` is sampled after
+    minutes of the bench's own local[32] load, so a genuine ~1.5-2x
+    regression lengthens the run and pushes its OWN final 5m average
+    past any fixed threshold — a final-loadavg check stamps the
+    regression ``load_suspect`` and masks it, more reliably the
+    larger it is (the r14 implementation had exactly this hole).
+    Mid-run per-query samples are likewise not thresholded (Spark
+    self-load dominates them). A clean-start run's out-of-band
+    reading therefore defaults to ``investigate``."""
     thresh = rec.get("box_load_threshold_1m", BOX_LOAD_THRESHOLD_1M)
     start = rec.get("load_1m_at_start")
-    final = rec.get("loadavg_final")
     per_q = rec.get("load_1m_per_query") or {}
     has_any_stamp = ("box_load_ok" in rec or start is not None
-                     or final is not None or bool(per_q))
+                     or bool(per_q))
     if not has_any_stamp:
         # Pre-r11 driver artifacts carry no load stamps at all — the
         # reading can't be adjudicated from the artifact, and those
-        # driver runs are known loaded-box sessions. Not an
-        # 'investigate' flag: there is nothing current to act on.
+        # driver runs are known loaded-box sessions. For min-of-3-era
+        # records (runs_per_query >= 2) a stamp-less above-band
+        # reading is a GATE failure under --strict, not a silent pass
+        # (ADVICE r14): every r10+ record stamps loads, so losing
+        # them is itself a harness defect.
         return {"adjudication": "unadjudicable_no_load_stamps",
+                "strict_fail": rec.get("runs_per_query", 1) >= 2,
                 "evidence": {}}
     if (start is not None and start >= thresh) or not rec.get(
             "box_load_ok", True):
         return {"adjudication": "load_suspect",
                 "evidence": {"load_1m_at_start": start,
-                             "box_load_ok": rec.get("box_load_ok")}}
+                             "box_load_ok": rec.get("box_load_ok"),
+                             "gate_criterion": rec.get("gate_criterion"),
+                             "box_settled": rec.get("box_settled")}}
     # The FIRST headline query's pre-sample is a second start-of-
     # measurement reading — taken AFTER the warm-up pass, so it
     # catches external load that arrived between the run-level start
@@ -160,17 +176,17 @@ def _load_adjudication(rec: dict) -> dict:
     # average at this first sample, so the threshold is meaningful
     # here — unlike the mid-run/extended samples). Also the only
     # signal for r11-style records that lack run-level stamps.
-    if per_q:
+    # Era-gated OFF for fresh-order records (r15+): with the extended
+    # child running BEFORE the headline loop, this sample carries the
+    # decay of the bench's OWN extended work, so it stops being a
+    # start-side signal — the run-level stamps above already cover
+    # those records.
+    if per_q and rec.get("extended_order") != "fresh_jvm_before_headline":
         samples = [v for v in per_q.values() if v]
         first_before = samples[0][0] if samples else None
         if first_before is not None and first_before >= thresh:
             return {"adjudication": "load_suspect",
                     "evidence": {"first_query_load_before": first_before}}
-    if final is not None and len(final) > 1 and final[1] >= 2 * thresh:
-        # 5m average still draining external work (SCALING.md:
-        # box_load_ok can pass while 5m-scale state inflates ~1.25x).
-        return {"adjudication": "load_suspect",
-                "evidence": {"loadavg_final_5m": final[1]}}
     return {"adjudication": "investigate",
             "evidence": {"load_1m_at_start": start}}
 
@@ -203,12 +219,11 @@ def _grade_headline(rec: dict) -> dict:
     return out
 
 
-def _grade_extended(rec: dict) -> dict:
+def _grade_one_extended_section(
+    rec: dict, ext: dict, ranges: dict, load_key: str
+) -> dict:
     out = {}
-    ext = rec.get("extended_queries")
-    if not isinstance(ext, dict):
-        ext = {}  # budget-degraded compact line or old artifact
-    for q, band in EXTENDED_OBSERVED_RANGES_SEC.items():
+    for q, band in ranges.items():
         t = ext.get(q)
         entry = {"value": t, "band": list(band)}
         if t is None:
@@ -224,11 +239,39 @@ def _grade_extended(rec: dict) -> dict:
             # extended samples always carry Spark self-load, so they
             # can't separate external load from a real riser).
             entry.update(_load_adjudication(rec))
-            mid = (rec.get("extended_load_1m_per_query") or {}).get(q)
+            mid = (rec.get(load_key) or {}).get(q)
             if mid is not None:
                 entry.setdefault("evidence", {})[
                     "mid_run_load_before_after_self_load_included"] = mid
         out[q] = entry
+    return out
+
+
+def _grade_extended(rec: dict) -> dict:
+    """Era dispatch (r14 verdict #4): records stamped
+    ``extended_order: fresh_jvm_before_headline`` carry FRESH-order
+    primary numbers, graded against ``EXTENDED_FRESH_RANGES_SEC``;
+    their legacy after-headline numbers ride along under
+    ``extended_queries_postheadline`` and are graded against the
+    legacy ranges as a secondary trend. Older records' single
+    ``extended_queries`` section IS the legacy order."""
+    ext = rec.get("extended_queries")
+    if not isinstance(ext, dict):
+        ext = {}  # budget-degraded compact line or old artifact
+    fresh_order = rec.get("extended_order") == "fresh_jvm_before_headline"
+    primary_ranges = (
+        EXTENDED_FRESH_RANGES_SEC if fresh_order
+        else EXTENDED_OBSERVED_RANGES_SEC
+    )
+    out = _grade_one_extended_section(
+        rec, ext, primary_ranges, "extended_load_1m_per_query")
+    post = rec.get("extended_queries_postheadline")
+    if isinstance(post, dict):
+        for q, entry in _grade_one_extended_section(
+            rec, post, EXTENDED_OBSERVED_RANGES_SEC,
+            "extended_postheadline_load_1m_per_query",
+        ).items():
+            out[f"{q} (postheadline)"] = entry
     return out
 
 
@@ -322,6 +365,18 @@ def main(argv=None) -> int:
                 investigate.append(
                     f"{p.name}: {section.get('value')} s vs "
                     f"{section['band']}")
+            elif (
+                section.get("adjudication") == "unadjudicable_no_load_stamps"
+                and section.get("strict_fail")
+                and not historical
+            ):
+                # ADVICE r14: a min-of-3-era record that LOST its load
+                # stamps must not silently pass the gate — every r10+
+                # record stamps loads, so a stamp-less above-band
+                # reading is itself a harness defect.
+                ungradable.append(
+                    f"{p.name}: above-band reading with no load stamps "
+                    f"on a min-of-3-era record")
     if ungradable:
         print("VERDICT: ungradable artifact(s) — " + "; ".join(ungradable)
               + ". An ungradable round is a gate failure, not an "
