@@ -150,6 +150,12 @@ def compact_record(diag: dict) -> dict:
         # compact line
         "box_settled": diag.get("box_settled"),
         "gate_criterion": diag.get("gate_criterion"),
+        # hypervisor steal over the measured window, % of guest CPU
+        # capacity (round 15): the adjudication signal for host-side
+        # contention no loadavg can see; fixed-size (~20 bytes)
+        "steal_pct": (diag.get("cpu_steal") or {}).get(
+            "steal_pct_of_capacity"
+        ),
         "extended_queries": diag["extended_queries"],
         # era stamp for bench_trend's band dispatch (fresh-order vs
         # the legacy after-headline ranges)
@@ -311,6 +317,41 @@ def _measure_set(
     return times, errors, load_1m
 
 
+def _read_cpu_steal() -> tuple[int, int] | None:
+    """``(steal_jiffies, total_jiffies)`` from the aggregate cpu line
+    of ``/proc/stat``, or None where unavailable. Steal is the time
+    the HYPERVISOR denied this guest's runnable vCPUs — the one form
+    of external load no loadavg/idle-gate stamp can see, because the
+    thief is outside the guest entirely. Measured live in round 15:
+    start load 0.2, gate clean on both criteria, zero competing guest
+    processes — and the headline read 39.8 s (3.5x the band) while a
+    32-core burn probe showed 8.2% of guest capacity stolen. Stamped
+    as a delta across the measured window so ``tools/bench_trend.py``
+    can adjudicate such a run mechanically; unlike end-of-run loadavg
+    (ADVICE r14) steal cannot be inflated by the bench's own work, so
+    thresholding it cannot self-mask a regression."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_record(
+    before: tuple[int, int] | None, after: tuple[int, int] | None
+) -> dict | None:
+    if before is None or after is None:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return {
+        "steal_jiffies": ds,
+        "total_jiffies": dt,
+        "steal_pct_of_capacity": round(100.0 * ds / dt, 2) if dt > 0 else None,
+    }
+
+
 def _reps_from_env() -> int:
     # clamp to >= 1: reps=0 would leave every `best` at math.inf and
     # json.dumps would emit the non-RFC `Infinity` token — breaking
@@ -344,6 +385,7 @@ def _extended_fresh_child() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "").split(",") if n]
     reps = _reps_from_env()
+    steal0 = _read_cpu_steal()
     _load_all()
     spark = get_spark(app_name="mrs-bench-ext")
     spark.sparkContext.setLogLevel("FATAL")
@@ -360,6 +402,7 @@ def _extended_fresh_child() -> None:
     out = {
         "extended_queries": times,
         "extended_load_1m_per_query": load_1m,
+        "cpu_steal": _steal_record(steal0, _read_cpu_steal()),
     }
     if errors:
         out["extended_errors"] = errors
@@ -368,7 +411,7 @@ def _extended_fresh_child() -> None:
 
 def _extended_fresh_subprocess(
     names: list[str], reps: int
-) -> tuple[dict[str, float], dict[str, str], dict[str, list[float]]]:
+) -> tuple[dict[str, float], dict[str, str], dict[str, list[float]], dict | None]:
     """Run the fresh-JVM extended child and parse its one-line JSON.
     Failure-isolated like every measured section: a crashed or
     unparseable child records a synthetic ``_fresh_jvm`` error and
@@ -394,6 +437,7 @@ def _extended_fresh_subprocess(
                     rec.get("extended_queries", {}),
                     rec.get("extended_errors", {}),
                     rec.get("extended_load_1m_per_query", {}),
+                    rec.get("cpu_steal"),
                 )
         raise ValueError(
             f"no JSON line in child stdout (rc={proc.returncode}, "
@@ -402,7 +446,7 @@ def _extended_fresh_subprocess(
     except Exception as exc:  # noqa: BLE001 — record and continue
         msg = f"{type(exc).__name__}: {exc}"
         print(f"bench: extended fresh-JVM child FAILED: {msg}", file=sys.stderr)
-        return {}, {"_fresh_jvm": msg[:300]}, {}
+        return {}, {"_fresh_jvm": msg[:300]}, {}, None
 
 
 def main() -> None:
@@ -467,8 +511,12 @@ def main() -> None:
     ext_fresh_times: dict[str, float] = {}
     ext_fresh_errors: dict[str, str] = {}
     ext_fresh_load: dict[str, list[float]] = {}
+    ext_fresh_steal: dict | None = None
+    # steal window opens AFTER the idle gate (steal during an idle
+    # wait is ~0 by construction and would only dilute the percentage)
+    steal0 = _read_cpu_steal()
     if extended:
-        ext_fresh_times, ext_fresh_errors, ext_fresh_load = (
+        ext_fresh_times, ext_fresh_errors, ext_fresh_load, ext_fresh_steal = (
             _extended_fresh_subprocess(extended, reps)
         )
     spark = get_spark(app_name="mrs-bench")
@@ -518,6 +566,13 @@ def main() -> None:
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
+    # close the steal window over the whole measured span (child +
+    # headline + postheadline) — hypervisor-denied cycles are the one
+    # external load no guest loadavg stamp can see (round 15: a clean-
+    # gate run read 3.5x the band while the host stole 8.2% of
+    # capacity). Cannot be self-caused, so bench_trend may threshold
+    # it without the ADVICE-r14 self-masking failure mode.
+    cpu_steal = _steal_record(steal0, _read_cpu_steal())
     out = {
         "metric": "headline_queries_total_sec",
         # A partial total compares unlike sets across rounds, so when
@@ -602,6 +657,8 @@ def main() -> None:
         # 2x bar compares against (BASELINE.md "Bench anchor,
         # min-of-3 era"): the single-run 18.444 s anchor includes
         # noise min-of-3 removes, so ratios against it flatter ~18%.
+        "cpu_steal": cpu_steal,
+        "extended_fresh_cpu_steal": ext_fresh_steal,
         "min_of_3_fresh_jvm_spread_sec": list(ANCHOR_BAND_MIN_OF_3_SEC),
         "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",
         "single_run_era": {

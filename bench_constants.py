@@ -32,6 +32,22 @@ BOX_LOAD_THRESHOLD_1M = 2.0
 BOX_LOAD_THRESHOLD_5M = 2.0
 IDLE_SETTLE_MIN_SEC = 120.0
 
+#: Host-steal adjudication threshold (round 15): this box is a VM,
+#: and the HOST can deny it cycles ("steal" time, /proc/stat field 8)
+#: in ways no loadavg stamp can see — measured live in round 15:
+#: guest start-load 0.2, gate clean, yet a 32-core burn probe showed
+#: 8.2% of guest CPU capacity stolen and the headline read 39.8 s
+#: (3.5x) on code whose prior run graded in-band. ``bench.py`` stamps
+#: the steal delta across the measured window; an above-band reading
+#: with steal >= this % of capacity is ``load_suspect`` (external).
+#: Unlike the retired end-of-run loadavg check (ADVICE r14), steal
+#: CANNOT be self-caused: a code regression burns guest cycles, it
+#: does not make the host deny them — so thresholding it has no
+#: self-masking failure mode. Idle-host baseline reads ~0.1%;
+#: 2.0% of a 32-cpu capacity over a ~6-min run is ~230 denied
+#: cpu-seconds, far beyond background flutter.
+STEAL_SUSPECT_PCT = 2.0
+
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
 #: ``tools/bench_trend.py`` adjudicates against). ELEVEN idle runs on

@@ -142,6 +142,12 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     )
     assert iw["settle_min_sec"] == bench.IDLE_SETTLE_MIN_SEC
     assert iw["threshold_5m"] == bench.BOX_LOAD_THRESHOLD_5M
+    # hypervisor-steal stamp (r15): the window over the measured span,
+    # mirrored onto the compact line as a single percentage — the
+    # adjudication signal for host-side contention no loadavg sees
+    st = art["cpu_steal"]
+    assert st["steal_jiffies"] >= 0 and st["total_jiffies"] > 0
+    assert compact["steal_pct"] == st["steal_pct_of_capacity"]
     # extended section present (empty here — _run pins EXTENDED=[])
     # and excluded from the anchor semantics by construction
     assert art["extended_queries"] == {}
@@ -265,7 +271,9 @@ def test_bench_fresh_child_crash_is_isolated(bench, capsys, monkeypatch, spark):
     failure-isolation lesson as per-query errors)."""
     monkeypatch.setattr(
         bench, "_extended_fresh_subprocess",
-        lambda names, reps: ({}, {"_fresh_jvm": "ValueError: no JSON line"}, {}),
+        lambda names, reps: (
+            {}, {"_fresh_jvm": "ValueError: no JSON line"}, {}, None
+        ),
     )
     art, compact = _run(
         bench, capsys, monkeypatch, ["topk_orders"], extended=["grep_docs"]

@@ -152,6 +152,34 @@ def test_first_query_sample_is_ignored_for_fresh_order_records():
     assert bt._grade_headline(legacy)["adjudication"] == "load_suspect"
 
 
+def test_hypervisor_steal_adjudicates_above_band_as_load_suspect():
+    """r15: host-denied cycles are invisible to every loadavg stamp
+    (measured live: clean gate, start 0.2, headline 3.5x the band,
+    32-core probe showed 8.2% capacity stolen). An above-band reading
+    whose steal stamp crosses STEAL_SUSPECT_PCT is external load;
+    below the threshold the clean-start default ('investigate')
+    stands. Steal can't be self-caused by a regression — the host
+    denies cycles, the guest only burns them — so thresholding it has
+    no ADVICE-r14 self-masking mode."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    base = {"value": hi * 1.5, "runs_per_query": 3,
+            "box_load_ok": True, "load_1m_at_start": 0.2,
+            "extended_order": "fresh_jvm_before_headline"}
+    stolen = dict(base, steal_pct=8.2)
+    g = bt._grade_headline(stolen)
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["steal_pct_of_capacity"] == 8.2
+    # diagnostic-line shape (nested cpu_steal) adjudicates the same
+    nested = dict(base, cpu_steal={"steal_jiffies": 31318,
+                                   "total_jiffies": 1574400,
+                                   "steal_pct_of_capacity": 4.4})
+    assert bt._grade_headline(nested)["adjudication"] == "load_suspect"
+    # idle-host steal does NOT excuse an out-of-band reading
+    clean = dict(base, steal_pct=0.1)
+    assert bt._grade_headline(clean)["adjudication"] == "investigate"
+
+
 def test_min_of_3_record_without_stamps_fails_strict(tmp_path):
     """ADVICE r14 (low): every r10+ record stamps loads, so a
     min-of-3-era above-band reading that LOST its stamps is a harness

@@ -62,6 +62,7 @@ from bench_constants import (  # noqa: E402
     EXTENDED_FRESH_RANGES_SEC,
     EXTENDED_OBSERVED_RANGES_SEC,
     SINGLE_RUN_ERA_BAND_SEC,
+    STEAL_SUSPECT_PCT,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -166,6 +167,20 @@ def _load_adjudication(rec: dict) -> dict:
                              "box_load_ok": rec.get("box_load_ok"),
                              "gate_criterion": rec.get("gate_criterion"),
                              "box_settled": rec.get("box_settled")}}
+    # Hypervisor steal (r15): the one external load NO guest stamp can
+    # see — host-denied cycles on this VM. Measured live: clean gate,
+    # start load 0.2, and the headline read 3.5x the band while a
+    # 32-core probe showed 8.2% of capacity stolen. Safe to threshold
+    # despite being a whole-run signal: a code regression burns GUEST
+    # cycles, it cannot make the HOST deny them, so — unlike the
+    # retired end-of-run loadavg check — a regression cannot inflate
+    # its own steal stamp and self-mask.
+    steal = rec.get("steal_pct")
+    if steal is None:
+        steal = (rec.get("cpu_steal") or {}).get("steal_pct_of_capacity")
+    if steal is not None and steal >= STEAL_SUSPECT_PCT:
+        return {"adjudication": "load_suspect",
+                "evidence": {"steal_pct_of_capacity": steal}}
     # The FIRST headline query's pre-sample is a second start-of-
     # measurement reading — taken AFTER the warm-up pass, so it
     # catches external load that arrived between the run-level start
