@@ -96,16 +96,28 @@ EXTENDED_OBSERVED_RANGES_SEC = {
     "dedup_containment_pairs": [1.47, 1.947],
 }
 
-#: FRESH-order idle ranges for the r15+ primary extended section
-#: (r14 verdict #4): the heavies measured in their OWN fresh JVM
-#: BEFORE the headline loop, so the numbers stop riding Spark's
-#: accumulated end-of-run self-load. PROVISIONAL — to be calibrated
-#: from two idle fresh-order runs this round; until then seeded from
-#: the legacy ranges (fresh-order points should read at or below the
-#: legacy after-headline envelope).
+#: FRESH-order ranges for the r15+ primary extended section (r14
+#: verdict #4): the heavies measured in their OWN fresh JVM BEFORE
+#: the headline loop, so the numbers stop riding Spark's accumulated
+#: end-of-run self-load. Fresh-order reads HIGHER than the legacy
+#: after-headline envelope on most heavies: the legacy section ran
+#: in a fully-JIT-compiled JVM with the sf0.1 tables hot in page
+#: cache from the headline loop, while the child warms only at
+#: sf0.001 (min-of-3 amortizes but does not erase the cold costs).
+#: Calibrated 2026-08-16 from the three lowest-steal child windows
+#: during the round-15 host-contention incident (see
+#: SCALING.md#noise-band "Hypervisor steal"): run A (child steal
+#: 0.32%) 4.805/6.339/3.173/1.808, run B (0.51%)
+#: 4.981/6.119/3.257/2.304, run C (pre-stamp, mildly contaminated
+#: headline, child values lowest observed) 4.865/5.607/2.646/1.610 —
+#: order: triangle/pagerank/fuzzy/containment. Edges = observed
+#: envelope +/-10%: the r14 lesson is that few-point envelopes
+#: underestimate within-regime spread (~3-13%), and the calibration
+#: day's host was demonstrably noisy even in its quiet windows.
+#: Re-pin from additional clean-steal runs as they accumulate.
 EXTENDED_FRESH_RANGES_SEC = {
-    "graph_triangle_summary": [3.59, 5.10],
-    "graph_pagerank": [4.75, 6.18],
-    "dedup_fuzzy_names": [2.377, 2.92],
-    "dedup_containment_pairs": [1.47, 1.947],
+    "graph_triangle_summary": [4.30, 5.50],
+    "graph_pagerank": [5.00, 7.00],
+    "dedup_fuzzy_names": [2.40, 3.60],
+    "dedup_containment_pairs": [1.45, 2.55],
 }

@@ -180,6 +180,31 @@ def test_hypervisor_steal_adjudicates_above_band_as_load_suspect():
     assert bt._grade_headline(clean)["adjudication"] == "investigate"
 
 
+def test_fresh_extended_section_graded_by_child_steal_window():
+    """The fresh child stamps its own steal window; the run-level
+    percentage dilutes a contaminated child ~5x (the child is a
+    fraction of the measured span). A fresh-section riser must be
+    adjudicated from the CHILD's stamp: contaminated child =>
+    load_suspect even when the run-level percentage stayed under
+    threshold — and a clean child window keeps 'investigate' even
+    when contention hit the rest of the run (the fresh numbers were
+    measured before it arrived)."""
+    bt = _load()
+    q = "graph_pagerank"
+    hi = bt.EXTENDED_FRESH_RANGES_SEC[q][1]
+    base = {"extended_order": "fresh_jvm_before_headline",
+            "box_load_ok": True, "load_1m_at_start": 0.2,
+            "extended_queries": {q: hi * 1.3}}
+    dirty_child = dict(base, steal_pct=0.9,
+                       extended_fresh_cpu_steal={"steal_pct_of_capacity": 4.2})
+    g = bt._grade_extended(dirty_child)[q]
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["steal_pct_of_capacity"] == 4.2
+    clean_child = dict(base, steal_pct=2.65,
+                       extended_fresh_cpu_steal={"steal_pct_of_capacity": 0.32})
+    assert bt._grade_extended(clean_child)[q]["adjudication"] == "investigate"
+
+
 def test_min_of_3_record_without_stamps_fails_strict(tmp_path):
     """ADVICE r14 (low): every r10+ record stamps loads, so a
     min-of-3-era above-band reading that LOST its stamps is a harness

@@ -129,7 +129,7 @@ def extract_record(path: Path) -> dict:
             "path": str(path)}
 
 
-def _load_adjudication(rec: dict) -> dict:
+def _load_adjudication(rec: dict, steal_override: float | None = None) -> dict:
     """Standing rule, applied at RUN level and ONLY from start-side
     signals (ADVICE r14): the run-level start stamp, ``box_load_ok``
     (which since r15 folds in the settle criterion), the idle-wait
@@ -175,7 +175,9 @@ def _load_adjudication(rec: dict) -> dict:
     # cycles, it cannot make the HOST deny them, so — unlike the
     # retired end-of-run loadavg check — a regression cannot inflate
     # its own steal stamp and self-mask.
-    steal = rec.get("steal_pct")
+    steal = steal_override
+    if steal is None:
+        steal = rec.get("steal_pct")
     if steal is None:
         steal = (rec.get("cpu_steal") or {}).get("steal_pct_of_capacity")
     if steal is not None and steal >= STEAL_SUSPECT_PCT:
@@ -235,7 +237,8 @@ def _grade_headline(rec: dict) -> dict:
 
 
 def _grade_one_extended_section(
-    rec: dict, ext: dict, ranges: dict, load_key: str
+    rec: dict, ext: dict, ranges: dict, load_key: str,
+    steal_override: float | None = None,
 ) -> dict:
     out = {}
     for q, band in ranges.items():
@@ -253,7 +256,7 @@ def _grade_one_extended_section(
             # RUN-level adjudication (see module docstring: the mid-run
             # extended samples always carry Spark self-load, so they
             # can't separate external load from a real riser).
-            entry.update(_load_adjudication(rec))
+            entry.update(_load_adjudication(rec, steal_override))
             mid = (rec.get(load_key) or {}).get(q)
             if mid is not None:
                 entry.setdefault("evidence", {})[
@@ -278,8 +281,14 @@ def _grade_extended(rec: dict) -> dict:
         EXTENDED_FRESH_RANGES_SEC if fresh_order
         else EXTENDED_OBSERVED_RANGES_SEC
     )
+    # the fresh child stamps its own steal window — the run-level
+    # percentage dilutes a contaminated child ~5x (the child is a
+    # fraction of the span), so the child's stamp grades its section
+    child_steal = (rec.get("extended_fresh_cpu_steal") or {}).get(
+        "steal_pct_of_capacity") if fresh_order else None
     out = _grade_one_extended_section(
-        rec, ext, primary_ranges, "extended_load_1m_per_query")
+        rec, ext, primary_ranges, "extended_load_1m_per_query",
+        steal_override=child_steal)
     post = rec.get("extended_queries_postheadline")
     if isinstance(post, dict):
         for q, entry in _grade_one_extended_section(
