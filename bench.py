@@ -156,6 +156,9 @@ def compact_record(diag: dict) -> dict:
         "steal_pct": (diag.get("cpu_steal") or {}).get(
             "steal_pct_of_capacity"
         ),
+        "steal_pct_demand": (diag.get("cpu_steal") or {}).get(
+            "steal_pct_of_demand"
+        ),
         "extended_queries": diag["extended_queries"],
         # era stamp for bench_trend's band dispatch (fresh-order vs
         # the legacy after-headline ranges)
@@ -334,21 +337,41 @@ def _read_cpu_steal() -> tuple[int, int] | None:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return vals[7], sum(vals)
+        # busy = user+nice+system+irq+softirq — the guest's own DEMAND
+        # (idle/iowait excluded, steal itself excluded)
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return vals[7], busy, sum(vals)
     except (OSError, ValueError, IndexError):
         return None
 
 
 def _steal_record(
-    before: tuple[int, int] | None, after: tuple[int, int] | None
+    before: tuple[int, int, int] | None, after: tuple[int, int, int] | None
 ) -> dict | None:
+    """Two views of the same denial, both stamped: % of total CAPACITY
+    (span x all cpus — conservative, diluted by idle phases) and % of
+    DEMAND (denied / (granted + denied)) — the barrier-relevant number:
+    a bench that only bursts to 32-wide for part of the span can lose
+    10% of its demanded cycles while capacity-steal reads under 2%
+    (observed live in r15: 1.66% capacity / 135 denied cpu-sec during
+    a 13.84 s above-band headline whose launch probe read 0.01%).
+    Demand-steal is also self-masking-safe in the SAME direction: a
+    guest regression grows busy, which LOWERS the percentage, making
+    the regression more likely to surface as investigate — never
+    less."""
     if before is None or after is None:
         return None
-    ds, dt = after[0] - before[0], after[1] - before[1]
+    ds = after[0] - before[0]
+    db = after[1] - before[1]
+    dt = after[2] - before[2]
     return {
         "steal_jiffies": ds,
+        "busy_jiffies": db,
         "total_jiffies": dt,
         "steal_pct_of_capacity": round(100.0 * ds / dt, 2) if dt > 0 else None,
+        "steal_pct_of_demand": (
+            round(100.0 * ds / (ds + db), 2) if ds + db > 0 else None
+        ),
     }
 
 

@@ -48,6 +48,17 @@ IDLE_SETTLE_MIN_SEC = 120.0
 #: cpu-seconds, far beyond background flutter.
 STEAL_SUSPECT_PCT = 2.0
 
+#: Companion threshold on steal as % of DEMAND (denied /
+#: (granted + denied)): the capacity percentage dilutes denial by the
+#: span's idle phases — a run that bursts 32-wide for a fraction of
+#: its span can lose >5% of the cycles it actually asked for while
+#: capacity-steal reads 1.7% (observed live in r15: a 13.84 s
+#: above-band headline, launch probe 0.01%, 135 cpu-sec denied
+#: mid-run). Demand-steal is self-masking-safe in the conservative
+#: direction: a guest regression grows the denominator and LOWERS
+#: the percentage, so a regression can only become MORE visible.
+STEAL_SUSPECT_DEMAND_PCT = 2.0
+
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
 #: ``tools/bench_trend.py`` adjudicates against). ELEVEN idle runs on

@@ -147,7 +147,9 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     # adjudication signal for host-side contention no loadavg sees
     st = art["cpu_steal"]
     assert st["steal_jiffies"] >= 0 and st["total_jiffies"] > 0
+    assert st["busy_jiffies"] > 0  # the bench itself demanded cycles
     assert compact["steal_pct"] == st["steal_pct_of_capacity"]
+    assert compact["steal_pct_demand"] == st["steal_pct_of_demand"]
     # extended section present (empty here — _run pins EXTENDED=[])
     # and excluded from the anchor semantics by construction
     assert art["extended_queries"] == {}

@@ -176,8 +176,16 @@ def test_hypervisor_steal_adjudicates_above_band_as_load_suspect():
                                    "steal_pct_of_capacity": 4.4})
     assert bt._grade_headline(nested)["adjudication"] == "load_suspect"
     # idle-host steal does NOT excuse an out-of-band reading
-    clean = dict(base, steal_pct=0.1)
+    clean = dict(base, steal_pct=0.1, steal_pct_demand=0.3)
     assert bt._grade_headline(clean)["adjudication"] == "investigate"
+    # the DEMAND view catches what capacity dilutes (the r15 13.84 s
+    # case: 1.66% of capacity — under threshold — but the denied
+    # cycles were a much larger share of what the bursty bench
+    # actually asked for)
+    diluted = dict(base, steal_pct=1.66, steal_pct_demand=5.2)
+    g3 = bt._grade_headline(diluted)
+    assert g3["adjudication"] == "load_suspect"
+    assert g3["evidence"]["steal_pct_of_demand"] == 5.2
 
 
 def test_fresh_extended_section_graded_by_child_steal_window():

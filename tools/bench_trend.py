@@ -62,6 +62,7 @@ from bench_constants import (  # noqa: E402
     EXTENDED_FRESH_RANGES_SEC,
     EXTENDED_OBSERVED_RANGES_SEC,
     SINGLE_RUN_ERA_BAND_SEC,
+    STEAL_SUSPECT_DEMAND_PCT,
     STEAL_SUSPECT_PCT,
 )
 
@@ -129,7 +130,7 @@ def extract_record(path: Path) -> dict:
             "path": str(path)}
 
 
-def _load_adjudication(rec: dict, steal_override: float | None = None) -> dict:
+def _load_adjudication(rec: dict, steal_override: tuple | None = None) -> dict:
     """Standing rule, applied at RUN level and ONLY from start-side
     signals (ADVICE r14): the run-level start stamp, ``box_load_ok``
     (which since r15 folds in the settle criterion), the idle-wait
@@ -175,14 +176,22 @@ def _load_adjudication(rec: dict, steal_override: float | None = None) -> dict:
     # cycles, it cannot make the HOST deny them, so — unlike the
     # retired end-of-run loadavg check — a regression cannot inflate
     # its own steal stamp and self-mask.
-    steal = steal_override
-    if steal is None:
-        steal = rec.get("steal_pct")
-    if steal is None:
-        steal = (rec.get("cpu_steal") or {}).get("steal_pct_of_capacity")
-    if steal is not None and steal >= STEAL_SUSPECT_PCT:
+    if steal_override is not None:
+        cap_steal, dem_steal = steal_override
+    else:
+        cs = rec.get("cpu_steal") or {}
+        cap_steal = rec.get("steal_pct", cs.get("steal_pct_of_capacity"))
+        dem_steal = rec.get("steal_pct_demand", cs.get("steal_pct_of_demand"))
+    if cap_steal is not None and cap_steal >= STEAL_SUSPECT_PCT:
         return {"adjudication": "load_suspect",
-                "evidence": {"steal_pct_of_capacity": steal}}
+                "evidence": {"steal_pct_of_capacity": cap_steal}}
+    # demand view: capacity-steal dilutes denial by the span's idle
+    # phases; the barrier-relevant number is the fraction of cycles
+    # the guest ASKED for and was denied (see bench._steal_record —
+    # also self-masking-safe: a regression grows the denominator)
+    if dem_steal is not None and dem_steal >= STEAL_SUSPECT_DEMAND_PCT:
+        return {"adjudication": "load_suspect",
+                "evidence": {"steal_pct_of_demand": dem_steal}}
     # The FIRST headline query's pre-sample is a second start-of-
     # measurement reading — taken AFTER the warm-up pass, so it
     # catches external load that arrived between the run-level start
@@ -238,7 +247,7 @@ def _grade_headline(rec: dict) -> dict:
 
 def _grade_one_extended_section(
     rec: dict, ext: dict, ranges: dict, load_key: str,
-    steal_override: float | None = None,
+    steal_override: tuple | None = None,
 ) -> dict:
     out = {}
     for q, band in ranges.items():
@@ -284,8 +293,11 @@ def _grade_extended(rec: dict) -> dict:
     # the fresh child stamps its own steal window — the run-level
     # percentage dilutes a contaminated child ~5x (the child is a
     # fraction of the span), so the child's stamp grades its section
-    child_steal = (rec.get("extended_fresh_cpu_steal") or {}).get(
-        "steal_pct_of_capacity") if fresh_order else None
+    child = rec.get("extended_fresh_cpu_steal") or {}
+    child_steal = (
+        (child.get("steal_pct_of_capacity"), child.get("steal_pct_of_demand"))
+        if fresh_order and child else None
+    )
     out = _grade_one_extended_section(
         rec, ext, primary_ranges, "extended_load_1m_per_query",
         steal_override=child_steal)
