@@ -395,12 +395,13 @@ def _reps_from_env() -> int:
 
 def _extended_fresh_child() -> None:
     """``python bench.py --extended-fresh`` — the r14-verdict-#4
-    child: measure the extended heavies in their OWN fresh JVM,
-    BEFORE the parent's headline loop, so the primary extended
-    numbers stop riding on Spark's accumulated end-of-run self-load
-    (the reason the r13/r14 observed ranges were ±30% wide). The
-    parent passes the names via $SPARK_GRAFT_BENCH_EXTENDED and has
-    already run the idle gate; the child prints ONE JSON line —
+    child: measure the extended heavies in their OWN fresh JVM, so
+    the primary extended numbers stop riding on Spark's in-JVM
+    accumulated self-load (the reason the r13/r14 observed ranges
+    were ±30% wide). The parent runs this child AFTER its own
+    sections — the before-headline ordering was measured to perturb
+    the headline anchor (see main()) — and passes the names via
+    $SPARK_GRAFT_BENCH_EXTENDED; the child prints ONE JSON line —
     ``{"extended_queries", "extended_errors",
     "extended_load_1m_per_query"}`` — on a single stdout line the
     parent parses. Same warm-up + min-of-N protocol as every other
@@ -520,28 +521,9 @@ def main() -> None:
     # the section would just measure four names twice in one artifact
     extended = [] if bench_all else [q for q in EXTENDED if q not in headline]
     reps = _reps_from_env()
-    # PRIMARY extended measurement FIRST, in its own fresh JVM (r14
-    # verdict #4): the old after-headline order measured the heavies
-    # on Spark's accumulated end-of-run self-load, which is why their
-    # observed ranges were ±30% wide and their mid-run load stamps
-    # unusable for adjudication. Running the child before the parent's
-    # SparkSession keeps the headline JVM history byte-identical to
-    # rounds 10-14 (the anchor band stays valid); only the loadavg
-    # DECAY of the child's work bleeds into the parent's early
-    # per-query samples — which is why the first-headline-pre-sample
-    # adjudication in tools/bench_trend.py is era-gated on the
-    # ``extended_order`` stamp.
-    ext_fresh_times: dict[str, float] = {}
-    ext_fresh_errors: dict[str, str] = {}
-    ext_fresh_load: dict[str, list[float]] = {}
-    ext_fresh_steal: dict | None = None
     # steal window opens AFTER the idle gate (steal during an idle
     # wait is ~0 by construction and would only dilute the percentage)
     steal0 = _read_cpu_steal()
-    if extended:
-        ext_fresh_times, ext_fresh_errors, ext_fresh_load, ext_fresh_steal = (
-            _extended_fresh_subprocess(extended, reps)
-        )
     spark = get_spark(app_name="mrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -581,11 +563,34 @@ def main() -> None:
     # so the r13/r14 observed ranges stay comparable while the fresh-
     # order bands accumulate provenance (r14 verdict #4 "keep the
     # after-headline numbers as a secondary trend"). The headline
-    # anchor section still sees the same JVM history it has since
-    # round 10 — warm-up then the 18 headline queries.
+    # anchor section sees the same JVM history it has since round 10
+    # — warm-up then the 18 headline queries, FIRST measured thing in
+    # the process.
     ext_post_times, ext_post_errors, ext_post_load = _measure_set(
         spark, extended, sf_dir, reps, jvm_gc
     )
+    # PRIMARY extended measurement LAST, in its own fresh JVM (r14
+    # verdict #4): a fresh JVM is what kills the ±30% in-JVM
+    # accumulated-self-load noise of the legacy section (heap/GC/code-
+    # cache state — the physical mechanism), independent of where in
+    # the run it executes. The verdict's child-BEFORE-headline variant
+    # was implemented first and measured HARMFUL on quiet-box pairs
+    # (child-first headline 14.08 s vs 12.62 s headline-only minutes
+    # apart, steal stamps low on both): a heavy child finishing
+    # seconds before the headline warm-up re-creates the exact
+    # just-finished-job drain the r14 13.78 s incident demonstrated
+    # and the settle gate exists to prevent — with no gate in
+    # between. Running the child AFTER the parent's sections has no
+    # such mechanism (the parent's JVM is idle while it waits), and
+    # the child stamps its own steal window for adjudication.
+    ext_fresh_times: dict[str, float] = {}
+    ext_fresh_errors: dict[str, str] = {}
+    ext_fresh_load: dict[str, list[float]] = {}
+    ext_fresh_steal: dict | None = None
+    if extended:
+        ext_fresh_times, ext_fresh_errors, ext_fresh_load, ext_fresh_steal = (
+            _extended_fresh_subprocess(extended, reps)
+        )
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
@@ -701,13 +706,14 @@ def main() -> None:
     # ``extended_order`` stamp is what tools/bench_trend.py dispatches
     # its band choice (fresh vs legacy) on.
     out["extended_queries"] = ext_fresh_times
-    out["extended_order"] = "fresh_jvm_before_headline"
+    out["extended_order"] = "fresh_jvm_after_headline"
     out["extended_note"] = (
         "non-anchor sf-dir trend for the sweep heavies; excluded "
         "from 'value' and from the min_of_3_fresh_jvm_spread_sec "
-        "anchor band; measured in a fresh JVM BEFORE the headline "
-        "loop since r15 (the postheadline section keeps the legacy "
-        "order as a secondary trend)"
+        "anchor band; measured in its own fresh JVM since r15 — "
+        "after the parent's sections, so the headline keeps its "
+        "r10-r14 position (the postheadline section keeps the "
+        "legacy same-JVM order as a secondary trend)"
     )
     # per-query [before, after] load for the extended sections too
     # (r13 verdict #3): the postheadline one runs LAST, on the most-

@@ -198,14 +198,17 @@ def test_bench_extended_section_measured_but_not_in_anchor(
     protocol but live outside the anchor — the total must be the
     HEADLINE sum only, with the extended timing stamped separately.
     Since r15 (r14 verdict #4) the PRIMARY extended numbers come from
-    a fresh-JVM child run BEFORE the headline loop (this test runs
-    the real subprocess), with the legacy after-headline order riding
+    a fresh-JVM child (this test runs the real subprocess) — run
+    AFTER the parent's sections, so the headline keeps its r10-r14
+    position (the before-headline variant measured harmful: it
+    re-created the just-finished-job drain the settle gate exists to
+    prevent) — with the legacy same-JVM after-headline order riding
     along as ``extended_queries_postheadline``."""
     art, compact = _run(
         bench, capsys, monkeypatch, ["topk_orders"], extended=["grep_docs"]
     )
     # primary = fresh-order, stamped with its era marker
-    assert art["extended_order"] == "fresh_jvm_before_headline"
+    assert art["extended_order"] == "fresh_jvm_after_headline"
     assert set(art["extended_queries"]) == {"grep_docs"}
     assert art["extended_queries"]["grep_docs"] > 0
     assert "extended_errors" not in art

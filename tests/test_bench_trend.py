@@ -131,13 +131,13 @@ def test_unsettled_gate_run_is_load_suspect_from_compact_stamps():
 
 
 def test_first_query_sample_is_ignored_for_fresh_order_records():
-    """With the r15 fresh-JVM extended child running BEFORE the
-    headline loop, the first headline query's pre-sample carries the
-    decay of the bench's OWN extended work — it stops being a
-    start-side signal. For records stamped extended_order:
-    fresh_jvm_before_headline an above-band total with a hot first
-    pre-sample but clean run-level stamps must reach 'investigate',
-    not hide behind load_suspect."""
+    """For records stamped extended_order: fresh_jvm_before_headline
+    (the r15 ordering that was tried and reverted) the first headline
+    query's pre-sample carried the decay of the bench's OWN extended
+    child — not a start-side signal; such an above-band record with a
+    hot first pre-sample but clean run-level stamps must reach
+    'investigate'. The final fresh_jvm_after_headline ordering puts
+    nothing before the headline, so the sample adjudicates again."""
     bt = _load()
     hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
     rec = {"value": hi * 1.4, "runs_per_query": 3,
@@ -150,6 +150,9 @@ def test_first_query_sample_is_ignored_for_fresh_order_records():
     legacy = dict(rec)
     legacy.pop("extended_order")
     assert bt._grade_headline(legacy)["adjudication"] == "load_suspect"
+    # ...and so does the final child-AFTER-headline ordering
+    after = dict(rec, extended_order="fresh_jvm_after_headline")
+    assert bt._grade_headline(after)["adjudication"] == "load_suspect"
 
 
 def test_hypervisor_steal_adjudicates_above_band_as_load_suspect():
@@ -318,7 +321,7 @@ def test_extended_band_dispatch_on_order_stamp():
     q = "graph_pagerank"
     fresh_band = bt.EXTENDED_FRESH_RANGES_SEC[q]
     legacy_band = bt.EXTENDED_OBSERVED_RANGES_SEC[q]
-    rec = {"extended_order": "fresh_jvm_before_headline",
+    rec = {"extended_order": "fresh_jvm_after_headline",
            "box_load_ok": True, "load_1m_at_start": 0.1,
            "extended_queries": {q: fresh_band[1]},
            "extended_queries_postheadline": {q: legacy_band[1]}}

@@ -202,11 +202,11 @@ def _load_adjudication(rec: dict, steal_override: tuple | None = None) -> dict:
     # average at this first sample, so the threshold is meaningful
     # here — unlike the mid-run/extended samples). Also the only
     # signal for r11-style records that lack run-level stamps.
-    # Era-gated OFF for fresh-order records (r15+): with the extended
-    # child running BEFORE the headline loop, this sample carries the
-    # decay of the bench's OWN extended work, so it stops being a
-    # start-side signal — the run-level stamps above already cover
-    # those records.
+    # Era-gated OFF only for child-BEFORE-headline records (the r15
+    # ordering that was tried first and reverted): there the sample
+    # carried the decay of the bench's OWN extended child. With the
+    # final child-AFTER ordering nothing precedes the headline again,
+    # so the sample stays a start-side signal.
     if per_q and rec.get("extended_order") != "fresh_jvm_before_headline":
         samples = [v for v in per_q.values() if v]
         first_before = samples[0][0] if samples else None
@@ -276,8 +276,8 @@ def _grade_one_extended_section(
 
 def _grade_extended(rec: dict) -> dict:
     """Era dispatch (r14 verdict #4): records stamped
-    ``extended_order: fresh_jvm_before_headline`` carry FRESH-order
-    primary numbers, graded against ``EXTENDED_FRESH_RANGES_SEC``;
+    ``extended_order: fresh_jvm_*`` carry FRESH-order primary
+    numbers, graded against ``EXTENDED_FRESH_RANGES_SEC``;
     their legacy after-headline numbers ride along under
     ``extended_queries_postheadline`` and are graded against the
     legacy ranges as a secondary trend. Older records' single
@@ -285,7 +285,7 @@ def _grade_extended(rec: dict) -> dict:
     ext = rec.get("extended_queries")
     if not isinstance(ext, dict):
         ext = {}  # budget-degraded compact line or old artifact
-    fresh_order = rec.get("extended_order") == "fresh_jvm_before_headline"
+    fresh_order = str(rec.get("extended_order") or "").startswith("fresh_jvm")
     primary_ranges = (
         EXTENDED_FRESH_RANGES_SEC if fresh_order
         else EXTENDED_OBSERVED_RANGES_SEC
