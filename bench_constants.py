@@ -70,14 +70,23 @@ STEAL_SUSPECT_DEMAND_PCT = 2.0
 #: box, start loads 1.26/0.17/0.00/0.00/0.01; one further run was
 #: EXCLUDED as polluted — its own load stamps caught external load
 #: arriving during warm-up). The regime spans the band's upper
-#: region, 11.08-12.53 s. The band absorbs per-round DATA regimes as
-#: well as box state; within one regime the spread is ~3-13% (the
-#: r14 regime's three clean-start points alone span 11.08-12.25 —
-#: the old ~3-6% figure came from two-point pairs and underestimated
-#: it). Maintained
-#: edge-by-edge with provenance, never point-to-point
-#: (SCALING.md#noise-band).
-ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 12.53]
+#: region, 11.08-12.53 s. A TWELFTH point (round 15, 2026-08-16
+#: daytime, 6h-churned box): 12.898 s with the strongest cleanliness
+#: evidence any point carries — gate 1m_and_5m_idle, start 0.79,
+#: hypervisor steal 0.28% of capacity / 1.71% of demand — moved the
+#: high edge to 12.90. Same code (zero engine diffs, LOCAL_DIFF_r15
+#: fingerprint-fresh) and same data as the in-band 11.248 s driver
+#: point graded at 07:09 the same day: the box's quiet-window
+#: baseline drifted ~10% between fresh-boot morning and churned
+#: afternoon (a headline-only control read 12.617 minutes earlier;
+#: five steal-suspect runs 13.3-16.5 bracket the same baseline plus
+#: denial — full incident in SCALING.md#noise-band). The band
+#: absorbs per-round DATA regimes and box state; within one regime
+#: the spread is ~3-13% (the r14 regime's three clean-start points
+#: alone span 11.08-12.25 — the old ~3-6% figure came from
+#: two-point pairs and underestimated it). Maintained edge-by-edge
+#: with provenance, never point-to-point (SCALING.md#noise-band).
+ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 12.90]
 
 #: Single-run-era (r01-r09) idle fresh-JVM total spread on identical
 #: code, for grading THOSE artifacts only — a single-run total carries
@@ -100,11 +109,15 @@ SINGLE_RUN_ERA_BAND_SEC = [13.94, 16.45]
 #: not still growing).
 #: Machine-readable copy of SCALING.md's "Extended-heavy observed
 #: ranges"; ``tools/bench_trend.py`` grades against these.
+#: (r15: containment high edge 1.947 → 1.99 — the round-15 clean-
+#: stamps run, BENCH_LOCAL_r15, read 1.989 in its postheadline
+#: section with steal 0.28%/1.71% and a clean gate on the churned-
+#: afternoon box state that also moved the headline edge.)
 EXTENDED_OBSERVED_RANGES_SEC = {
     "graph_triangle_summary": [3.59, 5.10],
     "graph_pagerank": [4.75, 6.18],
     "dedup_fuzzy_names": [2.377, 2.92],
-    "dedup_containment_pairs": [1.47, 1.947],
+    "dedup_containment_pairs": [1.47, 1.99],
 }
 
 #: FRESH-order ranges for the r15+ primary extended section (r14

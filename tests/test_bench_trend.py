@@ -463,5 +463,8 @@ def test_band_edges_hold_every_committed_min_of_3_local_artifact():
     bt = _load()
     lo, hi = bt.ANCHOR_BAND_MIN_OF_3_SEC
     for p in sorted(_REPO.glob("BENCH_LOCAL_r*.json")):
-        rec = json.loads(p.read_text())
+        # extract_record handles both committed shapes: the r14
+        # single-document diagnostic record and the r15+ raw two-line
+        # `python bench.py > file` capture
+        rec = bt.extract_record(p)["record"]
         assert lo <= rec["value"] <= hi, (p.name, rec["value"])
