@@ -128,20 +128,27 @@ EXTENDED_OBSERVED_RANGES_SEC = {
 #: in a fully-JIT-compiled JVM with the sf0.1 tables hot in page
 #: cache from the headline loop, while the child warms only at
 #: sf0.001 (min-of-3 amortizes but does not erase the cold costs).
-#: Calibrated 2026-08-16 from the three lowest-steal child windows
+#: Calibrated 2026-08-16 from the SIX lowest-steal child windows
 #: during the round-15 host-contention incident (see
-#: SCALING.md#noise-band "Hypervisor steal"): run A (child steal
-#: 0.32%) 4.805/6.339/3.173/1.808, run B (0.51%)
-#: 4.981/6.119/3.257/2.304, run C (pre-stamp, mildly contaminated
-#: headline, child values lowest observed) 4.865/5.607/2.646/1.610 —
-#: order: triangle/pagerank/fuzzy/containment. Edges = observed
-#: envelope +/-10%: the r14 lesson is that few-point envelopes
-#: underestimate within-regime spread (~3-13%), and the calibration
-#: day's host was demonstrably noisy even in its quiet windows.
-#: Re-pin from additional clean-steal runs as they accumulate.
+#: SCALING.md#noise-band "Hypervisor steal"), in
+#: triangle/pagerank/fuzzy/containment order:
+#:   A (steal 0.05% cap / 0.27% dem)  4.517/5.498/2.890/1.987
+#:   B (0.32% cap)                    4.805/6.339/3.173/1.808
+#:   C (0.51% cap)                    4.981/6.119/3.257/2.304
+#:   D (0.35% / 1.97% — the committed BENCH_LOCAL_r15 child)
+#:                                    4.649/5.976/3.329/1.996
+#:   E (0.25% / 1.42%)                5.019/7.038/2.804/2.122
+#:   F (pre-stamp, lowest observed)   4.865/5.607/2.646/1.610
+#: Observed envelopes: triangle 4.517-5.019, pagerank 5.498-7.038,
+#: fuzzy 2.646-3.329, containment 1.610-2.304. Initial edges were
+#: the three-point envelope +/-10% (the r14 lesson: few-point
+#: envelopes underestimate the ~3-13% within-regime spread, and the
+#: calibration day's host was noisy even in its quiet windows);
+#: point E's clean-stamps pagerank 7.038 then moved that edge to
+#: 7.10. Re-pin from additional clean-steal runs as they accumulate.
 EXTENDED_FRESH_RANGES_SEC = {
     "graph_triangle_summary": [4.30, 5.50],
-    "graph_pagerank": [5.00, 7.00],
+    "graph_pagerank": [5.00, 7.10],
     "dedup_fuzzy_names": [2.40, 3.60],
     "dedup_containment_pairs": [1.45, 2.55],
 }
