@@ -320,59 +320,18 @@ def _measure_set(
     return times, errors, load_1m
 
 
-def _read_cpu_steal() -> tuple[int, int] | None:
-    """``(steal_jiffies, total_jiffies)`` from the aggregate cpu line
-    of ``/proc/stat``, or None where unavailable. Steal is the time
-    the HYPERVISOR denied this guest's runnable vCPUs — the one form
-    of external load no loadavg/idle-gate stamp can see, because the
-    thief is outside the guest entirely. Measured live in round 15:
-    start load 0.2, gate clean on both criteria, zero competing guest
-    processes — and the headline read 39.8 s (3.5x the band) while a
-    32-core burn probe showed 8.2% of guest capacity stolen. Stamped
-    as a delta across the measured window so ``tools/bench_trend.py``
-    can adjudicate such a run mechanically; unlike end-of-run loadavg
-    (ADVICE r14) steal cannot be inflated by the bench's own work, so
-    thresholding it cannot self-mask a regression."""
-    try:
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-        vals = [int(x) for x in parts[1:]]
-        # busy = user+nice+system+irq+softirq — the guest's own DEMAND
-        # (idle/iowait excluded, steal itself excluded)
-        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
-        return vals[7], busy, sum(vals)
-    except (OSError, ValueError, IndexError):
-        return None
-
-
-def _steal_record(
-    before: tuple[int, int, int] | None, after: tuple[int, int, int] | None
-) -> dict | None:
-    """Two views of the same denial, both stamped: % of total CAPACITY
-    (span x all cpus — conservative, diluted by idle phases) and % of
-    DEMAND (denied / (granted + denied)) — the barrier-relevant number:
-    a bench that only bursts to 32-wide for part of the span can lose
-    10% of its demanded cycles while capacity-steal reads under 2%
-    (observed live in r15: 1.66% capacity / 135 denied cpu-sec during
-    a 13.84 s above-band headline whose launch probe read 0.01%).
-    Demand-steal is also self-masking-safe in the SAME direction: a
-    guest regression grows busy, which LOWERS the percentage, making
-    the regression more likely to surface as investigate — never
-    less."""
-    if before is None or after is None:
-        return None
-    ds = after[0] - before[0]
-    db = after[1] - before[1]
-    dt = after[2] - before[2]
-    return {
-        "steal_jiffies": ds,
-        "busy_jiffies": db,
-        "total_jiffies": dt,
-        "steal_pct_of_capacity": round(100.0 * ds / dt, 2) if dt > 0 else None,
-        "steal_pct_of_demand": (
-            round(100.0 * ds / (ds + db), 2) if ds + db > 0 else None
-        ),
-    }
+# Steal helpers live in engine-free bench_constants (shared with
+# tools/ab_compare.py, which must not import the registry chain —
+# ADVICE r13); thin aliases keep bench-internal call sites readable.
+# Why the stamp exists: hypervisor-denied cycles are the one form of
+# external load no loadavg/idle-gate stamp can see (measured live in
+# round 15: clean gate, start load 0.2, zero competing guest
+# processes — and the headline read 39.8 s, 3.5x the band, while a
+# 32-core burn probe showed 8.2% of guest capacity stolen). Stamped
+# as a delta across the measured window so tools/bench_trend.py can
+# adjudicate such a run mechanically.
+from bench_constants import read_cpu_steal as _read_cpu_steal  # noqa: E402
+from bench_constants import steal_record as _steal_record  # noqa: E402
 
 
 def _reps_from_env() -> int:

@@ -121,9 +121,10 @@ EXTENDED_OBSERVED_RANGES_SEC = {
 }
 
 #: FRESH-order ranges for the r15+ primary extended section (r14
-#: verdict #4): the heavies measured in their OWN fresh JVM BEFORE
-#: the headline loop, so the numbers stop riding Spark's accumulated
-#: end-of-run self-load. Fresh-order reads HIGHER than the legacy
+#: verdict #4): the heavies measured in their OWN fresh JVM (run
+#: LAST — the child-before-headline variant measurably perturbed the
+#: headline anchor, see SCALING.md round-15 findings), so the numbers
+#: stop riding Spark's in-JVM accumulated self-load. Fresh-order reads HIGHER than the legacy
 #: after-headline envelope on most heavies: the legacy section ran
 #: in a fully-JIT-compiled JVM with the sf0.1 tables hot in page
 #: cache from the headline loop, while the child warms only at
@@ -152,3 +153,47 @@ EXTENDED_FRESH_RANGES_SEC = {
     "dedup_fuzzy_names": [2.40, 3.60],
     "dedup_containment_pairs": [1.45, 2.55],
 }
+
+
+def read_cpu_steal():
+    """``(steal, busy, total)`` jiffies from the aggregate cpu line of
+    ``/proc/stat``, or None where unavailable. Engine-free on purpose:
+    both ``bench.py`` and ``tools/ab_compare.py`` stamp steal windows,
+    and the A/B tool must not import the registry chain (ADVICE r13).
+    busy = user+nice+system+irq+softirq (idle/iowait excluded, steal
+    itself excluded). See ``steal_record`` for why both a capacity and
+    a demand view are derived."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return vals[7], busy, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_record(before, after):
+    """Two views of the same hypervisor denial over a window, both
+    stamped: % of total CAPACITY (window x all cpus — conservative,
+    diluted by idle phases) and % of DEMAND (denied/(granted+denied))
+    — the barrier-relevant number: a run that only bursts wide for
+    part of its window can lose 10% of its demanded cycles while
+    capacity-steal reads under 2% (observed live in r15). Demand-
+    steal is self-masking-safe in the conservative direction: a guest
+    regression grows busy, LOWERING the percentage — a regression can
+    only become more visible, never excused."""
+    if before is None or after is None:
+        return None
+    ds = after[0] - before[0]
+    db = after[1] - before[1]
+    dt = after[2] - before[2]
+    return {
+        "steal_jiffies": ds,
+        "busy_jiffies": db,
+        "total_jiffies": dt,
+        "steal_pct_of_capacity": round(100.0 * ds / dt, 2) if dt > 0 else None,
+        "steal_pct_of_demand": (
+            round(100.0 * ds / (ds + db), 2) if ds + db > 0 else None
+        ),
+    }

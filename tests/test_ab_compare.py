@@ -135,6 +135,42 @@ def test_verdict_fields_floor_and_band():
     assert fields(0.0, 0.0, None)["verdict"] == "inconclusive_no_usable_pairs"
 
 
+def test_steal_helpers_shared_and_engine_free():
+    """r15: both measurement tools stamp the same hypervisor-steal
+    window from the engine-free constants module (the A/B tool must
+    not import bench's registry chain — ADVICE r13). Pin the shared
+    source and the record shape, including the live-read path."""
+    import bench_constants as bc
+
+    ab = _load()
+    assert ab.read_cpu_steal is bc.read_cpu_steal
+    assert ab.steal_record is bc.steal_record
+    # record math: 200 denied / (200 + 800 granted) = 20% of demand,
+    # 200 / 10000 total = 2% of capacity
+    rec = bc.steal_record((100, 1000, 50000), (300, 1800, 60000))
+    assert rec["steal_jiffies"] == 200 and rec["busy_jiffies"] == 800
+    assert rec["steal_pct_of_capacity"] == 2.0
+    assert rec["steal_pct_of_demand"] == 20.0
+    # degenerate windows stay None, never a ZeroDivisionError
+    z = bc.steal_record((1, 1, 1), (1, 1, 1))
+    assert z["steal_pct_of_capacity"] is None
+    assert z["steal_pct_of_demand"] is None
+    assert bc.steal_record(None, (1, 1, 1)) is None
+    # the live read returns a monotone triple on this Linux box
+    live = bc.read_cpu_steal()
+    assert live is not None and len(live) == 3
+    assert all(v >= 0 for v in live) and live[2] >= live[1] >= 0
+    # bench.py's aliases resolve to the same functions
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_steal_test", _TOOLS.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._read_cpu_steal is bc.read_cpu_steal
+    assert bench._steal_record is bc.steal_record
+
+
 def test_box_load_threshold_shared_with_bench():
     """Review r13: 'idle' must mean the same thing in every artifact —
     ab_compare's box_load_ok adjudicates on bench.py's

@@ -52,7 +52,13 @@ sys.path.insert(0, REPO)
 # from the engine-free constants module (ADVICE r13): importing it
 # from bench.py executed bench's top level, which drags in the whole
 # plans REGISTRY/session chain before this tool even parses args.
-from bench_constants import BOX_LOAD_THRESHOLD_1M  # noqa: E402
+from bench_constants import (  # noqa: E402
+    BOX_LOAD_THRESHOLD_1M,
+    STEAL_SUSPECT_DEMAND_PCT,
+    STEAL_SUSPECT_PCT,
+    read_cpu_steal,
+    steal_record,
+)
 
 
 def ab_schedule(pairs: int) -> list[str]:
@@ -239,6 +245,12 @@ def main() -> None:
     # at 1.187 purely from concurrent tooling activity — a polluted
     # A/B must be visibly polluted in its own artifact line.
     load_at_start = round(os.getloadavg()[0], 2)
+    # hypervisor-steal window over the whole comparison (r15): ABBA
+    # interleaving cancels linear drift but NOT bursty host denial —
+    # a burst landing on one pair side skews its ratios with no
+    # guest-visible cause. The stamp makes a steal-polluted A/B
+    # visibly polluted in its own artifact line, like box_load_ok.
+    steal0 = read_cpu_steal()
 
     builders = {"a": _resolve(args.a), "b": _resolve(args.b)}
     spark = get_spark(app_name="mrs-ab-compare")
@@ -302,6 +314,13 @@ def main() -> None:
         print(f"  {key}: {times[key][-1]:.3f}s", file=sys.stderr)
 
     out["loadavg_final"] = [round(x, 2) for x in os.getloadavg()]
+    cs = steal_record(steal0, read_cpu_steal())
+    out["cpu_steal"] = cs
+    out["steal_ok"] = bool(
+        cs is not None
+        and (cs["steal_pct_of_capacity"] or 0) < STEAL_SUSPECT_PCT
+        and (cs["steal_pct_of_demand"] or 0) < STEAL_SUSPECT_DEMAND_PCT
+    )
     out.update(summarize(times["a"], times["b"]))
     out.update(verdict_fields(out))
     print(json.dumps(out))
