@@ -47,36 +47,19 @@ from map_reduce_showcase_spark.plans import REGISTRY
 from map_reduce_showcase_spark.plans.registry import _load_all
 from map_reduce_showcase_spark.session import get_spark
 
-#: Headline set: reference-app parity + the heavy relational /
-#: window / dedup / similarity representatives.
-HEADLINE = [
-    "wc_word_count",
-    "grep_docs",
-    "vertex_degree_lineitem",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "join_brand_revenue",
-    "join_outer_order_counts",
-    "window_rank_orders",
-    "topk_orders",
-    "events_tumbling_1h",
-    "events_session_10m",
-    "events_asof_purchase_click",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_quality",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-]
-
-# Shared with tools/ab_compare.py via the engine-free constants
-# module (ADVICE r13) — re-exported here so bench.BOX_LOAD_THRESHOLD_1M
-# readers (tests, docs) keep a single source of truth.
+# Shared with tools/ab_compare.py and tools/freshness_check.py via
+# the engine-free constants module (ADVICE r13) — re-exported here so
+# bench.BOX_LOAD_THRESHOLD_1M / bench.HEADLINE readers (tests, docs)
+# keep a single source of truth. HEADLINE/EXTENDED moved there in r16
+# so the freshness tripwire's mandatory-ABBA gate (r15 verdict #2) can
+# know which queries feed the anchor without paying — or inheriting a
+# failure from — the full registry import chain.
 from bench_constants import (  # noqa: E402,F401
     ANCHOR_BAND_MIN_OF_3_SEC,
     BOX_LOAD_THRESHOLD_1M,
     BOX_LOAD_THRESHOLD_5M,
+    EXTENDED,
+    HEADLINE,
     IDLE_SETTLE_MIN_SEC,
 )
 
@@ -93,21 +76,6 @@ from bench_constants import (  # noqa: E402,F401
 #: drives the load the wait would otherwise stall on).
 IDLE_WAIT_CAP_SEC = 600.0
 IDLE_WAIT_POLL_SEC = 30.0
-
-#: Non-anchor trend section (round-12 verdict #4): the sweep's most
-#: expensive entries have no per-round sf0.1 wall-time trend — a
-#: regression there is only visible through the sweep's 16x tail,
-#: which moves ~1.4x cross-round on box state alone. Measured with
-#: the SAME min-of-N protocol in the same JVM, stamped under
-#: ``extended_queries``, and EXCLUDED from the anchor total: the 18
-#: headline queries stay frozen so cross-round totals compare like
-#: sets against the ``min_of_3_fresh_jvm_spread_sec`` anchor band.
-EXTENDED = [
-    "graph_triangle_summary",
-    "graph_pagerank",
-    "dedup_fuzzy_names",
-    "dedup_containment_pairs",
-]
 
 #: Hard byte budget for the FINAL stdout line (r13 verdict #1). The
 #: driver captures only a ~2,000-char stdout tail; 1,500 leaves a 25%
@@ -159,6 +127,18 @@ def compact_record(diag: dict) -> dict:
         "steal_pct_demand": (diag.get("cpu_steal") or {}).get(
             "steal_pct_of_demand"
         ),
+        # HEADLINE-window steal (ADVICE r15 medium): the whole-span
+        # percentages above dilute a burst concentrated in the
+        # headline loop ~3-5x and can be dominated by one landing in
+        # the extended/child sections; bench_trend adjudicates
+        # above-band HEADLINE readings on THIS window when present.
+        # Fixed-size (~50 bytes).
+        "steal_pct_headline": (diag.get("cpu_steal_headline") or {}).get(
+            "steal_pct_of_capacity"
+        ),
+        "steal_pct_demand_headline": (
+            diag.get("cpu_steal_headline") or {}
+        ).get("steal_pct_of_demand"),
         "extended_queries": diag["extended_queries"],
         # era stamp for bench_trend's band dispatch (fresh-order vs
         # the legacy after-headline ranges)
@@ -201,12 +181,16 @@ def compact_record(diag: dict) -> dict:
             )
     # everything left is fixed-size; a line still over budget here is
     # a bug in THIS function, and overflowing silently is exactly the
-    # r13 parsed:null failure — fail loudly instead
+    # r13 parsed:null failure — fail loudly instead. RuntimeError, not
+    # assert (ADVICE r15): an assert is stripped under python -O /
+    # PYTHONOPTIMIZE, silently reintroducing the oversized-line
+    # failure mode this guard exists to prevent.
     line = json.dumps(compact).encode()
-    assert len(line) <= FINAL_LINE_BUDGET_BYTES, (
-        f"compact record {len(line)} bytes > {FINAL_LINE_BUDGET_BYTES} "
-        "after degrading every unbounded field"
-    )
+    if len(line) > FINAL_LINE_BUDGET_BYTES:
+        raise RuntimeError(
+            f"compact record {len(line)} bytes > {FINAL_LINE_BUDGET_BYTES} "
+            "after degrading every unbounded field"
+        )
     return compact
 
 
@@ -518,6 +502,21 @@ def main() -> None:
     # samples discriminate is a NONZERO BASELINE before the first
     # query and between-queries floors well above the core count.
     times, errors, load_1m = _measure_set(spark, headline, sf_dir, reps, jvm_gc)
+    # HEADLINE-window steal record, closed right here (ADVICE r15
+    # medium): the run-level window below spans the whole measured
+    # span (headline + postheadline + fresh child), of which the
+    # headline loop is a minority — a host-steal burst landing only in
+    # the extended sections could grade a genuine above-band headline
+    # regression load_suspect, and a burst concentrated IN the
+    # headline is diluted ~3-5x by the rest of the span and may miss
+    # the thresholds (the same dilution the child's own stamp fixes
+    # for the fresh section). Window = idle gate -> end of the
+    # headline loop; it deliberately includes session creation and the
+    # warm-up pass — denial there perturbs the same section this stamp
+    # adjudicates. tools/bench_trend.py grades above-band HEADLINE
+    # readings on THIS window when present, keeping the whole-span
+    # stamp on the artifact for the extended sections and provenance.
+    cpu_steal_headline = _steal_record(steal0, _read_cpu_steal())
     # SECONDARY extended trend: the legacy after-headline order, kept
     # so the r13/r14 observed ranges stay comparable while the fresh-
     # order bands accumulate provenance (r14 verdict #4 "keep the
@@ -636,8 +635,8 @@ def main() -> None:
         },
         # the idle-box band on headline-identical code — run
         # provenance and maintenance rules live on the constant
-        # (bench_constants.ANCHOR_BAND_MIN_OF_3_SEC; eleven runs as of
-        # round 14, absorbing per-round DATA regimes as well as box
+        # (bench_constants.ANCHOR_BAND_MIN_OF_3_SEC; twelve runs as of
+        # round 15, absorbing per-round DATA regimes as well as box
         # state). Totals outside this band on code-identical headline
         # files indicate box load or a new data regime, not
         # regression. This band is also the min-of-3-era ANCHOR the
@@ -645,6 +644,7 @@ def main() -> None:
         # min-of-3 era"): the single-run 18.444 s anchor includes
         # noise min-of-3 removes, so ratios against it flatter ~18%.
         "cpu_steal": cpu_steal,
+        "cpu_steal_headline": cpu_steal_headline,
         "extended_fresh_cpu_steal": ext_fresh_steal,
         "min_of_3_fresh_jvm_spread_sec": list(ANCHOR_BAND_MIN_OF_3_SEC),
         "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",

@@ -11,6 +11,46 @@ single-source-of-truth test (``tests/test_ab_compare.py``) still pins
 the two views equal.
 """
 
+#: Headline set: reference-app parity + the heavy relational /
+#: window / dedup / similarity representatives. Frozen since round 10
+#: so cross-round anchor totals compare like sets. Lives here (not in
+#: bench.py) since r16 so ``tools/freshness_check.py``'s
+#: mandatory-ABBA gate (r15 verdict #2) can know which queries feed
+#: the anchor without importing the engine.
+HEADLINE = [
+    "wc_word_count",
+    "grep_docs",
+    "vertex_degree_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "join_brand_revenue",
+    "join_outer_order_counts",
+    "window_rank_orders",
+    "topk_orders",
+    "events_tumbling_1h",
+    "events_session_10m",
+    "events_asof_purchase_click",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+]
+
+#: Non-anchor trend section (round-12 verdict #4): the sweep's most
+#: expensive entries have no per-round sf0.1 wall-time trend — a
+#: regression there is only visible through the sweep's 16x tail,
+#: which moves ~1.4x cross-round on box state alone. Measured with
+#: the SAME min-of-N protocol, stamped under ``extended_queries``,
+#: and EXCLUDED from the anchor total.
+EXTENDED = [
+    "graph_triangle_summary",
+    "graph_pagerank",
+    "dedup_fuzzy_names",
+    "dedup_containment_pairs",
+]
+
 #: 1-minute loadavg above which a measurement run is stamped
 #: ``box_load_ok: false`` — on this 32-core box an idle baseline reads
 #: well under 1; 2.0 (~6% busy) catches any concurrent
@@ -87,6 +127,37 @@ STEAL_SUSPECT_DEMAND_PCT = 2.0
 #: two-point pairs and underestimated it). Maintained edge-by-edge
 #: with provenance, never point-to-point (SCALING.md#noise-band).
 ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 12.90]
+
+#: Edge-move discipline (r15 verdict #1, codified): an ANCHOR_BAND
+#: edge may only move when at least ``ANCHOR_EDGE_MIN_CLEAN_POINTS``
+#: clean-stamp runs (gate passed on a criterion, steal under both
+#: thresholds) land in the new region — beyond the previous stable
+#: edge. Until then the moved edge is PROVISIONAL: it still grades
+#: (a band that under-covers would flag known-clean readings), but
+#: the next quiet-window run must either corroborate it (append the
+#: point to the support list; the flag clears mechanically) or
+#: retract it (clear the support list and restore
+#: ``ANCHOR_HIGH_EDGE_STABLE_SEC``, recording the orphan point as an
+#: excluded outlier in the provenance above). The rule is pinned in
+#: ``tests/test_bench_contract.py``: the high edge must equal the
+#: stable edge unless the support list is non-empty, the edge must
+#: cover every support point within rounding, and the provisional
+#: flag must be exactly ``len(support) < MIN`` — so an edge cannot
+#: ratchet on single near-threshold points without the constant
+#: visibly saying so (ADVICE r15: the r15 high-edge move, the
+#: containment 1.99 and fresh-pagerank 7.10 moves each rested on ONE
+#: point collected during the round-15 host-contention incident).
+ANCHOR_EDGE_MIN_CLEAN_POINTS = 2
+#: the last edge supported by >=2 clean points (the r14 quintuplet's
+#: 12.53 maximum).
+ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
+#: clean-stamp runs above the stable edge supporting the current high
+#: edge: the r15 12.898 (gate 1m_and_5m_idle, start 0.79, steal
+#: 0.28%/1.71%).
+ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.898]
+ANCHOR_HIGH_EDGE_PROVISIONAL = (
+    len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
+)
 
 #: Single-run-era (r01-r09) idle fresh-JVM total spread on identical
 #: code, for grading THOSE artifacts only — a single-run total carries

@@ -97,6 +97,84 @@ def test_stale_entries_detects_each_drift_direction():
     assert fc.stale_entries(clean, current, helper) == {}
 
 
+def test_ab_gate_findings_each_direction():
+    """The mandatory-ABBA gate (r15 verdict #2), on synthetic
+    artifacts: the anchor band (~22% wide) can absorb a genuine ~15%
+    headline regression, so a round whose diff moves a headline
+    query's fingerprint (vs the PREVIOUS round's differential) must
+    commit an AB_r{N}.json interleaved pair-ratio artifact covering
+    it. Directions pinned: untouched round passes with no artifact;
+    touched + no artifact fails; touched + artifact missing that query
+    fails; record without the decision fields fails; conclusive
+    'a_faster' (old code faster = regression) fails; within-noise /
+    b_faster verdicts pass; a NEW headline query (absent from the
+    previous differential) is exempt — no baseline side exists."""
+    fc = _load_freshness()
+    headline = ["q_hot", "q_cold", "q_new"]
+    prev = {
+        "q_hot": {"fingerprint": "aaaa", "helper_fingerprint": "h3:1"},
+        "q_cold": {"fingerprint": "bbbb", "helper_fingerprint": "h3:2"},
+        # q_new absent: added this round
+    }
+    cur = {"q_hot": "aaaa", "q_cold": "bbbb", "q_new": "cccc"}
+    cur_h = {"q_hot": "h3:1", "q_cold": "h3:2", "q_new": "h3:3"}
+
+    # nothing touched: gate passes with no artifact at all
+    assert fc.ab_gate_findings(prev, cur, cur_h, headline, None) == []
+
+    # definition drift on a headline query, no AB artifact committed
+    edited = dict(cur, q_hot="EDITED")
+    out = fc.ab_gate_findings(prev, edited, cur_h, headline, None)
+    assert len(out) == 1 and "q_hot" in out[0] and "no AB_r" in out[0]
+
+    # helper drift counts as touched too (same signal the
+    # changed-since-green window band uses)
+    hdrift = dict(cur_h, q_cold="h3:EDITED")
+    out = fc.ab_gate_findings(prev, cur, hdrift, headline, None)
+    assert len(out) == 1 and "q_cold" in out[0]
+
+    # artifact present but missing the touched query / decision fields
+    out = fc.ab_gate_findings(prev, edited, cur_h, headline, {})
+    assert len(out) == 1 and "no ab_compare record" in out[0]
+    out = fc.ab_gate_findings(
+        prev, edited, cur_h, headline, {"q_hot": {"verdict": "b_faster"}}
+    )
+    assert len(out) == 1 and "no ab_compare record" in out[0]
+
+    # conclusive regression: a_faster fails the gate
+    out = fc.ab_gate_findings(
+        prev, edited, cur_h, headline,
+        {"q_hot": {"median_ratio_b_over_a": 1.41, "verdict": "a_faster"}},
+    )
+    assert len(out) == 1 and "a_faster" in out[0] and "1.41" in out[0]
+
+    # acceptable verdicts pass
+    for verdict in ("b_faster", "within_noise_band",
+                    "inconclusive_below_floor: ..."):
+        assert fc.ab_gate_findings(
+            prev, edited, cur_h, headline,
+            {"q_hot": {"median_ratio_b_over_a": 0.98, "verdict": verdict}},
+        ) == []
+
+    # a brand-new headline query is exempt even though its fingerprint
+    # has no previous-round counterpart
+    assert fc.ab_gate_findings(prev, cur, cur_h, ["q_new"], None) == []
+
+
+def test_ab_gate_headline_list_is_engine_free_importable():
+    """The gate reads the headline set from bench_constants (the
+    engine-free measurement-constants module) so the tripwire never
+    pays — or inherits a failure from — the full registry import just
+    to know which queries are anchor-feeding; bench.py must re-export
+    the SAME object (single source of truth, like the band constants)."""
+    import bench
+    from bench_constants import EXTENDED, HEADLINE
+
+    assert bench.HEADLINE is HEADLINE
+    assert bench.EXTENDED is EXTENDED
+    assert len(HEADLINE) == 18 and len(EXTENDED) == 4
+
+
 def test_newest_local_diff_sorts_numerically(tmp_path):
     """r9 vs r10: lexicographic sort would pick LOCAL_DIFF_r9 over
     LOCAL_DIFF_r10 — the checker must compare round numbers."""

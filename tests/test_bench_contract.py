@@ -150,6 +150,17 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     assert st["busy_jiffies"] > 0  # the bench itself demanded cycles
     assert compact["steal_pct"] == st["steal_pct_of_capacity"]
     assert compact["steal_pct_demand"] == st["steal_pct_of_demand"]
+    # HEADLINE-window steal stamp (ADVICE r15 medium): a second record
+    # closed right after the headline loop, so bench_trend adjudicates
+    # above-band headline readings on the window that actually timed
+    # them — its jiffy window must be a strict subset of the whole-span
+    # record, and the compact line must mirror both percentages
+    hst = art["cpu_steal_headline"]
+    assert hst["steal_jiffies"] >= 0 and hst["busy_jiffies"] > 0
+    assert hst["total_jiffies"] <= st["total_jiffies"]
+    assert hst["steal_jiffies"] <= st["steal_jiffies"]
+    assert compact["steal_pct_headline"] == hst["steal_pct_of_capacity"]
+    assert compact["steal_pct_demand_headline"] == hst["steal_pct_of_demand"]
     # extended section present (empty here — _run pins EXTENDED=[])
     # and excluded from the anchor semantics by construction
     assert art["extended_queries"] == {}
@@ -466,3 +477,59 @@ def test_bench_final_line_byte_budget_worst_case(bench):
     # the budget itself keeps a >=25% margin under the ~2,000-char
     # driver tail capture
     assert bench.FINAL_LINE_BUDGET_BYTES <= 1500
+
+
+def test_compact_record_overflow_raises_even_under_optimize(bench, monkeypatch):
+    """ADVICE r15 (low): the final-line budget backstop was a bare
+    ``assert``, stripped under ``python -O``/PYTHONOPTIMIZE — silently
+    reintroducing the r13 oversized-line failure mode the guard exists
+    to prevent. It must raise a real exception regardless of
+    optimization level (pinned by forcing an impossible budget)."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(bench, "FINAL_LINE_BUDGET_BYTES", 10)
+    diag = {"metric": "headline_queries_total_sec", "value": 1.0,
+            "unit": "sec", "queries": {}, "n_measured": 0,
+            "n_expected": 0, "sf": 0.1, "runs_per_query": 3,
+            "box_load_ok": True, "extended_queries": {}}
+    with _pytest.raises(RuntimeError, match="after degrading"):
+        bench.compact_record(diag)
+    src = (_REPO / "bench.py").read_text()
+    assert "raise RuntimeError" in src
+
+
+def test_anchor_band_edge_move_rule():
+    """r15 verdict #1 codified: an ANCHOR_BAND edge may only move when
+    >= ANCHOR_EDGE_MIN_CLEAN_POINTS clean-stamp runs land in the new
+    region. Pins: (a) the high edge equals the last stable edge unless
+    clean support points exist above it; (b) every support point lies
+    above the stable edge and at-or-under the current high edge within
+    rounding; (c) the PROVISIONAL flag is exactly the under-supported
+    state — an edge ratcheted on a single near-threshold point must
+    visibly say so in the constant (ADVICE r15: the r15 moves each
+    rested on one point from the host-contention incident)."""
+    from bench_constants import (
+        ANCHOR_BAND_MIN_OF_3_SEC,
+        ANCHOR_EDGE_MIN_CLEAN_POINTS,
+        ANCHOR_HIGH_EDGE_PROVISIONAL,
+        ANCHOR_HIGH_EDGE_STABLE_SEC,
+        ANCHOR_HIGH_EDGE_SUPPORT_SEC,
+    )
+
+    hi = ANCHOR_BAND_MIN_OF_3_SEC[1]
+    assert ANCHOR_EDGE_MIN_CLEAN_POINTS >= 2
+    assert ANCHOR_HIGH_EDGE_STABLE_SEC <= hi
+    if ANCHOR_HIGH_EDGE_SUPPORT_SEC:
+        top = max(ANCHOR_HIGH_EDGE_SUPPORT_SEC)
+        # the edge is the top support point, rounded up to 2 decimals
+        # (never more than 1% of headroom beyond the evidence)
+        assert hi >= top and hi <= round(top * 1.01, 2)
+        for p in ANCHOR_HIGH_EDGE_SUPPORT_SEC:
+            assert ANCHOR_HIGH_EDGE_STABLE_SEC < p <= hi
+    else:
+        # no clean points beyond the stable edge: the band must sit AT
+        # the stable edge (a retracted move leaves no residue)
+        assert hi == ANCHOR_HIGH_EDGE_STABLE_SEC
+    assert ANCHOR_HIGH_EDGE_PROVISIONAL == (
+        len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
+    )

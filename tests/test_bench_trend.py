@@ -191,6 +191,67 @@ def test_hypervisor_steal_adjudicates_above_band_as_load_suspect():
     assert g3["evidence"]["steal_pct_of_demand"] == 5.2
 
 
+def test_headline_window_steal_stamp_adjudicates_the_headline():
+    """ADVICE r15 (medium): the run-level steal window spans the whole
+    measured span, of which the headline loop is a minority — (a) a
+    burst landing only in the extended/child sections must NOT excuse
+    an above-band headline (clean headline window + dirty run-level
+    stamp => investigate), and (b) a burst concentrated IN the
+    headline must adjudicate even when the whole-span percentage was
+    diluted under the thresholds (dirty headline window + clean
+    run-level stamp => load_suspect). Records without the r16 headline
+    stamp keep the run-level fallback."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    base = {"value": hi * 1.3, "runs_per_query": 3,
+            "box_load_ok": True, "load_1m_at_start": 0.1,
+            "extended_order": "fresh_jvm_after_headline"}
+    # (b) diluted whole-span stamp, concentrated headline burst
+    concentrated = dict(base, steal_pct=0.9, steal_pct_demand=1.2,
+                        steal_pct_headline=1.1, steal_pct_demand_headline=6.3)
+    g = bt._grade_headline(concentrated)
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["steal_pct_of_demand"] == 6.3
+    # (a) clean headline window; the burst hit the extended sections
+    elsewhere = dict(base, steal_pct=4.4, steal_pct_demand=9.0,
+                     steal_pct_headline=0.2, steal_pct_demand_headline=0.9)
+    assert bt._grade_headline(elsewhere)["adjudication"] == "investigate"
+    # diagnostic-line shape (nested cpu_steal_headline) works the same
+    nested = dict(base, steal_pct=0.5,
+                  cpu_steal_headline={"steal_pct_of_capacity": 5.0,
+                                      "steal_pct_of_demand": 12.0})
+    assert bt._grade_headline(nested)["adjudication"] == "load_suspect"
+    # no headline stamp (pre-r16 records): run-level stamps adjudicate
+    legacy = dict(base, steal_pct=4.4)
+    assert bt._grade_headline(legacy)["adjudication"] == "load_suspect"
+    # degenerate all-None headline stamp (<=0-jiffy window) is a
+    # MISSING stamp, not a clean one — run-level fallback applies
+    degenerate = dict(base, steal_pct=4.4,
+                      cpu_steal_headline={"steal_pct_of_capacity": None,
+                                          "steal_pct_of_demand": None})
+    assert bt._grade_headline(degenerate)["adjudication"] == "load_suspect"
+
+
+def test_all_none_child_steal_stamp_falls_back_to_run_level():
+    """ADVICE r15 (low): when the child stamp exists but both
+    percentages are None (degenerate jiffy window), the old override
+    became (None, None) and silently skipped the run-level fallback —
+    the fresh section was graded with no steal signal at all. An
+    all-None child stamp must be treated like a missing one."""
+    bt = _load()
+    q = "graph_pagerank"
+    hi = bt.EXTENDED_FRESH_RANGES_SEC[q][1]
+    rec = {"extended_order": "fresh_jvm_after_headline",
+           "box_load_ok": True, "load_1m_at_start": 0.2,
+           "steal_pct": 7.7,  # run-level window caught the denial
+           "extended_queries": {q: hi * 1.3},
+           "extended_fresh_cpu_steal": {"steal_pct_of_capacity": None,
+                                        "steal_pct_of_demand": None}}
+    g = bt._grade_extended(rec)[q]
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["steal_pct_of_capacity"] == 7.7
+
+
 def test_fresh_extended_section_graded_by_child_steal_window():
     """The fresh child stamps its own steal window; the run-level
     percentage dilutes a contaminated child ~5x (the child is a

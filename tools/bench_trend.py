@@ -217,6 +217,17 @@ def _load_adjudication(rec: dict, steal_override: tuple | None = None) -> dict:
             "evidence": {"load_1m_at_start": start}}
 
 
+def _steal_pair_or_none(cap, dem) -> tuple | None:
+    """A steal override whose percentages are BOTH None is a degenerate
+    stamp (a <=0-jiffy window), not a clean one — treat it like a
+    missing stamp so the run-level steal record still adjudicates
+    (ADVICE r15: a (None, None) override silently skipped the run-level
+    fallback and graded the section with no steal signal at all)."""
+    if cap is None and dem is None:
+        return None
+    return (cap, dem)
+
+
 def _grade_headline(rec: dict) -> dict:
     # Era dispatch: min-of-3 records (r10+) stamp runs_per_query >= 2;
     # single-run-era artifacts grade against THEIR band — cross-era
@@ -241,7 +252,25 @@ def _grade_headline(rec: dict) -> dict:
     else:
         out["grade"] = "above_band"
         out["ratio_to_high_edge"] = round(value / hi, 3)
-        out.update(_load_adjudication(rec))
+        # ADVICE r15 (medium): the run-level steal window spans the
+        # whole measured span (headline + postheadline + fresh child),
+        # of which the headline loop is a minority — a burst landing
+        # only in the extended sections could excuse a genuine
+        # headline regression, and a burst concentrated IN the
+        # headline is diluted ~3-5x and may miss the thresholds.
+        # Records stamped since r16 carry a headline-window steal
+        # record (``cpu_steal_headline`` / compact
+        # ``steal_pct_headline``); adjudicate the headline on THAT
+        # window when present, falling back to the run-level stamps
+        # for older records (and for degenerate all-None stamps).
+        hs = rec.get("cpu_steal_headline") or {}
+        headline_steal = _steal_pair_or_none(
+            rec.get("steal_pct_headline", hs.get("steal_pct_of_capacity")),
+            rec.get(
+                "steal_pct_demand_headline", hs.get("steal_pct_of_demand")
+            ),
+        )
+        out.update(_load_adjudication(rec, steal_override=headline_steal))
     return out
 
 
@@ -295,7 +324,10 @@ def _grade_extended(rec: dict) -> dict:
     # fraction of the span), so the child's stamp grades its section
     child = rec.get("extended_fresh_cpu_steal") or {}
     child_steal = (
-        (child.get("steal_pct_of_capacity"), child.get("steal_pct_of_demand"))
+        _steal_pair_or_none(
+            child.get("steal_pct_of_capacity"),
+            child.get("steal_pct_of_demand"),
+        )
         if fresh_order and child else None
     )
     out = _grade_one_extended_section(

@@ -26,8 +26,22 @@ judge diligence):
   regenerated, and the checker's detection logic is pinned by pytest
   against synthetic artifacts so the gate itself can't rot.
 
-Exit 0 = both artifacts describe HEAD. Exit 1 = stale, with the
-drifted queries (or the build_fp pair) printed.
+Since round 16 a third claim is gated (r15 verdict #2): the bench
+anchor band is ~22% wide — wide enough to absorb a genuine ~15%
+headline regression the point-in-band check cannot see. The only
+protocol on this box that CAN see it is an interleaved same-JVM ABBA
+pair-ratio comparison (``tools/ab_compare.py``). So any round whose
+diff moves the fingerprint of a HEADLINE query (relative to the
+PREVIOUS round's committed differential) must also commit
+``AB_r{N}.json`` — ``{query: ab_compare-output-record}`` with A = the
+previous round's builder and B = HEAD — covering every touched
+headline query, with no conclusive ``a_faster`` (old-code-faster)
+verdict. Rounds that never touch headline-feeding code (most rounds)
+pass this gate with no artifact, mechanically.
+
+Exit 0 = all claims describe HEAD. Exit 1 = stale/missing, with the
+drifted queries (or the build_fp pair, or the AB-gate findings)
+printed.
 """
 
 from __future__ import annotations
@@ -96,15 +110,85 @@ def stale_entries(
 
 
 def newest_local_diff(repo: str = REPO) -> str | None:
-    diffs = sorted(
-        (
-            f
-            for f in os.listdir(repo)
-            if re.fullmatch(r"LOCAL_DIFF_r\d+\.json", f)
-        ),
-        key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
-    )
-    return os.path.join(repo, diffs[-1]) if diffs else None
+    diffs = local_diffs_newest_last(repo)
+    return diffs[-1] if diffs else None
+
+
+def local_diffs_newest_last(repo: str = REPO) -> list[str]:
+    return [
+        os.path.join(repo, f)
+        for f in sorted(
+            (
+                f
+                for f in os.listdir(repo)
+                if re.fullmatch(r"LOCAL_DIFF_r\d+\.json", f)
+            ),
+            key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
+        )
+    ]
+
+
+def ab_gate_findings(
+    prev_artifact: dict,
+    current: dict[str, str],
+    current_helper: dict[str, str],
+    headline: list[str],
+    ab_artifact: dict | None,
+    ab_name: str = "AB_r{N}.json",
+) -> list[str]:
+    """The mandatory-ABBA gate (r15 verdict #2), pure so every failure
+    direction is testable on synthetic artifacts.
+
+    ``prev_artifact`` is the PREVIOUS round's committed LOCAL_DIFF —
+    the last code state a driver bench graded. A headline query whose
+    definition or helper fingerprint moved since then feeds the anchor
+    total this round, and the band cannot catch a ~15% regression in
+    it; the committed AB artifact must cover it with an interleaved
+    pair-ratio record (``tools/ab_compare.py`` output: A = previous
+    round's builder, B = HEAD) whose verdict is not ``a_faster``.
+
+    Headline queries ABSENT from the previous differential are new
+    this round — there is no previous-round baseline to A/B, so they
+    are exempt (their absolute timing lands in the next anchor run).
+    """
+    touched = []
+    for name in headline:
+        prev = prev_artifact.get(name)
+        if not isinstance(prev, dict):
+            continue  # new headline query — no baseline side to run
+        if prev.get("fingerprint") != current.get(name) or prev.get(
+            "helper_fingerprint"
+        ) != current_helper.get(name):
+            touched.append(name)
+    if not touched:
+        return []
+    problems: list[str] = []
+    if ab_artifact is None:
+        return [
+            f"headline queries {touched} changed since the previous "
+            f"round's differential but no {ab_name} pair-ratio artifact "
+            f"is committed — run tools/ab_compare.py (A = previous "
+            f"round's builder, B = HEAD) for each and commit the "
+            f"records (r15 verdict #2)"
+        ]
+    for name in touched:
+        rec = ab_artifact.get(name)
+        if not isinstance(rec, dict) or not (
+            "median_ratio_b_over_a" in rec and "verdict" in rec
+        ):
+            problems.append(
+                f"{name}: fingerprint moved this round but {ab_name} has "
+                f"no ab_compare record for it (need median_ratio_b_over_a "
+                f"+ verdict)"
+            )
+        elif rec["verdict"] == "a_faster":
+            problems.append(
+                f"{name}: AB verdict 'a_faster' (ratio "
+                f"{rec['median_ratio_b_over_a']}) — the previous round's "
+                f"plan is conclusively faster; this is a headline "
+                f"regression, fix it or record why the slower plan ships"
+            )
+    return problems
 
 
 def main() -> int:
@@ -149,6 +233,38 @@ def main() -> int:
             )
             for name, why in sorted(stale.items()):
                 print(f"  {name}: {why}")
+
+    # Mandatory-ABBA gate (r15 verdict #2): headline fingerprints that
+    # moved since the PREVIOUS round's differential require a committed
+    # AB_r{N}.json pair-ratio artifact — the anchor band is too wide to
+    # catch a modest headline regression; only the interleaved protocol
+    # can. Needs two differentials (a previous-round baseline to diff
+    # against); the first round ever has nothing to compare.
+    from bench_constants import HEADLINE
+
+    diffs = local_diffs_newest_last()
+    if len(diffs) >= 2:
+        prev_artifact = json.load(open(diffs[-2]))
+        cur_round = int(re.search(r"r(\d+)", os.path.basename(diffs[-1])).group(1))
+        ab_name = f"AB_r{cur_round}.json"
+        ab_path = os.path.join(REPO, ab_name)
+        ab_artifact = (
+            json.load(open(ab_path)) if os.path.exists(ab_path) else None
+        )
+        findings = ab_gate_findings(
+            prev_artifact,
+            current_fingerprints(),
+            current_helper_fingerprints(),
+            HEADLINE,
+            ab_artifact,
+            ab_name=ab_name,
+        )
+        if findings:
+            ok = False
+            print(f"AB GATE ({ab_name}):")
+            for f in findings:
+                print(f"  {f}")
+
     if ok:
         print(
             f"fresh: SCALE_SWEEP build_fp matches HEAD; "
