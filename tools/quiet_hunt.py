@@ -100,6 +100,15 @@ def run_bench(n: int) -> tuple[str, dict | None]:
     return out, (json.loads(lines[0]) if lines else None)
 
 
+def _first_query_sample_ok(diag: dict) -> bool:
+    per_q = diag.get("load_1m_per_query") or {}
+    samples = [v for v in per_q.values() if v]
+    if not samples:
+        return False
+    thresh = diag.get("box_load_threshold_1m", 2.0)
+    return samples[0][0] < thresh
+
+
 def stamp_clean(stamp: dict | None) -> bool:
     if not stamp:
         return False
@@ -143,9 +152,17 @@ def main() -> None:
             "steal_child": diag.get("extended_fresh_cpu_steal"),
             "ext_fresh": diag.get("extended_queries"),
             "ext_post": diag.get("extended_queries_postheadline"),
+            # box_load_ok + headline-window steal + the FIRST headline
+            # query's pre-sample (the round-14 warm-up-arrival signal,
+            # and the only one that caught the r16 attempt-12 case: a
+            # 1.36x headline on 0.18% steal — stamp-invisible host
+            # interference that arrived during warm-up). Mirrors
+            # bench_trend._load_adjudication; the tool's flag must
+            # never be GREENER than the grader's.
             "headline_clean": bool(
                 diag.get("box_load_ok")
                 and stamp_clean(diag.get("cpu_steal_headline"))
+                and _first_query_sample_ok(diag)
             ),
             "child_clean": stamp_clean(
                 diag.get("extended_fresh_cpu_steal")
