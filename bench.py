@@ -139,6 +139,10 @@ def compact_record(diag: dict) -> dict:
         "steal_pct_demand_headline": (
             diag.get("cpu_steal_headline") or {}
         ).get("steal_pct_of_demand"),
+        # fixed-work host-speed probe [gate-pass, post-headline] (r16):
+        # the one stamp that sees frequency-cap / memory-bandwidth
+        # degradation. Fixed-size (~30 bytes); recorded-only for now.
+        "cpu_work_probe_sec": diag.get("cpu_work_probe_sec"),
         "extended_queries": diag["extended_queries"],
         # era stamp for bench_trend's band dispatch (fresh-order vs
         # the legacy after-headline ranges)
@@ -318,6 +322,35 @@ from bench_constants import read_cpu_steal as _read_cpu_steal  # noqa: E402
 from bench_constants import steal_record as _steal_record  # noqa: E402
 
 
+def cpu_work_probe(reps: int = 3, mb: int = 256) -> float:
+    """Min-of-``reps`` seconds for a FIXED unit of engine-independent
+    work: memset ``mb`` MiB (memory-bandwidth-bound) + sha256 over it
+    (per-core-compute-bound), both C-speed with the GIL released.
+
+    Round 16 observed the failure mode this exists for: a headline
+    total of 17.5 s (1.36x the band edge) on 0.18% headline-window
+    steal — the host degraded the guest's effective speed (frequency
+    cap / memory-bandwidth contention) in a way NO steal or loadavg
+    stamp can see; only a lucky warm-up-arrival load sample caught it.
+    This probe is the direct measurement: the work is constant and
+    engine-free, so the stamped seconds track the box's effective
+    speed and nothing else. Like steal, it is self-masking-safe: an
+    engine regression cannot slow a probe that never touches the
+    engine. Stamped before and after the headline loop (and inside
+    the fresh child); recorded-only until enough rounds of provenance
+    exist to band it."""
+    import hashlib
+
+    best = math.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        buf = b"\x00" * (mb << 20)
+        hashlib.sha256(buf).digest()
+        best = min(best, time.perf_counter() - t0)
+        del buf
+    return round(best, 4)
+
+
 def _reps_from_env() -> int:
     # clamp to >= 1: reps=0 would leave every `best` at math.inf and
     # json.dumps would emit the non-RFC `Infinity` token — breaking
@@ -353,6 +386,7 @@ def _extended_fresh_child() -> None:
     names = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "").split(",") if n]
     reps = _reps_from_env()
     steal0 = _read_cpu_steal()
+    calib = cpu_work_probe()
     _load_all()
     spark = get_spark(app_name="mrs-bench-ext")
     spark.sparkContext.setLogLevel("FATAL")
@@ -370,6 +404,7 @@ def _extended_fresh_child() -> None:
         "extended_queries": times,
         "extended_load_1m_per_query": load_1m,
         "cpu_steal": _steal_record(steal0, _read_cpu_steal()),
+        "cpu_work_probe_sec": calib,
     }
     if errors:
         out["extended_errors"] = errors
@@ -405,6 +440,7 @@ def _extended_fresh_subprocess(
                     rec.get("extended_errors", {}),
                     rec.get("extended_load_1m_per_query", {}),
                     rec.get("cpu_steal"),
+                    rec.get("cpu_work_probe_sec"),
                 )
         raise ValueError(
             f"no JSON line in child stdout (rc={proc.returncode}, "
@@ -413,7 +449,7 @@ def _extended_fresh_subprocess(
     except Exception as exc:  # noqa: BLE001 — record and continue
         msg = f"{type(exc).__name__}: {exc}"
         print(f"bench: extended fresh-JVM child FAILED: {msg}", file=sys.stderr)
-        return {}, {"_fresh_jvm": msg[:300]}, {}, None
+        return {}, {"_fresh_jvm": msg[:300]}, {}, None, None
 
 
 def main() -> None:
@@ -467,6 +503,12 @@ def main() -> None:
     # steal window opens AFTER the idle gate (steal during an idle
     # wait is ~0 by construction and would only dilute the percentage)
     steal0 = _read_cpu_steal()
+    # effective-host-speed probe (r16): fixed engine-free work timed at
+    # gate-pass — the only stamp that sees frequency-cap / memory-
+    # bandwidth degradation (observed live: 1.36x headline on 0.18%
+    # steal). Recorded-only until banded; a second reading after the
+    # headline shows whether the box's speed CHANGED during the run.
+    calib_pre = cpu_work_probe()
     spark = get_spark(app_name="mrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -517,6 +559,7 @@ def main() -> None:
     # readings on THIS window when present, keeping the whole-span
     # stamp on the artifact for the extended sections and provenance.
     cpu_steal_headline = _steal_record(steal0, _read_cpu_steal())
+    calib_post = cpu_work_probe()
     # SECONDARY extended trend: the legacy after-headline order, kept
     # so the r13/r14 observed ranges stay comparable while the fresh-
     # order bands accumulate provenance (r14 verdict #4 "keep the
@@ -545,10 +588,15 @@ def main() -> None:
     ext_fresh_errors: dict[str, str] = {}
     ext_fresh_load: dict[str, list[float]] = {}
     ext_fresh_steal: dict | None = None
+    ext_fresh_calib: float | None = None
     if extended:
-        ext_fresh_times, ext_fresh_errors, ext_fresh_load, ext_fresh_steal = (
-            _extended_fresh_subprocess(extended, reps)
-        )
+        (
+            ext_fresh_times,
+            ext_fresh_errors,
+            ext_fresh_load,
+            ext_fresh_steal,
+            ext_fresh_calib,
+        ) = _extended_fresh_subprocess(extended, reps)
 
     spark.sparkContext.setLogLevel("ERROR")
     total = round(sum(times.values()), 3)
@@ -646,6 +694,12 @@ def main() -> None:
         "cpu_steal": cpu_steal,
         "cpu_steal_headline": cpu_steal_headline,
         "extended_fresh_cpu_steal": ext_fresh_steal,
+        "extended_fresh_cpu_work_probe_sec": ext_fresh_calib,
+        # fixed-work host-speed probe (r16), [gate-pass, post-headline]:
+        # identical work, so a rise between the two means the box's
+        # effective speed DEGRADED during the run — the signal steal
+        # cannot see. Child's own reading rides in its section.
+        "cpu_work_probe_sec": [calib_pre, calib_post],
         "min_of_3_fresh_jvm_spread_sec": list(ANCHOR_BAND_MIN_OF_3_SEC),
         "anchor_ref": "BASELINE.md#new-engine-targets-driver-contract",
         "single_run_era": {

@@ -161,6 +161,12 @@ def test_bench_artifact_contract_clean_run(bench, capsys, monkeypatch, spark):
     assert hst["steal_jiffies"] <= st["steal_jiffies"]
     assert compact["steal_pct_headline"] == hst["steal_pct_of_capacity"]
     assert compact["steal_pct_demand_headline"] == hst["steal_pct_of_demand"]
+    # fixed-work host-speed probe (r16): [gate-pass, post-headline]
+    # seconds for identical engine-free work — the stamp that sees
+    # frequency-cap / bandwidth degradation no steal record can
+    calib = art["cpu_work_probe_sec"]
+    assert len(calib) == 2 and all(0 < c < 60 for c in calib)
+    assert compact["cpu_work_probe_sec"] == calib
     # extended section present (empty here — _run pins EXTENDED=[])
     # and excluded from the anchor semantics by construction
     assert art["extended_queries"] == {}
@@ -220,6 +226,8 @@ def test_bench_extended_section_measured_but_not_in_anchor(
     )
     # primary = fresh-order, stamped with its era marker
     assert art["extended_order"] == "fresh_jvm_after_headline"
+    # the child stamps its own fixed-work host-speed probe (r16)
+    assert 0 < art["extended_fresh_cpu_work_probe_sec"] < 60
     assert set(art["extended_queries"]) == {"grep_docs"}
     assert art["extended_queries"]["grep_docs"] > 0
     assert "extended_errors" not in art
@@ -288,7 +296,7 @@ def test_bench_fresh_child_crash_is_isolated(bench, capsys, monkeypatch, spark):
     monkeypatch.setattr(
         bench, "_extended_fresh_subprocess",
         lambda names, reps: (
-            {}, {"_fresh_jvm": "ValueError: no JSON line"}, {}, None
+            {}, {"_fresh_jvm": "ValueError: no JSON line"}, {}, None, None
         ),
     )
     art, compact = _run(

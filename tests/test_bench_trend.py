@@ -398,6 +398,45 @@ def test_extended_band_dispatch_on_order_stamp():
     assert f"{q} (postheadline)" not in g2
 
 
+def test_postheadline_section_is_recorded_only(tmp_path):
+    """r16: the legacy after-headline section rides Spark's
+    accumulated self-load and has no section-scoped steal window —
+    its 1.00-1.05x edge wobbles on degraded-box days carry no gate
+    information (clean-stamp r16 runs read fuzzy 3.046 / pagerank
+    6.19 vs edges 2.92 / 6.18 while their FRESH sections sat
+    mid-band). A postheadline 'investigate' must not fail --strict;
+    a PRIMARY fresh-section investigate still must."""
+    bt = _load()
+    q = "dedup_fuzzy_names"
+    base = {"metric": "headline_queries_total_sec",
+            "value": sum(bt.ANCHOR_BAND_MIN_OF_3_SEC) / 2, "unit": "sec",
+            "queries": {}, "n_measured": 18, "n_expected": 18, "sf": 0.1,
+            "runs_per_query": 3, "box_load_ok": True,
+            "load_1m_at_start": 0.1, "extended_order":
+            "fresh_jvm_after_headline", "steal_pct": 0.1,
+            "steal_pct_demand": 0.2,
+            "extended_queries": {q: bt.EXTENDED_FRESH_RANGES_SEC[q][0]}}
+    post_riser = dict(base, extended_queries_postheadline={
+        q: bt.EXTENDED_OBSERVED_RANGES_SEC[q][1] * 1.05})
+    p = tmp_path / "BENCH_LOCAL_r31.json"
+    p.write_text(json.dumps(post_riser))
+    g = bt.grade(bt.extract_record(p))
+    entry = g["extended"][f"{q} (postheadline)"]
+    assert entry["grade"] == "above_band"
+    assert entry["gating"] is False
+    assert bt.main(["--artifact", str(p), "--strict"]) == 0
+    # ...the gated PRIMARY fresh section still fails strict
+    fresh_riser = dict(base, extended_fresh_cpu_steal={
+        "steal_pct_of_capacity": 0.1, "steal_pct_of_demand": 0.2},
+        extended_queries={q: bt.EXTENDED_FRESH_RANGES_SEC[q][1] * 1.3})
+    p2 = tmp_path / "BENCH_LOCAL_r32.json"
+    p2.write_text(json.dumps(fresh_riser))
+    g2 = bt.grade(bt.extract_record(p2))
+    assert g2["extended"][q]["adjudication"] == "investigate"
+    assert g2["extended"][q].get("gating", True) is True
+    assert bt.main(["--artifact", str(p2), "--strict"]) == 1
+
+
 def test_below_band_is_never_an_investigate_flag():
     bt = _load()
     lo = bt.ANCHOR_BAND_MIN_OF_3_SEC[0]

@@ -339,6 +339,17 @@ def _grade_extended(rec: dict) -> dict:
             rec, post, EXTENDED_OBSERVED_RANGES_SEC,
             "extended_postheadline_load_1m_per_query",
         ).items():
+            # RECORDED-ONLY since r16 (like the sweep's raw 4x tail):
+            # the postheadline section is the legacy same-JVM order
+            # kept as a secondary trend — it rides Spark's accumulated
+            # self-load (the ±30% noise that motivated the fresh child
+            # in the first place) and has no section-scoped steal
+            # window, so its 1.00-1.05x edge wobbles on degraded-box
+            # days flap the gate without information (r16: clean-stamp
+            # runs read fuzzy 3.046 / pagerank 6.19 vs edges 2.92 /
+            # 6.18 while their FRESH sections sat mid-band). The fresh
+            # child remains the gated primary.
+            entry["gating"] = False
             out[f"{q} (postheadline)"] = entry
     return out
 
@@ -367,6 +378,8 @@ def _fmt_grade(g: dict) -> str:
                f"{g.get('adjudication')})"
     elif tag == "below_band" and "ratio_to_low_edge" in g:
         tag += f" ({g['ratio_to_low_edge']}x low edge)"
+    if g.get("gating") is False:
+        tag += " [recorded-only]"
     return tag
 
 
@@ -429,7 +442,10 @@ def main(argv=None) -> int:
                 print(f"      extended {q}: {e['value']} s vs "
                       f"{e['band']} -> {_fmt_grade(e)}")
         for section in [h] + list(g["extended"].values()):
-            if section.get("adjudication") == "investigate":
+            if (
+                section.get("adjudication") == "investigate"
+                and section.get("gating", True)
+            ):
                 investigate.append(
                     f"{p.name}: {section.get('value')} s vs "
                     f"{section['band']}")
