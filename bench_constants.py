@@ -173,12 +173,21 @@ ANCHOR_EDGE_MIN_CLEAN_POINTS = 2
 #: regime (the r14 quintuplet's 12.53 maximum, fresh-boot box).
 ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #: clean-stamp runs above the stable edge supporting the current high
-#: edge: r15's 12.898 (gate 1m_and_5m_idle, start 0.79, steal
-#: 0.28%/1.71%) and the round-16 pair 13.062 / 13.975 (both gate
-#: 1m_and_5m_idle, first-query pre-samples 1.81 / 1.84,
-#: headline-window steal 0.28%/1.95% each — full cohort in the
-#: ANCHOR_BAND provenance above and SCALING.md#noise-band).
-ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.898, 13.062, 13.975]
+#: edge, in evidence-quality order:
+#:   12.861 — r16, the committed BENCH_LOCAL_r16.json: headline-window
+#:     steal 0.02%/0.15%, first-query pre-sample 1.46 — the cleanest
+#:     full run ever stamped, landing 0.3% under r15's 12.898 and
+#:     CONFIRMING the churned-box ~12.86-12.90 quiet baseline (the
+#:     r15-verdict ask: a second clean point for the 12.90 region).
+#:   12.898 — r15 (gate 1m_and_5m_idle, start 0.79, steal 0.28%/1.71%).
+#:   13.062 / 13.975 — r16 pair, committed as
+#:     BENCH_LOCAL_r16_support_*.json: every stamp clean (gate,
+#:     pre-samples 1.81/1.84, headline-window steal 0.28%/1.95% each)
+#:     but measured DURING the documented degradation episode with
+#:     demand-steal at 97.5% of the suspect threshold — the top of
+#:     the observed clean envelope, not its center. Full cohort:
+#:     HUNT_r16.jsonl + SCALING.md#noise-band.
+ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.861, 12.898, 13.062, 13.975]
 ANCHOR_HIGH_EDGE_PROVISIONAL = (
     len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
 )
@@ -251,7 +260,10 @@ EXTENDED_OBSERVED_RANGES_SEC = {
 #:       pagerank/fuzzy BELOW the low edges: the truly-quiet box runs
 #:       faster than every noisy-day calibration point
 #:   I (0.28% / 1.53%)           4.568/5.942/3.122/1.969 — in-band
-#: Verdict: HIGH edges confirmed (no clean child approached one);
+#:   J (0.02% / 0.13% — the committed BENCH_LOCAL_r16 child)
+#:                               4.613/6.177/3.021/1.979 — in-band
+#: Verdict: HIGH edges confirmed over four clean children (none
+#: approached an edge);
 #: low edges left where they are — below_band is recorded-only
 #: maintenance, and H is a single point (the two-clean-points edge
 #: discipline applies downward too).
