@@ -187,10 +187,10 @@ ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #:     demand-steal at 97.5% of the suspect threshold — the top of
 #:     the observed clean envelope, not its center. Full cohort:
 #:     HUNT_r16.jsonl + SCALING.md#noise-band. A post-episode
-#:     recovery run (BENCH_LOCAL_r16_recovery_11885.json: 11.885 s,
-#:     headline window 0.01%/0.06%) read squarely inside the healthy
-#:     r14 regime on the same code+data ~40 min later — the episode
-#:     was host state end to end.
+#:     recovery PAIR (BENCH_LOCAL_r16_recovery_*.json: 11.885 and
+#:     11.325 s, headline windows 0.01%/0.06% each) read squarely
+#:     inside the healthy r14 regime on the same code+data ~40 min
+#:     later — the episode was host state end to end.
 ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.861, 12.898, 13.062, 13.975]
 ANCHOR_HIGH_EDGE_PROVISIONAL = (
     len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
