@@ -141,8 +141,16 @@ def compact_record(diag: dict) -> dict:
         ).get("steal_pct_of_demand"),
         # fixed-work host-speed probe [gate-pass, post-headline] (r16):
         # the one stamp that sees frequency-cap / memory-bandwidth
-        # degradation. Fixed-size (~30 bytes); recorded-only for now.
+        # degradation. Fixed-size (~30 bytes). ADJUDICATING since r17
+        # (r16 verdict #3): bench_trend grades an above-band headline
+        # whose bracketing probe max crosses
+        # bench_constants.CPU_WORK_PROBE_SLOW_SEC as host_slow_suspect.
         "cpu_work_probe_sec": diag.get("cpu_work_probe_sec"),
+        # the fresh child's own probe (~10 bytes) — adjudicates the
+        # fresh extended section the same way
+        "extended_fresh_cpu_work_probe_sec": diag.get(
+            "extended_fresh_cpu_work_probe_sec"
+        ),
         "extended_queries": diag["extended_queries"],
         # era stamp for bench_trend's band dispatch (fresh-order vs
         # the legacy after-headline ranges)
@@ -413,7 +421,13 @@ def _extended_fresh_child() -> None:
 
 def _extended_fresh_subprocess(
     names: list[str], reps: int
-) -> tuple[dict[str, float], dict[str, str], dict[str, list[float]], dict | None]:
+) -> tuple[
+    dict[str, float],
+    dict[str, str],
+    dict[str, list[float]],
+    dict | None,
+    float | None,
+]:
     """Run the fresh-JVM extended child and parse its one-line JSON.
     Failure-isolated like every measured section: a crashed or
     unparseable child records a synthetic ``_fresh_jvm`` error and

@@ -99,6 +99,41 @@ STEAL_SUSPECT_PCT = 2.0
 #: the percentage, so a regression can only become MORE visible.
 STEAL_SUSPECT_DEMAND_PCT = 2.0
 
+#: Host-speed probe SUSPECT threshold (r16 verdict #3): above this,
+#: the fixed-work probe (``bench.cpu_work_probe_sec`` — memset 256
+#: MiB + sha256, min-of-3, engine-free) says the box's effective
+#: speed is degraded in the way NO steal or loadavg stamp can see
+#: (frequency cap / memory-bandwidth denial — the r16 episode's
+#: 17.506 s clean-stamped run). ``tools/bench_trend.py`` grades an
+#: above-band reading whose bracketing probe maximum crosses this
+#: threshold ``host_slow_suspect`` (box state, like load_suspect).
+#: Self-masking-safe: an engine regression cannot slow a probe that
+#: never touches the engine. CALIBRATION (every point committed):
+#:   clean, quiet-hunt builder sessions (r16, in-band/recovery runs
+#:   12.861/11.885/11.325): pre 0.3917/0.3853/0.3833, post-headline
+#:   0.3681/0.3716/0.3689, child 0.3805/0.3755/0.3751
+#:     (BENCH_LOCAL_r16.json + the recovery pair, evidence/r16/)
+#:   clean, r16 DRIVER session (11.566 s — best driver total ever):
+#:   pre 0.3887, post 0.3955 (BENCH_r16.json) — driver-session
+#:   probes read ~5% above the builder sessions', which is why the
+#:   threshold sits above the full clean envelope, not its center
+#:   clean, r17 builder sessions: see evidence/r17/ as they land
+#:   DEGRADED (the episode's only probe-stamped run — 13.348 s at
+#:   3.43% headline demand-steal): pre 0.3953, post 0.4071, child
+#:   0.3865 (evidence/r16/BENCH_LOCAL_r16_episode_13348.json)
+#: Threshold 0.40 = above every committed clean reading (max 0.3955)
+#: with the one stamped degraded run caught via its post-probe
+#: 0.4071. The adjudicated statistic is the MAX of the bracketing
+#: [gate-pass, post-headline] pair (one slow end means the probed
+#: window overlapped degradation); the verdict's pre-probe-only
+#: phrasing would catch NO committed degraded reading (the degraded
+#: pre, 0.3953, sits 0.05% under the clean driver post, 0.3955 — the
+#: two single-reading populations overlap). Borderline episodes
+#: reading 0.39-0.40 fall through to ``investigate`` — the
+#: conservative direction: a too-low threshold would let ordinary
+#: clean-box probe flutter excuse a REAL above-band regression.
+CPU_WORK_PROBE_SLOW_SEC = 0.40
+
 #: Min-of-3 idle-box fresh-JVM headline-total ANCHOR band (the value
 #: ``bench.py`` stamps as ``min_of_3_fresh_jvm_spread_sec`` and
 #: ``tools/bench_trend.py`` adjudicates against). ELEVEN idle runs on
@@ -181,13 +216,16 @@ ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #:     r15-verdict ask: a second clean point for the 12.90 region).
 #:   12.898 — r15 (gate 1m_and_5m_idle, start 0.79, steal 0.28%/1.71%).
 #:   13.062 / 13.975 — r16 pair, committed as
-#:     BENCH_LOCAL_r16_support_*.json: every stamp clean (gate,
+#:     evidence/r16/BENCH_LOCAL_r16_support_*.json: every stamp
+#:     clean (gate,
 #:     pre-samples 1.81/1.84, headline-window steal 0.28%/1.95% each)
 #:     but measured DURING the documented degradation episode with
 #:     demand-steal at 97.5% of the suspect threshold — the top of
 #:     the observed clean envelope, not its center. Full cohort:
-#:     HUNT_r16.jsonl + SCALING.md#noise-band. A post-episode
-#:     recovery PAIR (BENCH_LOCAL_r16_recovery_*.json: 11.885 and
+#:     evidence/r16/HUNT_r16.jsonl + SCALING.md#noise-band. A
+#:     post-episode
+#:     recovery PAIR (evidence/r16/BENCH_LOCAL_r16_recovery_*.json:
+#:     11.885 and
 #:     11.325 s, headline windows 0.01%/0.06% each) read squarely
 #:     inside the healthy r14 regime on the same code+data ~40 min
 #:     later — the episode was host state end to end.

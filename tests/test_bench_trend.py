@@ -437,6 +437,147 @@ def test_postheadline_section_is_recorded_only(tmp_path):
     assert bt.main(["--artifact", str(p2), "--strict"]) == 1
 
 
+def test_literal_r16_stamp_invisible_17506_run_is_not_investigate():
+    """r16 verdict #3's must-catch case, on the LITERAL committed
+    stamps (evidence/r16/BENCH_LOCAL_r16_episode_17506.json): the
+    17.506 s run passed every steal stamp (nested headline window
+    0.02%/0.18%, compact keys explicitly null) and the idle gate
+    (1m_and_5m_idle, start 1.51) and predates the probe
+    (cpu_work_probe_sec: null) — it must STILL not grade
+    'investigate': the first-headline-query pre-sample (3.36) is the
+    one signal that caught it live, and the explicit-null compact
+    steal keys must not shadow the nested record (ADVICE r16 low:
+    dict-default vs None-coalescing)."""
+    bt = _load()
+    p = _REPO / "evidence" / "r16" / "BENCH_LOCAL_r16_episode_17506.json"
+    g = bt.grade(bt.extract_record(p))
+    h = g["headline"]
+    assert h["value"] == 17.506
+    assert h["grade"] == "above_band"
+    assert h["adjudication"] == "load_suspect"
+    assert h["evidence"]["first_query_load_before"] == 3.36
+
+
+def test_literal_r16_episode_13348_run_caught_by_headline_steal():
+    """The episode's only probe-stamped run (13.348 s, probe
+    [0.3953, 0.4071]) — its nested headline window carries 3.43%
+    demand-steal, so the steal signal names the mechanism before the
+    probe is consulted. Committed as the probe calibration's DEGRADED
+    point (bench_constants.CPU_WORK_PROBE_SLOW_SEC provenance)."""
+    bt = _load()
+    p = _REPO / "evidence" / "r16" / "BENCH_LOCAL_r16_episode_13348.json"
+    g = bt.grade(bt.extract_record(p))
+    h = g["headline"]
+    assert h["value"] == 13.348
+    if h["value"] > bt.ANCHOR_BAND_MIN_OF_3_SEC[1]:
+        # once the band's episode-widened high edge retires (the
+        # r16-verdict-#2 contraction rule), this point reads
+        # above-band and must adjudicate from its headline steal
+        assert h["grade"] == "above_band"
+        assert h["adjudication"] == "load_suspect"
+        assert h["evidence"]["steal_pct_of_demand"] == 3.43
+    else:
+        # while the widened edge still covers the episode point it
+        # grades in-band; pin the adjudication path directly so the
+        # steal extraction is exercised either way
+        assert h["grade"] == "in_band"
+        rec = bt.extract_record(p)["record"]
+        adj = bt._load_adjudication(rec, steal_override=(0.47, 3.43))
+        assert adj["adjudication"] == "load_suspect"
+        assert adj["evidence"]["steal_pct_of_demand"] == 3.43
+
+
+def test_explicit_null_compact_steal_keys_do_not_shadow_nested():
+    """ADVICE r16 (low): a record carrying steal_pct_headline
+    explicitly null ALONGSIDE a populated nested cpu_steal_headline
+    must adjudicate from the nested percentages (dict-default
+    .get(key, fallback) ignored them because the key existed)."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    rec = {"value": hi * 1.2, "runs_per_query": 3,
+           "box_load_ok": True, "load_1m_at_start": 0.1,
+           "extended_order": "fresh_jvm_after_headline",
+           "steal_pct_headline": None, "steal_pct_demand_headline": None,
+           "cpu_steal_headline": {"steal_pct_of_capacity": 0.5,
+                                  "steal_pct_of_demand": 7.7}}
+    g = bt._grade_headline(rec)
+    assert g["adjudication"] == "load_suspect"
+    assert g["evidence"]["steal_pct_of_demand"] == 7.7
+
+
+def test_slow_probe_adjudicates_above_band_as_host_slow_suspect():
+    """r16 verdict #3: the fixed-work host-speed probe is the one
+    stamp that sees frequency-cap/memory-bandwidth degradation. An
+    above-band reading with clean gate/loads/steal but a bracketing
+    probe max over CPU_WORK_PROBE_SLOW_SEC grades host_slow_suspect
+    (box state); a probe inside the committed clean envelope — the
+    driver's clean 11.566 s run read [0.3887, 0.3955] — must NOT
+    excuse anything ('investigate' stands); a missing/null probe
+    (pre-r16 records) keeps the clean-start default too."""
+    bt = _load()
+    hi = bt.ANCHOR_BAND_MIN_OF_3_SEC[1]
+    base = {"value": hi * 1.3, "runs_per_query": 3,
+            "box_load_ok": True, "load_1m_at_start": 0.1,
+            "steal_pct": 0.02, "steal_pct_demand": 0.11,
+            "steal_pct_headline": 0.02, "steal_pct_demand_headline": 0.18,
+            "extended_order": "fresh_jvm_after_headline"}
+    degraded = dict(base, cpu_work_probe_sec=[0.3953, 0.4071])
+    g = bt._grade_headline(degraded)
+    assert g["adjudication"] == "host_slow_suspect"
+    assert g["evidence"]["cpu_work_probe_max_sec"] == 0.4071
+    assert g["evidence"]["threshold_sec"] == bt.CPU_WORK_PROBE_SLOW_SEC
+    clean = dict(base, cpu_work_probe_sec=[0.3887, 0.3955])
+    assert bt._grade_headline(clean)["adjudication"] == "investigate"
+    absent = dict(base, cpu_work_probe_sec=None)
+    assert bt._grade_headline(absent)["adjudication"] == "investigate"
+
+
+def test_host_slow_suspect_passes_strict_like_load_suspect(tmp_path):
+    """host_slow_suspect is box state, not regression — it must not
+    fail --strict (the probe is engine-free, so an engine regression
+    cannot raise it; no ADVICE-r14 self-masking mode)."""
+    bt = _load()
+    rec = {"metric": "headline_queries_total_sec",
+           "value": bt.ANCHOR_BAND_MIN_OF_3_SEC[1] * 1.36, "unit": "sec",
+           "queries": {}, "n_measured": 18, "n_expected": 18, "sf": 0.1,
+           "runs_per_query": 3, "box_load_ok": True,
+           "load_1m_at_start": 0.1, "steal_pct": 0.02,
+           "steal_pct_demand": 0.11, "steal_pct_headline": 0.02,
+           "steal_pct_demand_headline": 0.18,
+           "extended_order": "fresh_jvm_after_headline",
+           "cpu_work_probe_sec": [0.41, 0.405], "extended_queries": {}}
+    p = _driver_artifact(tmp_path, json.dumps(rec) + "\n", n=21)
+    g = bt.grade(bt.extract_record(p))
+    assert g["headline"]["adjudication"] == "host_slow_suspect"
+    assert bt.main(["--artifact", str(p), "--strict"]) == 0
+
+
+def test_fresh_section_probe_is_the_childs_not_the_parents():
+    """The child stamps its own probe
+    (extended_fresh_cpu_work_probe_sec); the parent's bracketing pair
+    probes a different window. A fresh-section riser with a clean
+    child steal window grades host_slow_suspect only on the CHILD's
+    probe — a slow parent pair must not excuse it, and vice versa."""
+    bt = _load()
+    q = "graph_pagerank"
+    hi = bt.EXTENDED_FRESH_RANGES_SEC[q][1]
+    base = {"extended_order": "fresh_jvm_after_headline",
+            "box_load_ok": True, "load_1m_at_start": 0.2,
+            "steal_pct": 0.1, "steal_pct_demand": 0.2,
+            "extended_queries": {q: hi * 1.3},
+            "extended_fresh_cpu_steal": {"steal_pct_of_capacity": 0.1,
+                                         "steal_pct_of_demand": 0.2}}
+    slow_child = dict(base, cpu_work_probe_sec=[0.37, 0.37],
+                      extended_fresh_cpu_work_probe_sec=0.42)
+    g = bt._grade_extended(slow_child)[q]
+    assert g["adjudication"] == "host_slow_suspect"
+    assert g["evidence"]["cpu_work_probe_max_sec"] == 0.42
+    slow_parent = dict(base, cpu_work_probe_sec=[0.42, 0.43],
+                       extended_fresh_cpu_work_probe_sec=0.375)
+    assert bt._grade_extended(slow_parent)[q][
+        "adjudication"] == "investigate"
+
+
 def test_below_band_is_never_an_investigate_flag():
     bt = _load()
     lo = bt.ANCHOR_BAND_MIN_OF_3_SEC[0]

@@ -59,6 +59,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bench_constants import (  # noqa: E402
     ANCHOR_BAND_MIN_OF_3_SEC,
     BOX_LOAD_THRESHOLD_1M,
+    CPU_WORK_PROBE_SLOW_SEC,
     EXTENDED_FRESH_RANGES_SEC,
     EXTENDED_OBSERVED_RANGES_SEC,
     SINGLE_RUN_ERA_BAND_SEC,
@@ -130,7 +131,23 @@ def extract_record(path: Path) -> dict:
             "path": str(path)}
 
 
-def _load_adjudication(rec: dict, steal_override: tuple | None = None) -> dict:
+def _probe_max(probe) -> float | None:
+    """Max over the section's stamped host-speed probe readings (the
+    bracketing [gate-pass, post-headline] pair for the headline; the
+    child's own single reading for the fresh section) — one slow end
+    means the probed window overlapped a degradation episode. None
+    when the stamp is absent/null (pre-r16 records, and the literal
+    17.506 s run that MOTIVATED the probe)."""
+    vals = probe if isinstance(probe, (list, tuple)) else [probe]
+    vals = [v for v in vals if isinstance(v, (int, float))]
+    return max(vals) if vals else None
+
+
+def _load_adjudication(
+    rec: dict,
+    steal_override: tuple | None = None,
+    probe: float | None = None,
+) -> dict:
     """Standing rule, applied at RUN level and ONLY from start-side
     signals (ADVICE r14): the run-level start stamp, ``box_load_ok``
     (which since r15 folds in the settle criterion), the idle-wait
@@ -213,6 +230,20 @@ def _load_adjudication(rec: dict, steal_override: tuple | None = None) -> dict:
         if first_before is not None and first_before >= thresh:
             return {"adjudication": "load_suspect",
                     "evidence": {"first_query_load_before": first_before}}
+    # Fixed-work host-speed probe (r16 verdict #3): the one stamp that
+    # sees frequency-cap / memory-bandwidth degradation — the r16
+    # episode's 17.506 s run passed EVERY steal and gate stamp (0.18%
+    # headline demand-steal) while the box ran the engine 1.25-1.5x
+    # slow. The probe is engine-free, so an engine regression cannot
+    # raise it (no ADVICE-r14 self-masking mode); a reading above
+    # CPU_WORK_PROBE_SLOW_SEC — above every committed clean point —
+    # grades the section host_slow_suspect (box state). Checked LAST
+    # among the excuse signals: steal/load stamps name the mechanism
+    # more precisely when they fire.
+    if probe is not None and probe >= CPU_WORK_PROBE_SLOW_SEC:
+        return {"adjudication": "host_slow_suspect",
+                "evidence": {"cpu_work_probe_max_sec": probe,
+                             "threshold_sec": CPU_WORK_PROBE_SLOW_SEC}}
     return {"adjudication": "investigate",
             "evidence": {"load_1m_at_start": start}}
 
@@ -263,20 +294,33 @@ def _grade_headline(rec: dict) -> dict:
         # ``steal_pct_headline``); adjudicate the headline on THAT
         # window when present, falling back to the run-level stamps
         # for older records (and for degenerate all-None stamps).
+        # None-coalescing, not dict-default (ADVICE r16 low): a record
+        # carrying the compact key explicitly set to null alongside a
+        # populated nested cpu_steal_headline record must let the
+        # nested percentages win, not fall back to the diluted
+        # run-level stamps.
         hs = rec.get("cpu_steal_headline") or {}
-        headline_steal = _steal_pair_or_none(
-            rec.get("steal_pct_headline", hs.get("steal_pct_of_capacity")),
-            rec.get(
-                "steal_pct_demand_headline", hs.get("steal_pct_of_demand")
-            ),
-        )
-        out.update(_load_adjudication(rec, steal_override=headline_steal))
+        cap_h = rec.get("steal_pct_headline")
+        if cap_h is None:
+            cap_h = hs.get("steal_pct_of_capacity")
+        dem_h = rec.get("steal_pct_demand_headline")
+        if dem_h is None:
+            dem_h = hs.get("steal_pct_of_demand")
+        headline_steal = _steal_pair_or_none(cap_h, dem_h)
+        out.update(_load_adjudication(
+            rec,
+            steal_override=headline_steal,
+            # the [gate-pass, post-headline] pair brackets the
+            # headline loop — the section this grade is about
+            probe=_probe_max(rec.get("cpu_work_probe_sec")),
+        ))
     return out
 
 
 def _grade_one_extended_section(
     rec: dict, ext: dict, ranges: dict, load_key: str,
     steal_override: tuple | None = None,
+    probe: float | None = None,
 ) -> dict:
     out = {}
     for q, band in ranges.items():
@@ -294,7 +338,7 @@ def _grade_one_extended_section(
             # RUN-level adjudication (see module docstring: the mid-run
             # extended samples always carry Spark self-load, so they
             # can't separate external load from a real riser).
-            entry.update(_load_adjudication(rec, steal_override))
+            entry.update(_load_adjudication(rec, steal_override, probe))
             mid = (rec.get(load_key) or {}).get(q)
             if mid is not None:
                 entry.setdefault("evidence", {})[
@@ -332,7 +376,13 @@ def _grade_extended(rec: dict) -> dict:
     )
     out = _grade_one_extended_section(
         rec, ext, primary_ranges, "extended_load_1m_per_query",
-        steal_override=child_steal)
+        steal_override=child_steal,
+        # the child stamps its own probe; the parent's bracketing pair
+        # probes a different window, so it never grades this section
+        probe=(
+            _probe_max(rec.get("extended_fresh_cpu_work_probe_sec"))
+            if fresh_order else None
+        ))
     post = rec.get("extended_queries_postheadline")
     if isinstance(post, dict):
         for q, entry in _grade_one_extended_section(
