@@ -234,6 +234,79 @@ ANCHOR_HIGH_EDGE_PROVISIONAL = (
     len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
 )
 
+#: Edge-RETIREMENT discipline (r16 verdict #2 — the contraction twin
+#: of the edge-move rule; until r17 the band could only ever widen,
+#: so every host episode would permanently ratchet it). Support
+#: points collected DURING a documented host-degradation episode
+#: (listed below; the r16 pair was measured at 97.5%-of-threshold
+#: demand-steal, and the same episode produced a 17.5 s run whose
+#: steal stamps were clean — 'stamp-clean' does not certify host
+#: health inside such an episode, ADVICE r16 medium) retire to
+#: provenance-only once the box demonstrates sustained health: at
+#: least ``ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS`` CONSECUTIVE
+#: clean-stamp headline totals (gate passed on a criterion, steal
+#: under both thresholds on the headline window, host-speed probe —
+#: where stamped — under ``CPU_WORK_PROBE_SLOW_SEC``), spanning at
+#: least ``ANCHOR_EDGE_RETIRE_MIN_SESSIONS`` distinct measurement
+#: sessions, every one at or below ``ANCHOR_HIGH_EDGE_STABLE_SEC``.
+#: "Consecutive" counts clean-stamp runs only (a steal-polluted run
+#: is excluded from the sequence by definition — it says nothing
+#: about the healthy baseline); a CLEAN run above the stable edge
+#: resets the chain (the churned-box ~12.9 baseline is real and
+#: must keep its non-episode support points). When the rule fires,
+#: the episode points move from ``ANCHOR_HIGH_EDGE_SUPPORT_SEC`` to
+#: provenance-only and the high edge recomputes from the remaining
+#: support (or reverts to the stable edge if none remain).
+ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS = 4
+ANCHOR_EDGE_RETIRE_MIN_SESSIONS = 2
+#: the episode-collected subset of the support points, with their
+#: retirement state tracked by the test via ANCHOR_EDGE_RETIREMENT_MET
+ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC = [13.062, 13.975]
+#: consecutive clean-stamp headline totals at or below the stable
+#: edge, newest last, as ``[seconds, session-label]`` — the chain the
+#: retirement rule counts. Provenance:
+#:   11.885 / 11.325 — the r16 post-episode recovery pair
+#:     (evidence/r16/BENCH_LOCAL_r16_recovery_*.json), headline
+#:     windows 0.01%/0.06% steal each, probes 0.3833-0.3853 pre /
+#:     0.3689-0.3716 post — immaculate.
+#:   11.566 — the r16 DRIVER run (BENCH_r16.json): rc 0, 18/18,
+#:     box_load_ok, headline window 0.03%/0.2%, probe
+#:     [0.3887, 0.3955] — a separate session, satisfying the
+#:     >=2-sessions requirement.
+#: The r17 run at 17:18 (13.899 s, headline demand-steal 5.64% —
+#: /tmp, not committed) was steal-polluted and is excluded from the
+#: sequence per the rule; it neither extends nor resets the chain.
+ANCHOR_EDGE_RETIRE_OBSERVATIONS = [
+    [11.885, "r16-builder-quiet-hunt"],
+    [11.325, "r16-builder-quiet-hunt"],
+    [11.566, "r16-driver"],
+]
+
+
+def anchor_edge_retirement_met(
+    observations=None,
+    min_points=None,
+    min_sessions=None,
+    stable_edge=None,
+) -> bool:
+    """True when the committed observation chain satisfies the
+    retirement rule. Pure (all inputs injectable) so
+    ``tests/test_bench_contract.py`` pins both the retain and the
+    retire direction on synthetic chains as well as the live
+    constants."""
+    obs = ANCHOR_EDGE_RETIRE_OBSERVATIONS if observations is None else observations
+    mp = ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS if min_points is None else min_points
+    ms = ANCHOR_EDGE_RETIRE_MIN_SESSIONS if min_sessions is None else min_sessions
+    edge = ANCHOR_HIGH_EDGE_STABLE_SEC if stable_edge is None else stable_edge
+    return (
+        len(obs) >= mp
+        and len({s for _, s in obs}) >= ms
+        and all(v <= edge for v, _ in obs)
+    )
+
+
+ANCHOR_EDGE_RETIREMENT_MET = anchor_edge_retirement_met()
+
 #: Single-run-era (r01-r09) idle fresh-JVM total spread on identical
 #: code, for grading THOSE artifacts only — a single-run total carries
 #: warm-up/GC noise min-of-3 removes, so comparing eras point-to-band

@@ -218,7 +218,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, candidates and verification bit-for-bit. 4×3 banding
     puts the S-curve midpoint at J≈0.55: J≥0.9 pairs are caught with
     P>0.99 while the J≈0.1 background almost never collides — the
-    candidate count is what the verify stage's cost scales with."""
+    candidate count is what the verify stage's cost scales with.
+    At 100 TB the band equi-join is the only stage that touches
+    pairs; the high-DF shingle cap in ``dedup/minhash.py`` bounds
+    the boilerplate-driven bucket skew that join would otherwise
+    inherit."""
     return minhash_near_dup_pairs(
         t(spark, sf_dir, "documents"), n=2, num_hashes=12, rows_per_band=3, threshold=0.7
     )

@@ -161,6 +161,75 @@ def test_ab_gate_findings_each_direction():
     assert fc.ab_gate_findings(prev, cur, cur_h, ["q_new"], None) == []
 
 
+def test_ab_gate_headline_membership_changes_require_record_or_waiver():
+    """ADVICE r16 (low): the new-headline-query exemption let a
+    rename (or a HEADLINE-membership swap) bypass the mandatory-ABBA
+    gate entirely — the underlying anchor plan changed with no AB
+    evidence. Since r17 the differential records membership
+    (``headline: true``); when the PREVIOUS artifact carries it,
+    added names need an AB record against the nearest predecessor or
+    an explicit __waivers__ entry, removed names need a waiver, and a
+    pre-r17 (marker-less) previous artifact keeps the old exemption
+    for the one transition round."""
+    fc = _load_freshness()
+    marked_prev = {
+        "q_hot": {"fingerprint": "aaaa", "helper_fingerprint": "h3:1",
+                  "headline": True},
+        "q_cold": {"fingerprint": "bbbb", "helper_fingerprint": "h3:2"},
+    }
+    cur = {"q_hot": "aaaa", "q_cold": "bbbb", "q_renamed": "cccc"}
+    cur_h = {"q_hot": "h3:1", "q_cold": "h3:2", "q_renamed": "h3:3"}
+
+    # unchanged membership, unchanged fingerprints: clean pass
+    assert fc.ab_gate_findings(marked_prev, cur, cur_h, ["q_hot"],
+                               None) == []
+
+    # rename: q_hot -> q_renamed (old removed + new added). With no
+    # artifact at all the gate names both directions in one finding.
+    out = fc.ab_gate_findings(
+        marked_prev, cur, cur_h, ["q_renamed"], None)
+    assert len(out) == 1 and "q_renamed" in out[0]
+
+    # an AB record for the added name satisfies its half; the removed
+    # name still needs a waiver
+    ab = {"q_renamed": {"median_ratio_b_over_a": 1.0,
+                        "verdict": "within_noise_band"}}
+    out = fc.ab_gate_findings(marked_prev, cur, cur_h, ["q_renamed"], ab)
+    assert len(out) == 1 and "q_hot" in out[0] and "removed" in out[0]
+
+    # waiver for the removed name closes the gate
+    ab_waived = dict(ab, __waivers__={
+        "q_hot": "renamed to q_renamed; AB record covers the new name"})
+    assert fc.ab_gate_findings(
+        marked_prev, cur, cur_h, ["q_renamed"], ab_waived) == []
+
+    # promoting an EXISTING query into HEADLINE (present in the prev
+    # differential, not marked) also needs a record or waiver
+    out = fc.ab_gate_findings(
+        marked_prev, cur, cur_h, ["q_hot", "q_cold"], None)
+    assert len(out) == 1 and "q_cold" in out[0]
+    assert fc.ab_gate_findings(
+        marked_prev, cur, cur_h, ["q_hot", "q_cold"],
+        {"__waivers__": {"q_cold": "promoted; anchor re-baselined"}},
+    ) == []
+
+    # a genuinely-new query with a recorded waiver passes too
+    assert fc.ab_gate_findings(
+        marked_prev, cur, cur_h, ["q_renamed"],
+        {"__waivers__": {
+            "q_renamed": "new query, no predecessor exists",
+            "q_hot": "renamed"}},
+    ) == []
+
+    # marker-less previous artifact (pre-r17): old exemption holds
+    unmarked_prev = {
+        k: {kk: vv for kk, vv in v.items() if kk != "headline"}
+        for k, v in marked_prev.items()
+    }
+    assert fc.ab_gate_findings(
+        unmarked_prev, cur, cur_h, ["q_renamed"], None) == []
+
+
 def test_ab_gate_headline_list_is_engine_free_importable():
     """The gate reads the headline set from bench_constants (the
     engine-free measurement-constants module) so the tripwire never

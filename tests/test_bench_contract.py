@@ -541,3 +541,70 @@ def test_anchor_band_edge_move_rule():
     assert ANCHOR_HIGH_EDGE_PROVISIONAL == (
         len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
     )
+
+
+def test_anchor_band_edge_retirement_rule():
+    """r16 verdict #2 codified: the contraction twin of the edge-move
+    rule. Episode-collected support points retire to provenance-only
+    once >= ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS consecutive clean-stamp
+    runs across >= ANCHOR_EDGE_RETIRE_MIN_SESSIONS sessions all land at
+    or below the stable edge. Pins: (a) the rule function on synthetic
+    chains, both directions; (b) live-constants consistency — while
+    the rule is unmet the episode points must still be IN the support
+    list (the band widening stands), and once met they must be OUT
+    (the high edge recomputes from the remaining support); (c) every
+    committed observation qualifies (at or below the stable edge)."""
+    from bench_constants import (
+        ANCHOR_BAND_MIN_OF_3_SEC,
+        ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS,
+        ANCHOR_EDGE_RETIRE_MIN_SESSIONS,
+        ANCHOR_EDGE_RETIRE_OBSERVATIONS,
+        ANCHOR_EDGE_RETIREMENT_MET,
+        ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC,
+        ANCHOR_HIGH_EDGE_STABLE_SEC,
+        ANCHOR_HIGH_EDGE_SUPPORT_SEC,
+        anchor_edge_retirement_met,
+    )
+
+    # (a) synthetic chains — retire direction
+    chain = [[11.9, "s1"], [11.3, "s1"], [11.6, "s2"], [12.1, "s3"]]
+    assert anchor_edge_retirement_met(
+        chain, min_points=4, min_sessions=2, stable_edge=12.53) is True
+    # too few points
+    assert anchor_edge_retirement_met(
+        chain[:3], min_points=4, min_sessions=2, stable_edge=12.53) is False
+    # one session only
+    one = [[v, "s1"] for v, _ in chain]
+    assert anchor_edge_retirement_met(
+        one, min_points=4, min_sessions=2, stable_edge=12.53) is False
+    # a point above the stable edge disqualifies the whole chain
+    hot = chain[:3] + [[12.61, "s3"]]
+    assert anchor_edge_retirement_met(
+        hot, min_points=4, min_sessions=2, stable_edge=12.53) is False
+
+    # (b) live-constants consistency
+    assert ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS >= 2
+    assert ANCHOR_EDGE_RETIRE_MIN_SESSIONS >= 2
+    support = set(ANCHOR_HIGH_EDGE_SUPPORT_SEC)
+    episode = set(ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC)
+    if ANCHOR_EDGE_RETIREMENT_MET:
+        # retired: episode points are provenance-only, the edge covers
+        # only the remaining support (test_anchor_band_edge_move_rule
+        # enforces the exact edge-vs-support arithmetic)
+        assert not (episode & support)
+    else:
+        # retained: a widening backed by episode points must keep them
+        # visibly in the support list — no silent half-retirement
+        assert episode <= support
+    # episode points sit above the stable edge either way (they were
+    # collected as support for a widened edge)
+    for p in ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC:
+        assert p > ANCHOR_HIGH_EDGE_STABLE_SEC
+
+    # (c) every committed observation qualifies
+    for v, session in ANCHOR_EDGE_RETIRE_OBSERVATIONS:
+        assert v <= ANCHOR_HIGH_EDGE_STABLE_SEC, (v, session)
+    # the live boolean is the function of the live inputs
+    assert ANCHOR_EDGE_RETIREMENT_MET == anchor_edge_retirement_met()
+    # and the band's high edge must cover the stable edge regardless
+    assert ANCHOR_BAND_MIN_OF_3_SEC[1] >= ANCHOR_HIGH_EDGE_STABLE_SEC

@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pandas as pd
 
+from bench_constants import HEADLINE
+
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -266,6 +268,12 @@ def main() -> int:
             # registry auto-promote queries whose builder is
             # untouched but whose imported helper was rewritten
             rec["helper_fingerprint"] = helper_fingerprint(spec)
+            # anchor-set membership (ADVICE r16): recorded so the
+            # NEXT round's freshness gate can see HEADLINE-list
+            # changes (a rename/swap previously bypassed the
+            # mandatory-ABBA gate via the new-query exemption)
+            if name in HEADLINE:
+                rec["headline"] = True
         records[name] = rec
         if why:
             fails.append((name, why))

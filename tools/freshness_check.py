@@ -148,29 +148,77 @@ def ab_gate_findings(
     round's builder, B = HEAD) whose verdict is not ``a_faster``.
 
     Headline queries ABSENT from the previous differential are new
-    this round — there is no previous-round baseline to A/B, so they
-    are exempt (their absolute timing lands in the next anchor run).
+    this round — there is no previous-round baseline side to A/B —
+    but they are NOT silently exempt (ADVICE r16 low: a rename or a
+    HEADLINE-membership swap changed the anchor plan while bypassing
+    the gate through exactly this hole). Since r17 the differential
+    records anchor membership (``headline: true`` per entry,
+    ``tools/drive_contract.py``); when the previous artifact carries
+    that marker, any membership change (names added/removed, which a
+    rename produces both of) and any name absent from the previous
+    differential requires either an AB record in the artifact (A =
+    the nearest predecessor builder) or an explicit recorded waiver
+    (``ab_artifact["__waivers__"][name] = reason`` — e.g. "new query,
+    no predecessor exists"). Pre-r17 previous artifacts carry no
+    marker, so the membership half stays inert for them (the old
+    exemption, confined to the one transition round).
     """
+    prev_headline = (
+        {n for n, e in prev_artifact.items()
+         if isinstance(e, dict) and e.get("headline")}
+        or None
+    )
     touched = []
+    needs_record: list[tuple[str, str]] = []  # (name, why)
     for name in headline:
         prev = prev_artifact.get(name)
         if not isinstance(prev, dict):
-            continue  # new headline query — no baseline side to run
+            if prev_headline is not None:
+                needs_record.append(
+                    (name, "headline query absent from the previous "
+                           "round's differential (new or renamed)")
+                )
+            continue  # pre-r17 prev artifact: no membership marker
         if prev.get("fingerprint") != current.get(name) or prev.get(
             "helper_fingerprint"
         ) != current_helper.get(name):
             touched.append(name)
-    if not touched:
+        if prev_headline is not None and name not in prev_headline:
+            needs_record.append(
+                (name, "added to HEADLINE since the previous round")
+            )
+    removed = sorted(prev_headline - set(headline)) if prev_headline else []
+    if not (touched or needs_record or removed):
         return []
     problems: list[str] = []
     if ab_artifact is None:
+        lst = touched + [n for n, _ in needs_record] + removed
         return [
-            f"headline queries {touched} changed since the previous "
-            f"round's differential but no {ab_name} pair-ratio artifact "
-            f"is committed — run tools/ab_compare.py (A = previous "
-            f"round's builder, B = HEAD) for each and commit the "
-            f"records (r15 verdict #2)"
+            f"headline queries {sorted(set(lst))} changed (fingerprint "
+            f"or HEADLINE membership) since the previous round's "
+            f"differential but no {ab_name} artifact is committed — run "
+            f"tools/ab_compare.py (A = previous round's builder, B = "
+            f"HEAD) for each touched query and commit the records; "
+            f"membership changes without a predecessor side need an "
+            f"explicit __waivers__ entry (r15 verdict #2 / ADVICE r16)"
         ]
+    waivers = ab_artifact.get("__waivers__") or {}
+    for name, why in needs_record:
+        if name in waivers or isinstance(ab_artifact.get(name), dict):
+            continue
+        problems.append(
+            f"{name}: {why} — needs an AB record against the nearest "
+            f"predecessor in {ab_name}, or an explicit "
+            f"__waivers__['{name}'] entry recording why none exists"
+        )
+    for name in removed:
+        if name not in waivers:
+            problems.append(
+                f"{name}: removed from HEADLINE since the previous "
+                f"round — the anchor total no longer compares like "
+                f"sets; record an explicit __waivers__['{name}'] "
+                f"entry in {ab_name} saying why"
+            )
     for name in touched:
         rec = ab_artifact.get(name)
         if not isinstance(rec, dict) or not (
