@@ -117,10 +117,20 @@ STEAL_SUSPECT_DEMAND_PCT = 2.0
 #:   pre 0.3887, post 0.3955 (BENCH_r16.json) — driver-session
 #:   probes read ~5% above the builder sessions', which is why the
 #:   threshold sits above the full clean envelope, not its center
-#:   clean, r17 builder sessions: see evidence/r17/ as they land
+#:   clean, r17 builder sessions (2026-08-16 evening, steal-volatile
+#:   host): every steal-clean window read pre 0.3756-0.3968, post
+#:   0.3615-0.3851, child 0.3764-0.3934 — all under threshold,
+#:   including the immaculate 13.515 primary (BENCH_LOCAL_r17.json:
+#:   [0.3894, 0.3722]); the evening's steal regime was probe-
+#:   invisible except at its peak (below)
 #:   DEGRADED (the episode's only probe-stamped run — 13.348 s at
 #:   3.43% headline demand-steal): pre 0.3953, post 0.4071, child
 #:   0.3865 (evidence/r16/BENCH_LOCAL_r16_episode_13348.json)
+#:   DEGRADED (r17, 16.9 s at 39.33% headline demand-steal): pre
+#:   0.4278 — the probe's second above-threshold reading, taken
+#:   INSIDE a steal storm (evidence/r17/BENCH_LOCAL_r17_steal_16900
+#:   .json); steal adjudicates it first, but the probe agreeing is
+#:   the first cross-validation of the 0.40 threshold
 #: Threshold 0.40 = above every committed clean reading (max 0.3955)
 #: with the one stamped degraded run caught via its post-probe
 #: 0.4071. The adjudicated statistic is the MAX of the bracketing
@@ -229,7 +239,19 @@ ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #:     11.325 s, headline windows 0.01%/0.06% each) read squarely
 #:     inside the healthy r14 regime on the same code+data ~40 min
 #:     later — the episode was host state end to end.
-ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.861, 12.898, 13.062, 13.975]
+#:   13.515 — r17 (2026-08-16 evening, quiet-hunt attempt 16,
+#:     committed as the round primary BENCH_LOCAL_r17.json): the FIRST
+#:     NON-episode immaculate point in the 13.0-14.0 region — gate
+#:     1m_and_5m_idle, start 1.45, pre-sample 1.77, headline window
+#:     0.1%/0.7%, probes [0.3894, 0.3722] under the r17 threshold.
+#:     Measured the same evening as an 11.764 and an 11.921 on the
+#:     same code: the one-evening clean spread 11.76-13.52 is HOST
+#:     variance, not episode residue — the strongest evidence yet
+#:     that the widened edge describes this host's real clean
+#:     envelope (and why the retirement rule's trigger should stay
+#:     strict: contraction to ~12.9 would have flagged this clean
+#:     reading as investigate).
+ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.861, 12.898, 13.062, 13.515, 13.975]
 ANCHOR_HIGH_EDGE_PROVISIONAL = (
     len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
 )
