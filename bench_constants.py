@@ -192,7 +192,37 @@ CPU_WORK_PROBE_SLOW_SEC = 0.40
 #: otherwise erode moved in the same round to the mandatory
 #: interleaved-ABBA gate for headline-touching diffs
 #: (tools/freshness_check.py::ab_gate_findings).
-ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 13.98]
+#: --- r17 RE-ANCHOR (code era, not an edge move) ------------------
+#: Everything in the long provenance block above describes the
+#: r10-r16 ENGINE's band, retired to ANCHOR_BAND_PRE_R17OPT_SEC
+#: below (same values, frozen). Round 17 was the first OPTIMIZATION
+#: round: the headline code itself changed (integer-cents money
+#: aggregation, table-handle cache, pinned expansion/window
+#: exchanges, PageRank per-vertex decimal cast, rebalanced
+#: single-row-group scans — OPTIMIZATION_r17.md), so the band is
+#: re-SEEDED, the same act as the r13/r14 original seeding, not an
+#: edge move against the old stable edge. Seed cohort (quiet_hunt,
+#: 2026-08-18, evidence/r17/HUNT_r17opt.jsonl — the whole session
+#: sat inside a documented external-load/steal episode; 0 of 12
+#: attempts produced an immaculate stamp set):
+#:   7.618 — attempt 1 (the committed primary BENCH_LOCAL_r17.json):
+#:     gate 1m_and_5m_idle, box_load_ok, headline-window steal
+#:     0.29%/1.72% (both under the 2.0 thresholds), probes
+#:     [0.3315, 0.3473] — disqualified from "immaculate" only by a
+#:     2.38 first-query pre-sample (warm-up residue of the prior
+#:     pytest run, not host state).
+#:   8.399 — attempt 8 (evidence/r17/BENCH_LOCAL_r17opt_support_8399
+#:     .json): headline window 0.27%/1.68%, probes [0.3489, 0.3346],
+#:     pre-sample 2.57 — same pattern.
+#: EXCLUDED as episode outliers (headline demand-steal far over
+#: threshold): 8.804 @ 7.32%, 9.843 @ 5.0%, 8.343 @ 6.94%,
+#: 9.254 @ 8.82% — note the total tracks the steal monotonically,
+#: which is the episode signature, not plan variance. Both edges are
+#: PROVISIONAL in the r15 sense: the next quiet-box session must
+#: corroborate or re-pin them (top r18 evidence task). Low edge
+#: 6.80 ≈ 0.9× the cleanest point (below_band is recorded-only
+#: maintenance); high edge 8.48 = 1.01× the 8.399 support point.
+ANCHOR_BAND_MIN_OF_3_SEC = [6.80, 8.48]
 
 #: Edge-move discipline (r15 verdict #1, codified): an ANCHOR_BAND
 #: edge may only move when at least ``ANCHOR_EDGE_MIN_CLEAN_POINTS``
@@ -215,8 +245,12 @@ ANCHOR_BAND_MIN_OF_3_SEC = [10.53, 13.98]
 #: point collected during the round-15 host-contention incident).
 ANCHOR_EDGE_MIN_CLEAN_POINTS = 2
 #: the last edge supported by >=2 clean points from a HEALTHY-host
-#: regime (the r14 quintuplet's 12.53 maximum, fresh-boot box).
-ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
+#: regime. r17 era seed: no immaculate point exists yet (see the
+#: re-anchor block), so the stable edge IS the seeded high edge and
+#: the support list is empty — the first two clean-stamp runs above
+#: it move it under the normal rule. (Pre-r17 engine value: 12.53,
+#: the r14 quintuplet's maximum — archived with the retired band.)
+ANCHOR_HIGH_EDGE_STABLE_SEC = 8.48
 #: clean-stamp runs above the stable edge supporting the current high
 #: edge, in evidence-quality order:
 #:   12.861 — r16, the committed BENCH_LOCAL_r16.json: headline-window
@@ -240,7 +274,7 @@ ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #:     inside the healthy r14 regime on the same code+data ~40 min
 #:     later — the episode was host state end to end.
 #:   13.515 — r17 (2026-08-16 evening, quiet-hunt attempt 16,
-#:     committed as the round primary BENCH_LOCAL_r17.json): the FIRST
+#:     committed then as the round primary, now evidence/r17/BENCH_LOCAL_r17_preopt_13515.json): the FIRST
 #:     NON-episode immaculate point in the 13.0-14.0 region — gate
 #:     1m_and_5m_idle, start 1.45, pre-sample 1.77, headline window
 #:     0.1%/0.7%, probes [0.3894, 0.3722] under the r17 threshold.
@@ -251,7 +285,11 @@ ANCHOR_HIGH_EDGE_STABLE_SEC = 12.53
 #:     envelope (and why the retirement rule's trigger should stay
 #:     strict: contraction to ~12.9 would have flagged this clean
 #:     reading as investigate).
-ANCHOR_HIGH_EDGE_SUPPORT_SEC = [12.861, 12.898, 13.062, 13.515, 13.975]
+#: (r17 era: empty — the seed points are band-definition provenance,
+#: not post-seed edge-move support. Pre-r17 engine list at freeze:
+#: [12.861, 12.898, 13.062, 13.515, 13.975] — the 13.515 primary now
+#: lives at evidence/r17/BENCH_LOCAL_r17_preopt_13515.json.)
+ANCHOR_HIGH_EDGE_SUPPORT_SEC = []
 ANCHOR_HIGH_EDGE_PROVISIONAL = (
     len(ANCHOR_HIGH_EDGE_SUPPORT_SEC) < ANCHOR_EDGE_MIN_CLEAN_POINTS
 )
@@ -283,7 +321,8 @@ ANCHOR_EDGE_RETIRE_MIN_CLEAN_POINTS = 4
 ANCHOR_EDGE_RETIRE_MIN_SESSIONS = 2
 #: the episode-collected subset of the support points, with their
 #: retirement state tracked by the test via ANCHOR_EDGE_RETIREMENT_MET
-ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC = [13.062, 13.975]
+#: (r17 era: empty; pre-r17 engine value at freeze: [13.062, 13.975].)
+ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC = []
 #: consecutive clean-stamp headline totals at or below the stable
 #: edge, newest last, as ``[seconds, session-label]`` — the chain the
 #: retirement rule counts. Provenance:
@@ -298,11 +337,11 @@ ANCHOR_HIGH_EDGE_EPISODE_SUPPORT_SEC = [13.062, 13.975]
 #: The r17 run at 17:18 (13.899 s, headline demand-steal 5.64% —
 #: /tmp, not committed) was steal-polluted and is excluded from the
 #: sequence per the rule; it neither extends nor resets the chain.
-ANCHOR_EDGE_RETIRE_OBSERVATIONS = [
-    [11.885, "r16-builder-quiet-hunt"],
-    [11.325, "r16-builder-quiet-hunt"],
-    [11.566, "r16-driver"],
-]
+#: (r17 era: chain reset with the re-anchor — observations compare
+#: against the NEW stable edge; pre-r17 engine chain at freeze:
+#: [[11.885, r16-builder-quiet-hunt], [11.325, r16-builder-quiet-hunt],
+#: [11.566, r16-driver]].)
+ANCHOR_EDGE_RETIRE_OBSERVATIONS = []
 
 
 def anchor_edge_retirement_met(
@@ -354,11 +393,18 @@ SINGLE_RUN_ERA_BAND_SEC = [13.94, 16.45]
 #: stamps run, BENCH_LOCAL_r15, read 1.989 in its postheadline
 #: section with steal 0.28%/1.71% and a clean gate on the churned-
 #: afternoon box state that also moved the headline edge.)
+#: r17 RE-SEED (code era — the engine changed; the r10-r16 ranges are
+#: archived as EXTENDED_OBSERVED_RANGES_PRE_R17OPT_SEC). Seeded from
+#: the postheadline sections of the 2026-08-18 quiet-hunt cohort
+#: (evidence/r17/, all inside the documented steal episode, so both
+#: edges are PROVISIONAL): triangle 3.115-3.559, pagerank 3.274-4.133,
+#: fuzzy 1.512-1.932, containment 1.329-1.779 over 4 runs; edges =
+#: envelope ±~10%. Recorded-only section (non-gating) since r16.
 EXTENDED_OBSERVED_RANGES_SEC = {
-    "graph_triangle_summary": [3.59, 5.10],
-    "graph_pagerank": [4.75, 6.18],
-    "dedup_fuzzy_names": [2.377, 2.92],
-    "dedup_containment_pairs": [1.47, 1.99],
+    "graph_triangle_summary": [2.80, 3.92],
+    "graph_pagerank": [2.95, 4.55],
+    "dedup_fuzzy_names": [1.35, 2.13],
+    "dedup_containment_pairs": [1.20, 1.96],
 }
 
 #: FRESH-order ranges for the r15+ primary extended section (r14
@@ -404,12 +450,88 @@ EXTENDED_OBSERVED_RANGES_SEC = {
 #: low edges left where they are — below_band is recorded-only
 #: maintenance, and H is a single point (the two-clean-points edge
 #: discipline applies downward too).
+#: r17 RE-SEED (code era — archived pre-r17 values in
+#: EXTENDED_FRESH_RANGES_PRE_R17OPT_SEC). Seeded from the two
+#: least-polluted fresh children of the 2026-08-18 cohort (attempts
+#: 1 and 8: triangle 3.777/3.80, pagerank 4.145/4.382, fuzzy
+#: 1.721/2.207, containment 1.34/1.81), edges = envelope ±~15% (the
+#: r14 few-point lesson). EXCLUDED episode children (child-window
+#: demand-steal 3.3-8.8%): triangle 6.17/7.18/11.98 — the same
+#: monotone-with-steal signature as the headline outliers. Both
+#: edges PROVISIONAL pending a quiet-box recalibration (top r18
+#: evidence task).
 EXTENDED_FRESH_RANGES_SEC = {
+    "graph_triangle_summary": [3.20, 4.40],
+    "graph_pagerank": [3.50, 5.05],
+    "dedup_fuzzy_names": [1.45, 2.55],
+    "dedup_containment_pairs": [1.15, 2.10],
+}
+
+
+# --- CODE-ERA dispatch (round 17, first optimization round) ---------------
+#
+# The bands above describe the box + data regime ON A GIVEN ENGINE.
+# Round 17 changed the engine itself (integer-cents money aggregation,
+# session-scoped table-handle cache, pinned expansion/window exchanges,
+# per-vertex PageRank decimal cast, rebalanced self-join/scan stages —
+# see OPTIMIZATION_r17.md), so r17+ artifacts grade against the
+# CURRENT-era constants while pre-r17 artifacts keep grading against
+# the engine they actually ran (cross-era point-to-band comparison is
+# the same mistake as the single-run/min-of-3 mixup BASELINE.md
+# documents — the r16 code cannot "regress" against a band the r17
+# code defined, and vice versa). The retired pre-optimization bands
+# are archived verbatim below with their full provenance left in the
+# comments above; ``tools/bench_trend.py`` dispatches on the
+# artifact's round number.
+FIRST_OPTIMIZED_ROUND = 17
+
+#: the r10-r16 engine's min-of-3 anchor band (provenance: the long
+#: comment block above ANCHOR_BAND_MIN_OF_3_SEC, which described this
+#: band until r17), including the r16 episode-widened 13.98 edge and
+#: its support/retirement state, frozen at retirement:
+#:   stable edge 12.53, support [12.861, 12.898, 13.062, 13.515,
+#:   13.975], episode subset [13.062, 13.975], retirement chain
+#:   [[11.885, "r16-recovery"], [11.325, "r16-recovery"],
+#:    [11.566, "r16-driver"]] (unmet at freeze).
+ANCHOR_BAND_PRE_R17OPT_SEC = [10.53, 13.98]
+
+#: the r10-r16 engine's extended ranges, frozen at the r17 rebuild
+#: (provenance in the comment blocks above the current-era dicts).
+EXTENDED_OBSERVED_RANGES_PRE_R17OPT_SEC = {
+    "graph_triangle_summary": [3.59, 5.10],
+    "graph_pagerank": [4.75, 6.18],
+    "dedup_fuzzy_names": [2.377, 2.92],
+    "dedup_containment_pairs": [1.47, 1.99],
+}
+EXTENDED_FRESH_RANGES_PRE_R17OPT_SEC = {
     "graph_triangle_summary": [4.30, 5.50],
     "graph_pagerank": [5.00, 7.10],
     "dedup_fuzzy_names": [2.40, 3.60],
     "dedup_containment_pairs": [1.45, 2.55],
 }
+
+
+def anchor_band_for_round(round_no):
+    """Era dispatch: the min-of-3 anchor band the given round's engine
+    ran under. ``None`` (unknown round) grades as current — a NEW
+    artifact must never sneak onto a retired band."""
+    if round_no is not None and round_no < FIRST_OPTIMIZED_ROUND:
+        return ANCHOR_BAND_PRE_R17OPT_SEC
+    return ANCHOR_BAND_MIN_OF_3_SEC
+
+
+def extended_ranges_for_round(round_no, fresh_order: bool):
+    """Era dispatch for the extended-heavy ranges (fresh-JVM primary
+    vs legacy after-headline secondary)."""
+    if round_no is not None and round_no < FIRST_OPTIMIZED_ROUND:
+        return (
+            EXTENDED_FRESH_RANGES_PRE_R17OPT_SEC
+            if fresh_order
+            else EXTENDED_OBSERVED_RANGES_PRE_R17OPT_SEC
+        )
+    return (
+        EXTENDED_FRESH_RANGES_SEC if fresh_order else EXTENDED_OBSERVED_RANGES_SEC
+    )
 
 
 def read_cpu_steal():

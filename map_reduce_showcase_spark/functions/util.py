@@ -105,3 +105,25 @@ def rebalance(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def pinned_shuffle(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on ``keys`` with an EXPLICIT partition count
+    (the session's ``spark.sql.shuffle.partitions`` — the scale knob
+    ``session.py`` documents as ~2-3× total cores on a cluster).
+
+    A downstream operator clustered the same way (groupBy / window /
+    session-window / join on ``keys``) reuses this exchange, so no
+    extra shuffle is added (guide §2.4). What the explicit count buys
+    is an escape from AQE's bytes-based partition coalescing for this
+    ONE exchange: AQE sizes post-shuffle partitions by input bytes,
+    which serializes stages whose per-row work dwarfs their bytes —
+    r17 measured a 0.1 MB distinct-names input expanding ~140× inside
+    a single coalesced task (dedup_fuzzy_names), and sub-MB window /
+    session inputs pinned to 1-2 tasks. Use only where the downstream
+    stage is known expression- or expansion-heavy; everywhere else
+    AQE's sizing is the right default."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, *[F.col(k) for k in keys])

@@ -540,8 +540,21 @@ def fuzzy_name_match_groups(cust: DataFrame) -> DataFrame:
     frame — factored out so the property suite can drive it with
     adversarial synthetic name sets (tiny alphabets force dense
     lev-1 neighborhoods, duplicates, and empty strings)."""
-    # 1. exact-dup collapse: one row per distinct name + multiplicity
-    groups = cust.groupBy("c_name").agg(F.count(F.lit(1)).alias("m"))
+    # 1. exact-dup collapse: one row per distinct name + multiplicity.
+    #    The exchange is PINNED (see functions/util.pinned_shuffle):
+    #    the groupBy reuses the same partitioning — one exchange, as
+    #    before (guide §2.4) — but the explicit count stops AQE's
+    #    bytes-based coalescing from fusing the DOWNSTREAM deletion-
+    #    neighborhood explode onto one task: r17 profiling showed that
+    #    stage expanding a ~0.1 MB distinct-names input ~140× into the
+    #    self-join shuffle on a single task (1.39 s of the query's
+    #    3.2 s). Bytes are a bad proxy for work when a stage
+    #    multiplies its input.
+    from ..functions.util import pinned_shuffle
+
+    groups = pinned_shuffle(cust, "c_name").groupBy("c_name").agg(
+        F.count(F.lit(1)).alias("m")
+    )
     nh = F.xxhash64("c_name")
     names_dim = groups.select(nh.alias("nh"), "c_name", "m")
     # 2. deletion-neighborhood blocking over distinct names; keys and

@@ -30,7 +30,15 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a co-partitioned shuffle join with per-order
     fan-out bounded by order size (TPC-H ≤ 7 lines/order) — edge
     generation is linear-ish, never quadratic in the table."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from ..functions.util import rebalance
+
+    # rebalance BEFORE the self-join: a single-row-group local file
+    # otherwise pins the join-exchange's entire map side (scan +
+    # hash-partition + serialize + shuffle write of |E|-fan-out rows)
+    # to one task (r17 profile: 1.46 s single-task map stage in both
+    # triangle and pagerank). At scale inputs have ≥cores splits and
+    # this is the usual guarded no-op.
+    li = rebalance(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     a = li.alias("a")
     b = li.alias("b")
     return (
@@ -517,12 +525,19 @@ def _pagerank(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataFrame:
         "vertex", "od", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(PAGERANK_ITERS):
+        # the double→decimal(38,18) cast is the iteration's priciest
+        # per-row expression (BigDecimal via Double.toString); compute
+        # it once per VERTEX below the explode instead of once per
+        # CONTRIBUTION above it (r17: ~|V| casts instead of ~2|E| —
+        # the Generate node carries the ready column through, and the
+        # summed values are bit-identical by construction)
         contrib = (
             adj.join(state.select("vertex", "r"), "vertex")
             .select(
-                F.explode("nbrs").alias("dst"),
+                "nbrs",
                 (F.col("r") / F.col("od")).cast("decimal(38,18)").alias("c"),
             )
+            .select(F.explode("nbrs").alias("dst"), "c")
         )
         sums = contrib.groupBy(F.col("dst").alias("vertex")).agg(
             F.sum("c").cast("double").alias("s")

@@ -46,6 +46,95 @@ _DISC_PRICE_SQL = (
 )
 
 
+# -- integer-cents money aggregation (optimization round 17) ---------------
+#
+# Profiling (plans/r17/*_before.txt + tools/profile_query.py) showed the
+# per-row ``CAST(double AS DECIMAL)`` is the single most expensive
+# expression in every money query: Spark's double→decimal cast goes
+# through ``BigDecimal(Double.toString(v))`` — a string format + parse +
+# object allocation per value, ~120 ns each, and the q1-family queries
+# evaluate 4-7 of them per row inside the (single-row-group, so
+# single-task) scan stage. The cents form below computes the SAME exact
+# sums in pure long arithmetic (codegen-friendly, no allocation):
+#
+#   cents(x, s)     = the integer x·10^s, read straight off the double
+#   sums            = plain long sums, exactly associative
+#   unscale(S, s)   = S/10^s via one exact decimal division per GROUP,
+#                     then one decimal→double cast (correctly rounded —
+#                     bit-identical to casting the decimal sum)
+#
+# Precondition (holds for the catalog and is pinned by
+# tests/test_cents_money.py): money doubles are non-negative with at
+# most ``scale`` fractional decimal digits. Under it, cents(x, s) equals
+# CAST(x AS DECIMAL(18,s))·10^s exactly: x·10^s sits within ~1e-5 of an
+# integer (|x| < 1e10 ⇒ representation error < 2^-22 of a unit), so
+# +0.5-and-truncate recovers that integer. The engines already *assume*
+# this cleanliness — Spark casts via the shortest decimal string while
+# DuckDB multiplies and rounds, and the two only agree on values that
+# are exactly representable at the target scale — so the cents form
+# changes no value either engine produces (verified value-identical
+# vs the decimal form at sf0.001/0.01/0.1, and vs the DuckDB oracle).
+#
+# Overflow: a single long sum holds up to 9.2e18. Low-cardinality
+# groups (q1's 6 flags, q5's 25 nations, join_brand's 25 brands) would
+# pass that around SF 40-4000 for e4/e6-scaled columns, so those
+# queries aggregate in TWO LEVELS (guide §2.5's two-level pattern):
+# long sums per (group, salt-of-1024) — each holding ≤ |group|/1024
+# rows, exact far past 100 TB — then an exact DECIMAL(38,0) re-sum of
+# the ≤1024 partials per group. The decimal work shrinks from
+# once-per-row to once-per-partial; the extra exchange carries
+# groups×1024 tiny rows. Bounded groups (per-order ≤ 7 lineitems,
+# per-customer ≤ ~41 orders) use a single-level long sum with the
+# bound stated at the call site.
+
+#: salt fan-out for two-level exact sums — 1024 partials per group
+#: bounds each inner long sum to |group|/1024 rows (exact past 100 TB
+#: for every catalog money column) while the level-2 decimal re-sum
+#: stays trivially small (groups × 1024 rows).
+N_SUM_SALT = 1024
+
+
+def cents(c, scale: int = 2):
+    """Exact integer ``c·10^scale`` (a LONG) of a clean money double —
+    see the module-comment precondition."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col * float(10**scale) + F.lit(0.5)).cast("long")
+
+
+def unscale(c, scale: int):
+    """Exact ``c / 10^scale`` as DOUBLE for an integer-cents sum
+    (long or decimal): one exact decimal division + one correctly-
+    rounded decimal→double cast, evaluated once per group row."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col.cast("decimal(38,0)") / F.lit(10**scale)).cast("double")
+
+
+def disc_price_cents():
+    """``cents(l_extendedprice·(1−l_discount), 4)`` in long math —
+    the integer-cents twin of :func:`disc_price`."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def sum_cents_2level(df: DataFrame, keys: list[str], sums: dict, counts, salt_on: str):
+    """Two-level exact grouped sums: long partials per (keys, salt),
+    exact decimal re-sum per keys. ``sums`` maps output name → long
+    Column; ``counts`` is an iterable of output names for row counts
+    (counted at level 1, long-summed at level 2). ``salt_on`` names a
+    column whose hash spreads each group's rows across ``N_SUM_SALT``
+    partials — any deterministic per-row value works (exactness never
+    depends on the spread, only the inner-long overflow headroom
+    does)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(N_SUM_SALT))
+    lvl1 = df.groupBy(*keys, salt.alias("_salt")).agg(
+        *[F.sum(col).alias(name) for name, col in sums.items()],
+        *[F.count(F.lit(1)).alias(name) for name in counts],
+    )
+    return lvl1.groupBy(*keys).agg(
+        *[F.sum(F.col(name).cast("decimal(38,0)")).alias(name) for name in sums],
+        *[F.sum(F.col(name)).alias(name) for name in counts],
+    )
+
+
 # -- TPC-H-style aggregation --------------------------------------------
 
 @register(
@@ -69,22 +158,34 @@ _DISC_PRICE_SQL = (
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary) adapted to the catalog schema.
 
-    One scan, one shuffle; partial aggregation happens map-side so
-    shuffled rows = groups × partitions (groups here: ≤ 9). The
-    shipdate predicate pushes to parquet row-group stats."""
-    one = F.lit(1).cast("decimal(18,2)")
-    charge = (disc_price() * (one + dec2("l_tax"))).cast("decimal(18,6)")
+    One scan; partial aggregation happens map-side so shuffled rows =
+    groups × partitions. The shipdate predicate pushes to parquet
+    row-group stats. Money sums run in integer cents (two-level —
+    see the cents module comment): the r17 profile had the old
+    per-row double→decimal casts at ~0.4 s of the 0.8 s scan stage,
+    and the cents form measured value-identical and 2.4× faster."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    cnt = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-        (F.sum(dec2("l_discount")).cast("double") / cnt).alias("avg_disc"),
-        cnt.alias("count_order"),
+    qty, price, disc = cents("l_quantity"), cents("l_extendedprice"), cents("l_discount")
+    dp = disc_price_cents()                    # e4-scaled
+    charge = dp * (F.lit(100) + cents("l_tax"))  # e6-scaled
+    g = sum_cents_2level(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"_q": qty, "_p": price, "_dp": dp, "_ch": charge, "_d": disc},
+        ["count_order"],
+        salt_on="l_extendedprice",
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        unscale("_q", 2).alias("sum_qty"),
+        unscale("_p", 2).alias("sum_base_price"),
+        unscale("_dp", 4).alias("sum_disc_price"),
+        unscale("_ch", 6).alias("sum_charge"),
+        (unscale("_q", 2) / F.col("count_order")).alias("avg_qty"),
+        (unscale("_p", 2) / F.col("count_order")).alias("avg_price"),
+        (unscale("_d", 2) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -112,7 +213,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is small relative to the facts → broadcast into orders;
     orders⋈lineitem shuffles on orderkey (bucket both on orderkey at
     write time to eliminate it at 100 TB). The final top-10 is
-    TakeOrderedAndProject — no global sort."""
+    TakeOrderedAndProject — no global sort. Revenue sums in integer
+    cents (single-level long: a group is one order, ≤7 lineitems, so
+    the e4-scaled sum stays ≤ ~7e11 — exact at any SF)."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
@@ -120,8 +223,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price_cents()).alias("_rev"))
+        .select("o_orderkey", unscale("_rev", 4).alias("revenue"), "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -144,20 +247,23 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-nation revenue rollup: fact ⋈ three broadcast dims.
 
     supplier/nation/region are all dimension-sized at any SF → all
-    three joins broadcast; the plan has exactly one shuffle (the
-    final groupBy), and partial aggregation reduces it to ~25 rows
-    per partition."""
+    three joins broadcast; partial aggregation reduces the shuffle to
+    ~25 nations × salt rows per partition. Revenue sums in integer
+    cents, two-level (25 nation groups grow unboundedly with SF — see
+    the cents module comment)."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    return (
+    joined = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
+    g = sum_cents_2level(
+        joined, ["n_name"], {"_rev": disc_price_cents()}, [], salt_on="l_extendedprice"
+    )
+    return g.select("n_name", unscale("_rev", 4).alias("revenue"))
 
 
 @register(
@@ -242,17 +348,18 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join showcase: part is the dim side (hinted); the
     fact side never shuffles for the join, only for the tiny final
-    brand rollup."""
+    brand rollup. Revenue sums in integer cents, two-level (25 brand
+    groups grow unboundedly with SF — see the cents module comment)."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.sum(disc_price()).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    g = sum_cents_2level(
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey),
+        ["p_brand"],
+        {"_rev": disc_price_cents()},
+        ["n_items"],
+        salt_on="l_extendedprice",
     )
+    return g.select("p_brand", unscale("_rev", 4).alias("revenue"), "n_items")
 
 
 @register(
@@ -321,20 +428,20 @@ def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer join + grouped count (zero-order customers kept).
     At scale: pre-aggregate orders by custkey *before* the join
     (shuffle carries one row per customer, not per order) — which is
-    exactly what this plan does."""
+    exactly what this plan does. Spend sums in integer cents
+    (single-level long: per-customer order counts are catalog-bounded
+    (~41), so the e2-scaled sum stays ≤ ~2e9 — exact at any SF)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(dec2("o_totalprice")).alias("_spend"),
+        F.sum(cents("o_totalprice")).alias("_spend"),
     )
     return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
         "c_custkey",
         "c_name",
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
-        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_spend"),
+        F.coalesce(unscale("_spend", 2), F.lit(0.0)).alias("total_spend"),
     )
 
 
@@ -499,18 +606,27 @@ def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer top-3 orders via RANK. One shuffle on custkey;
-    at 100 TB a rank-filter like this should prefer a pre-limit
-    (groupBy + slice) when partitions are skewed — AQE skew split
-    covers the window shuffle."""
+    """Per-customer top-3 orders via RANK. One shuffle on custkey —
+    PINNED (functions/util.pinned_shuffle): the window reuses the
+    exchange, and the explicit count stops AQE from coalescing the
+    sub-MB custkey shuffle onto 1 task (r17: the whole rank stage ran
+    single-threaded; pin measured ~0.8× interleaved, identical rows).
+    At 100 TB a rank-filter like this should prefer a pre-limit
+    (groupBy + slice) when partitions are skewed."""
+    from ..functions.util import pinned_shuffle
+
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("c_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .select("c_custkey", "o_orderkey", "o_totalprice")
+        pinned_shuffle(
+            c.join(o, c.c_custkey == o.o_custkey).select(
+                "c_custkey", "o_orderkey", "o_totalprice"
+            ),
+            "c_custkey",
+        )
         .withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
     )

@@ -92,9 +92,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal scoring: punctuation ratio, stopword ratio and
     a combined [0,1] score. Every signal is a scan-speed expression;
-    at 100 TB this is a single pass with zero shuffles."""
+    at 100 TB this is a single pass with zero shuffles — rebalance()
+    is a guarded no-op there (inputs have ≥cores splits) and only
+    fires on few-split local inputs, where it moves the regex-heavy
+    signal expressions off the single scan task onto every core
+    (r17 profile: the whole query was one 0.34 s task)."""
+    from ..functions.util import rebalance
+
     txt = F.col("text")
-    return t(spark, sf_dir, "documents").select(
+    return rebalance(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
         F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),

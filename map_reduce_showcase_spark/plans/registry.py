@@ -684,8 +684,13 @@ def _export_ordered() -> list[QuerySpec]:
         if spec.name in reverify:
             # proven, but the definition changed since that proof —
             # the old artifact certifies different code (band is
-            # COMPUTED from fingerprint snapshots, never hand-kept)
-            return (2, 0, i)
+            # COMPUTED from fingerprint snapshots, never hand-kept).
+            # Within the band: stalest latest-green first — a GLOBAL
+            # helper edit (r17: the shared table loader) can put the
+            # whole registry in the band at once, so the band must
+            # drain across driver rounds in evidence-age order, the
+            # same discipline as the proven tail.
+            return (2, green[spec.name], i)
         # proven: stalest latest-green first, registration order ties
         return (3, green[spec.name], i)
 

@@ -189,6 +189,23 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: (applicationId, realpath(sf_dir), table) → loaded DataFrame. A
+#: TABLE-HANDLE cache, not a result cache: a DataFrame is an immutable
+#: logical plan + resolved schema — no rows are computed or stored,
+#: every action still scans the parquet files. What it removes is the
+#: per-call driver work of ``spark.read.parquet`` (file listing +
+#: footer/schema resolution, measured 0.15 s per call in r17 — paid
+#: by every builder invocation, every bench rep), which is exactly
+#: what a registered catalog table amortizes in a real deployment.
+#: Keyed by applicationId so a stopped/rebuilt session can never
+#: serve stale JVM references; keyed by realpath so the same data
+#: reached via different spellings shares one entry. Staleness: a
+#: table REWRITTEN mid-session keeps serving the old file listing —
+#: same semantics as Spark's own FileIndex cache on a catalog table;
+#: this engine's sf dirs are immutable test fixtures.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from ``{sf_dir}/{name}.parquet``.
 
@@ -197,9 +214,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     actually loads so every encoding yields the same TIMESTAMP rows."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if name == "events":
-        return _load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, f"{sf_dir}/{name}.parquet")
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

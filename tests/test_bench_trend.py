@@ -469,7 +469,9 @@ def test_literal_r16_episode_13348_run_caught_by_headline_steal():
     g = bt.grade(bt.extract_record(p))
     h = g["headline"]
     assert h["value"] == 13.348
-    if h["value"] > bt.ANCHOR_BAND_MIN_OF_3_SEC[1]:
+    # era-aware since r17: an r16 artifact grades against the r16
+    # engine's band (bench_constants.anchor_band_for_round)
+    if h["value"] > h["band"][1]:
         # once the band's episode-widened high edge retires (the
         # r16-verdict-#2 contraction rule), this point reads
         # above-band and must adjudicate from its headline steal
@@ -607,7 +609,7 @@ def test_regressed_driver_compact_artifact_fails_strict(tmp_path):
     exit 1 (previously it fell into the legacy unadjudicable branch
     and the gate passed)."""
     bt = _load()
-    bad = _compact_style_record(bt.ANCHOR_BAND_MIN_OF_3_SEC[1] * 1.48)
+    bad = _compact_style_record(bt.anchor_band_for_round(15)[1] * 1.48)
     tail = "noise\n" + json.dumps(bad) + "\n"
     p = _driver_artifact(tmp_path, tail, n=15)
     g = bt.grade(bt.extract_record(p))
@@ -631,7 +633,9 @@ def test_two_line_stdout_capture_parses_as_local_artifact(tmp_path):
     """`python bench.py > BENCH_LOCAL_rN.json` yields TWO JSON lines;
     the fuller (diagnostic) record must win, not a crash."""
     bt = _load()
-    diag = _compact_style_record(11.9, protocol="min of 3")
+    diag = _compact_style_record(
+        sum(bt.anchor_band_for_round(18)) / 2, protocol="min of 3"
+    )
     compact = {k: diag[k] for k in ("metric", "value", "queries")}
     p = tmp_path / "BENCH_LOCAL_r18.json"
     p.write_text(json.dumps(diag) + "\n" + json.dumps(compact) + "\n")
@@ -699,13 +703,17 @@ def test_bench_stamps_the_constant_band():
 
 def test_band_edges_hold_every_committed_min_of_3_local_artifact():
     """Maintenance invariant: the committed local records (idle-box by
-    protocol) must sit inside the anchor band — a local artifact
-    landing outside means the band doc went stale without provenance."""
+    protocol) must sit inside the anchor band OF THEIR CODE ERA — a
+    local artifact landing outside means the band doc went stale
+    without provenance. Era-aware since r17 (the optimization rounds
+    change the engine itself; bench_constants.anchor_band_for_round
+    dispatches on the artifact's round number)."""
     bt = _load()
-    lo, hi = bt.ANCHOR_BAND_MIN_OF_3_SEC
     for p in sorted(_REPO.glob("BENCH_LOCAL_r*.json")):
         # extract_record handles both committed shapes: the r14
         # single-document diagnostic record and the r15+ raw two-line
         # `python bench.py > file` capture
-        rec = bt.extract_record(p)["record"]
+        parsed = bt.extract_record(p)
+        lo, hi = bt.anchor_band_for_round(parsed["round"])
+        rec = parsed["record"]
         assert lo <= rec["value"] <= hi, (p.name, rec["value"])

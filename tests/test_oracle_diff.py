@@ -218,11 +218,30 @@ def test_export_order_is_evidence_priority():
     assert bands == sorted(bands), "band order must be never-green, re-verify, proven"
     rounds = [green[n] for n, b in zip(rest, bands) if b == 3]
     assert rounds == sorted(rounds), "proven queries must be stalest-first"
-    # re-verify names must actually sit inside the driver's ~50 window
-    in_reverify = [n for n in order[:50] if n in reverify]
-    assert set(in_reverify) == reverify & set(order), (
-        "every re-verify query must export inside the 50-entry window"
-    )
+    # the re-verify band must drain through the driver's ~50 window:
+    # when it fits, every member exports inside it; when a GLOBAL
+    # helper edit puts more members in the band than the window holds
+    # (r17: the shared table loader moved all 171 fingerprints), the
+    # window must contain NOTHING but sentinels/never-green/re-verify
+    # — no proven query may take a slot ahead of an unproven redefinition
+    # — and the band itself drains stalest-green-first across rounds.
+    in_window = order[:50]
+    if len(reverify & set(order)) <= 50 - sum(
+        1 for n in in_window if band(n) < 2
+    ):
+        in_reverify = [n for n in in_window if n in reverify]
+        assert set(in_reverify) == reverify & set(order), (
+            "every re-verify query must export inside the 50-entry window"
+        )
+    else:
+        assert all(band(n) < 3 for n in in_window), (
+            "an oversized re-verify band must fill the whole window "
+            "before any already-proven query gets a slot"
+        )
+        band_rounds = [green[n] for n in rest if band(n) == 2]
+        assert band_rounds == sorted(band_rounds), (
+            "an oversized re-verify band must drain stalest-green-first"
+        )
 
 
 def test_changed_since_green_auto_promotes():

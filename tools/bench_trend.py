@@ -65,6 +65,8 @@ from bench_constants import (  # noqa: E402
     SINGLE_RUN_ERA_BAND_SEC,
     STEAL_SUSPECT_DEMAND_PCT,
     STEAL_SUSPECT_PCT,
+    anchor_band_for_round,
+    extended_ranges_for_round,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -259,12 +261,18 @@ def _steal_pair_or_none(cap, dem) -> tuple | None:
     return (cap, dem)
 
 
-def _grade_headline(rec: dict) -> dict:
-    # Era dispatch: min-of-3 records (r10+) stamp runs_per_query >= 2;
-    # single-run-era artifacts grade against THEIR band — cross-era
-    # point-to-band comparison mis-reads by ~18% (BASELINE.md).
+def _grade_headline(rec: dict, round_no: int | None = None) -> dict:
+    # Era dispatch, two axes: min-of-3 records (r10+) stamp
+    # runs_per_query >= 2; single-run-era artifacts grade against
+    # THEIR band — cross-era point-to-band comparison mis-reads by
+    # ~18% (BASELINE.md). Since r17 the CODE era dispatches too
+    # (bench_constants.anchor_band_for_round): the optimization
+    # rounds changed the engine itself, so pre-r17 artifacts keep
+    # the band their engine ran under.
     min_of_3 = rec.get("runs_per_query", 1) >= 2
-    lo, hi = ANCHOR_BAND_MIN_OF_3_SEC if min_of_3 else SINGLE_RUN_ERA_BAND_SEC
+    lo, hi = (
+        anchor_band_for_round(round_no) if min_of_3 else SINGLE_RUN_ERA_BAND_SEC
+    )
     value = rec.get("value")
     out = {"value": value, "band": [lo, hi],
            "era": "min_of_3" if min_of_3 else "single_run"}
@@ -347,7 +355,7 @@ def _grade_one_extended_section(
     return out
 
 
-def _grade_extended(rec: dict) -> dict:
+def _grade_extended(rec: dict, round_no: int | None = None) -> dict:
     """Era dispatch (r14 verdict #4): records stamped
     ``extended_order: fresh_jvm_*`` carry FRESH-order primary
     numbers, graded against ``EXTENDED_FRESH_RANGES_SEC``;
@@ -359,10 +367,7 @@ def _grade_extended(rec: dict) -> dict:
     if not isinstance(ext, dict):
         ext = {}  # budget-degraded compact line or old artifact
     fresh_order = str(rec.get("extended_order") or "").startswith("fresh_jvm")
-    primary_ranges = (
-        EXTENDED_FRESH_RANGES_SEC if fresh_order
-        else EXTENDED_OBSERVED_RANGES_SEC
-    )
+    primary_ranges = extended_ranges_for_round(round_no, fresh_order)
     # the fresh child stamps its own steal window — the run-level
     # percentage dilutes a contaminated child ~5x (the child is a
     # fraction of the span), so the child's stamp grades its section
@@ -386,7 +391,7 @@ def _grade_extended(rec: dict) -> dict:
     post = rec.get("extended_queries_postheadline")
     if isinstance(post, dict):
         for q, entry in _grade_one_extended_section(
-            rec, post, EXTENDED_OBSERVED_RANGES_SEC,
+            rec, post, extended_ranges_for_round(round_no, False),
             "extended_postheadline_load_1m_per_query",
         ).items():
             # RECORDED-ONLY since r16 (like the sweep's raw 4x tail):
@@ -411,8 +416,8 @@ def grade(parsed: dict) -> dict:
                 "grade": "unparseable", "reason": parsed["reason"]}
     return {
         **{k: parsed[k] for k in ("round", "kind", "path")},
-        "headline": _grade_headline(rec),
-        "extended": _grade_extended(rec),
+        "headline": _grade_headline(rec, parsed.get("round")),
+        "extended": _grade_extended(rec, parsed.get("round")),
     }
 
 
