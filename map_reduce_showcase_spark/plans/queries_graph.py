@@ -120,10 +120,12 @@ def graph_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_CHUNK_CAP = 4096
 
 
-def _oriented_graph(spark: SparkSession, sf_dir: str):
-    """(degree frame, degree-oriented edge frame), both
-    localCheckpoint-ed — shared by the triangle closing and by the
-    sweep's wedge-work probe so the two measure the SAME graph.
+def _oriented_graph(
+    spark: SparkSession, sf_dir: str, checkpoint_oriented: bool = True
+):
+    """(degree frame, degree-oriented edge frame) — shared by the
+    triangle closing and by the sweep's wedge-work probe so the two
+    measure the SAME graph.
 
     deg is |V| rows, used four times downstream (two orientation
     broadcasts, the wedge aggregate, the plan-choice bound) —
@@ -131,7 +133,15 @@ def _oriented_graph(spark: SparkSession, sf_dir: str):
     once. Orientation is by (degree, id): attach each endpoint's
     degree via a broadcast join — the degree table is tiny next to
     |E| and at true scale stays broadcastable far longer than the
-    edge list stays joinable."""
+    edge list stays joinable.
+
+    ``checkpoint_oriented`` (default on, the r17 behavior) pins the
+    oriented edge list for callers that consume it more than once.
+    The r18 triangle closing consumes it exactly ONCE (the grouped
+    adjacency is the only consumer and is itself checkpointed), so it
+    passes False and skips both the materialization job and the
+    ~100 MB deserialized-object storage the r17 profile charged to
+    re-reading it (two 0.44 s adjacency builds → one)."""
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
 
     deg = (
@@ -158,8 +168,9 @@ def _oriented_graph(spark: SparkSession, sf_dir: str):
             .alias("edge")
         )
         .select(F.col("edge.u").alias("u"), F.col("edge.v").alias("v"))
-        .localCheckpoint()
     )
+    if checkpoint_oriented:
+        oriented = oriented.localCheckpoint()
     return deg, oriented
 
 
@@ -234,7 +245,10 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
     NOT work here: the two sides of an intersection would disagree on
     chunk boundaries, so the global-max modulus is the price of
     alignment."""
-    deg, oriented = _oriented_graph(spark, sf_dir)
+    # oriented stays LAZY here: the r18 closing consumes it exactly
+    # once (the grouped-adjacency build below), so the checkpointed
+    # frame is the adjacency, not the edge list.
+    deg, oriented = _oriented_graph(spark, sf_dir, checkpoint_oriented=False)
 
     # Compact-forward closing: instead of materializing the wedge
     # stream as ROWS (sum outdeg² of them — 41M at sf0.1 vs 1.2M
@@ -260,6 +274,11 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
     if max_deg <= chunk_cap:
         k_chunks = 1
     else:
+        # rare engaged path: the chunked closing consumes oriented
+        # repeatedly (the max_od probe, the chunked adjacency, the
+        # per-edge join side), so pin it here — the common path never
+        # pays this materialization.
+        oriented = oriented.localCheckpoint()
         max_od = (
             oriented.groupBy("u")
             .agg(F.count(F.lit(1)).alias("od"))
@@ -270,18 +289,39 @@ def _triangle_summary(spark: SparkSession, sf_dir: str, chunk_cap: int) -> DataF
         k_chunks = max(-(-max_od // chunk_cap), 1)
 
     if k_chunks == 1:
-        # the round-6 plan, verbatim: group once per vertex, close
-        # on the vertex key alone.
-        adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
-        au = adj.alias("au")
+        # r18 closing shape: the oriented edge list IS the grouped
+        # adjacency re-exploded — (u, v ∈ nbrs(u)) row for row — so
+        # the r17 plan's first join (oriented ⋈ adj on u: an extra
+        # exchange of the edge list, a sort of BOTH sides, and a
+        # second build of the same adjacency aggregate) is replaced
+        # by one explode in the stage already holding adj. The per-
+        # edge array payload (the bench's biggest single shuffle,
+        # 156 MB at sf0.1) still moves exactly once — that is the
+        # compact-forward minimum — but is no longer SORTED: the
+        # closing join is a hinted shuffled-hash join whose BUILD
+        # side is the |V|-row adjacency (guide §3.1: build the side
+        # that is small per partition; the r17-rejected global
+        # SMJ→SHJ flip failed on OTHER joins, where the heavy side
+        # became the build).
+        # The adjacency is checkpointed because BOTH closing-join
+        # sides read it (the r17 shape instead checkpointed the
+        # 2-long-per-row oriented list and rebuilt this aggregate
+        # once per side — two 0.44 s passes over ~100 MB of
+        # deserialized checkpoint objects in the profile); the array
+        # frame is |V| rows and smaller than the edge list it
+        # replaces.
+        adj = oriented.groupBy("u").agg(
+            F.collect_list("v").alias("nbrs")
+        ).localCheckpoint()
+        left = adj.select(
+            F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("v")
+        )
         av = adj.alias("av")
         triangles = (
-            oriented.alias("o")
-            .join(au, F.col("o.u") == F.col("au.u"))
-            .join(av, F.col("o.v") == F.col("av.u"))
+            left.join(av.hint("shuffle_hash"), F.col("v") == F.col("av.u"))
             .select(
                 F.size(
-                    F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs"))
+                    F.array_intersect(F.col("nbrs_u"), F.col("av.nbrs"))
                 ).alias("k")
             )
             .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_triangles"))

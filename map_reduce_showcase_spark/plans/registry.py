@@ -665,6 +665,26 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
+def definition_changed_band() -> set[str]:
+    """The subset of the re-verify band whose OWN definition
+    fingerprint (builder source + oracle SQL) moved since the latest
+    driver-green proof — exactly :func:`changed_since_green` with the
+    helper comparison disabled. These are the riskiest entries in the
+    band: the code the old artifact certified is literally different,
+    not merely downstream of an edited helper, so the export order
+    ranks them ahead of helper-only promotions (r17 verdict #2: the
+    five cents-rewritten money queries sorted BEHIND ~120 helper-only
+    entries under pure stalest-first and would not have reached the
+    driver's ~50-slot window for ~3 rounds)."""
+    _load_all()
+    return changed_since_green(
+        _latest_green_round(),
+        _fingerprint_snapshots(),
+        current_fingerprints(),
+        None,
+    )
+
+
 def _export_ordered() -> list[QuerySpec]:
     _load_all()
     specs = list(REGISTRY.values())
@@ -673,26 +693,40 @@ def _export_ordered() -> list[QuerySpec]:
     # self-expiring era-transition seed) — window_report and the
     # export order must never disagree on what needs re-proof
     reverify = reverify_band()
+    def_changed = definition_changed_band()
     sentinel_pos = {n: i for i, n in enumerate(_SENTINELS)}
 
     def key(p: tuple[int, QuerySpec]):
         i, spec = p
         if spec.name in sentinel_pos:
-            return (0, sentinel_pos[spec.name], 0)
+            return (0, 0, sentinel_pos[spec.name], 0)
         if spec.name not in green:
-            return (1, 0, i)  # never proven — registration order
+            return (1, 0, 0, i)  # never proven — registration order
         if spec.name in reverify:
             # proven, but the definition changed since that proof —
             # the old artifact certifies different code (band is
             # COMPUTED from fingerprint snapshots, never hand-kept).
-            # Within the band: stalest latest-green first — a GLOBAL
-            # helper edit (r17: the shared table loader) can put the
-            # whole registry in the band at once, so the band must
-            # drain across driver rounds in evidence-age order, the
-            # same discipline as the proven tail.
-            return (2, green[spec.name], i)
+            # Within the band, three tiers: entries whose OWN
+            # definition changed outrank helper-only promotions (the
+            # old proof certifies literally different code — r17
+            # verdict #2); rows-only specs (oracle=None) sort LAST —
+            # a window slot spent on one can only re-earn the weakest
+            # proof there is, so under band contention it must never
+            # displace a hash-verifiable candidate (the r14 no-slot-
+            # burn policy, generalized to the whole-registry-band
+            # state r17's global helper edit created). Within a tier:
+            # stalest latest-green first, so each tier drains across
+            # driver rounds in evidence-age order, the same
+            # discipline as the proven tail.
+            if spec.oracle is None:
+                tier = 2
+            elif spec.name in def_changed:
+                tier = 0
+            else:
+                tier = 1
+            return (2, tier, green[spec.name], i)
         # proven: stalest latest-green first, registration order ties
-        return (3, green[spec.name], i)
+        return (3, 0, green[spec.name], i)
 
     return [s for _, s in sorted(enumerate(specs), key=key)]
 
