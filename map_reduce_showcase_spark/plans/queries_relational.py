@@ -79,19 +79,53 @@ _DISC_PRICE_SQL = (
 # groups (q1's 6 flags, q5's 25 nations, join_brand's 25 brands) would
 # pass that around SF 40-4000 for e4/e6-scaled columns, so those
 # queries aggregate in TWO LEVELS (guide §2.5's two-level pattern):
-# long sums per (group, salt-of-1024) — each holding ≤ |group|/1024
-# rows, exact far past 100 TB — then an exact DECIMAL(38,0) re-sum of
-# the ≤1024 partials per group. The decimal work shrinks from
-# once-per-row to once-per-partial; the extra exchange carries
-# groups×1024 tiny rows. Bounded groups (per-order ≤ 7 lineitems,
-# per-customer ≤ ~41 orders) use a single-level long sum with the
-# bound stated at the call site.
+# long sums per (group, spark_partition_id) — then an exact
+# DECIMAL(38,0) re-sum of the per-task partials per group. Bounded
+# groups (per-order ≤ 7 lineitems, per-customer ≤ ~41 orders) use a
+# single-level long sum with the bound stated at the call site.
+#
+# The salt is the TASK PARTITION ID (r18; r17 hashed a money column
+# into 1024 buckets), which makes the overflow bound structural: a
+# (group, salt) partial sums rows from exactly ONE scan task, so the
+# inner long never crosses a task boundary and its bound is
+# rows-per-split × max-per-row-value — independent of SF, of group
+# size, and of the money-value distribution (the r17 ADVICE flaw:
+# hashing l_extendedprice sent every row sharing a value to one
+# partial, so a dominant price silently eroded the |group|/1024
+# spread bound). It is also cheaper than the hash salt: no extra
+# column decoded, no per-row xxhash64, and the level-1 hash map
+# holds groups × 1 entries per task instead of groups × 1024.
+#
+# Headroom arithmetic, worst case (a long overflow is a silent
+# wraparound, so the bound uses the MAX per-row value, not the
+# average — r17 verdict #1): rows per scan split ≤ maxPartitionBytes
+# (1 GiB ceiling, guide §6) / ~10 B-per-row pathological floor
+# ≈ 1.1e8 rows; broadcast-probe pipelines (q5, join_brand) keep
+# per-task rows = scan-split rows, and no caller feeds an exploding
+# join:
+#
+#   term (scale)        max/row   worst partial   headroom vs 2^63
+#   quantity (e2)       5e3       5.4e11          ~1.7e7×
+#   extendedprice (e2)  1e7       1.1e15          ~8500×
+#   discount/tax (e2)   10        1.1e9           huge
+#   disc_price (e4)     1e9       1.1e17          ~86×
+#   dp·tax_cents (e6)   8e9       8.6e17          ~10.7×
+#
+# The e6 CHARGE term is the binding one, and it is summed as the
+# SPLIT dp·tax_cents (max 8e9/row), never as the fused
+# dp·(100+tax_cents) (max ~1.1e11/row — which would overflow a
+# pathological-split partial): Σcharge = 100·Σdp + Σ(dp·tax)
+# exactly, with the recombination done once per group at level 2 in
+# decimal — see q1. Every partial therefore keeps ≥10× worst-case
+# headroom at ANY scale factor (pinned by tests/test_cents_money.py::
+# test_salt_fanout_overflow_headroom). Level-2 input is
+# groups × n_map_tasks tiny rows — at 100k map tasks and 25 groups,
+# 2.5M 16-byte rows, noise next to the scan.
 
-#: salt fan-out for two-level exact sums — 1024 partials per group
-#: bounds each inner long sum to |group|/1024 rows (exact past 100 TB
-#: for every catalog money column) while the level-2 decimal re-sum
-#: stays trivially small (groups × 1024 rows).
-N_SUM_SALT = 1024
+#: pathological worst-case rows in one scan split (1 GiB
+#: maxPartitionBytes ceiling / ~10 B per row) — the per-task row
+#: bound the two-level headroom table divides by.
+MAX_SPLIT_ROWS = 110_000_000
 
 
 def cents(c, scale: int = 2):
@@ -115,19 +149,33 @@ def disc_price_cents():
     return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
-def sum_cents_2level(df: DataFrame, keys: list[str], sums: dict, counts, salt_on: str):
-    """Two-level exact grouped sums: long partials per (keys, salt),
-    exact decimal re-sum per keys. ``sums`` maps output name → long
-    Column; ``counts`` is an iterable of output names for row counts
-    (counted at level 1, long-summed at level 2). ``salt_on`` names a
-    column whose hash spreads each group's rows across ``N_SUM_SALT``
-    partials — any deterministic per-row value works (exactness never
-    depends on the spread, only the inner-long overflow headroom
-    does)."""
-    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(N_SUM_SALT))
-    lvl1 = df.groupBy(*keys, salt.alias("_salt")).agg(
-        *[F.sum(col).alias(name) for name, col in sums.items()],
-        *[F.count(F.lit(1)).alias(name) for name in counts],
+def sum_cents_2level(df: DataFrame, keys: list[str], sums: dict, counts):
+    """Two-level exact grouped sums: long partials per
+    (keys, spark_partition_id), exact decimal re-sum per keys.
+    ``sums`` maps output name → long Column; ``counts`` is an
+    iterable of output names for row counts (counted at level 1,
+    long-summed at level 2).
+
+    The task-id salt makes the inner long sum structurally task-
+    local: its overflow bound is rows-per-split × max-per-row-value
+    at ANY scale and under ANY value distribution (module comment;
+    r17 verdict #1 + ADVICE). Exactness never depends on the salt at
+    all — the partition id only routes rows between partials, and
+    level 2 re-sums every partial in exact decimal — so a task retry
+    or a different split planning changes intermediate partials,
+    never the result (pinned by
+    tests/test_cents_money.py::test_two_level_sum_salt_invariant).
+    Callers must feed a frame whose per-task row count is scan-split
+    bounded (a scan or a broadcast-probe pipeline — every current
+    caller; an exploding join would need its fan-out multiplied into
+    the headroom table)."""
+    lvl1 = (
+        df.withColumn("_salt", F.spark_partition_id())
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[F.sum(col).alias(name) for name, col in sums.items()],
+            *[F.count(F.lit(1)).alias(name) for name in counts],
+        )
     )
     return lvl1.groupBy(*keys).agg(
         *[F.sum(F.col(name).cast("decimal(38,0)")).alias(name) for name in sums],
@@ -167,13 +215,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     qty, price, disc = cents("l_quantity"), cents("l_extendedprice"), cents("l_discount")
     dp = disc_price_cents()                    # e4-scaled
-    charge = dp * (F.lit(100) + cents("l_tax"))  # e6-scaled
+    # charge = dp·(100 + tax_cents) is summed SPLIT: Σcharge =
+    # 100·Σdp + Σ(dp·tax_cents), recombined per GROUP in exact
+    # decimal below. The dp·tax term's max per-row value is 8e9 vs
+    # ~1.1e11 for the fused product — the difference between ≥10×
+    # worst-case partial headroom and an overflow on a pathological
+    # split (module comment table; r17 verdict #1).
+    charge_tax = dp * cents("l_tax")           # e6-scaled, ≤ 8e9/row
     g = sum_cents_2level(
         li,
         ["l_returnflag", "l_linestatus"],
-        {"_q": qty, "_p": price, "_dp": dp, "_ch": charge, "_d": disc},
+        {"_q": qty, "_p": price, "_dp": dp, "_cht": charge_tax, "_d": disc},
         ["count_order"],
-        salt_on="l_extendedprice",
     )
     return g.select(
         "l_returnflag",
@@ -181,7 +234,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         unscale("_q", 2).alias("sum_qty"),
         unscale("_p", 2).alias("sum_base_price"),
         unscale("_dp", 4).alias("sum_disc_price"),
-        unscale("_ch", 6).alias("sum_charge"),
+        unscale(F.col("_dp") * F.lit(100) + F.col("_cht"), 6).alias("sum_charge"),
         (unscale("_q", 2) / F.col("count_order")).alias("avg_qty"),
         (unscale("_p", 2) / F.col("count_order")).alias("avg_price"),
         (unscale("_d", 2) / F.col("count_order")).alias("avg_disc"),
@@ -260,9 +313,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    g = sum_cents_2level(
-        joined, ["n_name"], {"_rev": disc_price_cents()}, [], salt_on="l_extendedprice"
-    )
+    g = sum_cents_2level(joined, ["n_name"], {"_rev": disc_price_cents()}, [])
     return g.select("n_name", unscale("_rev", 4).alias("revenue"))
 
 
@@ -357,7 +408,6 @@ def join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["p_brand"],
         {"_rev": disc_price_cents()},
         ["n_items"],
-        salt_on="l_extendedprice",
     )
     return g.select("p_brand", unscale("_rev", 4).alias("revenue"), "n_items")
 

@@ -19,7 +19,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_showcase_spark.plans.queries_relational import (
-    N_SUM_SALT,
+    MAX_SPLIT_ROWS,
     cents,
     dec2,
     disc_price,
@@ -77,22 +77,23 @@ def test_q1_cents_equals_decimal_form(spark, sf_dir):
 
 def test_two_level_sum_salt_invariant(spark, sf_dir):
     """sum_cents_2level must equal a plain single-level long sum —
-    the salt moves rows between partials, never changes the total —
-    and its decimal re-sum must survive partials that a double could
-    not represent exactly (>2^53)."""
+    the partition-id salt moves rows between partials, never changes
+    the total (so a repartitioning, a retry, or a different split
+    planning can never change a result) — and its decimal re-sum
+    must survive partials that a double could not represent exactly
+    (>2^53)."""
     rows = [(i % 3, (1 << 53) + i) for i in range(32)]
-    df = spark.createDataFrame(rows, "k int, v long")
-    g = sum_cents_2level(df, ["k"], {"s": F.col("v")}, ["n"], salt_on="v")
-    got = {
-        r["k"]: (int(r["s"]), r["n"])
-        for r in g.collect()
-    }
     want: dict[int, list[int]] = {}
     for k, v in rows:
         acc = want.setdefault(k, [0, 0])
         acc[0] += v
         acc[1] += 1
-    assert got == {k: (s, n) for k, (s, n) in want.items()}
+    expected = {k: (s, n) for k, (s, n) in want.items()}
+    for n_parts in (1, 7):  # salt-invariance: partitioning must not matter
+        df = spark.createDataFrame(rows, "k int, v long").repartition(n_parts)
+        g = sum_cents_2level(df, ["k"], {"s": F.col("v")}, ["n"])
+        got = {r["k"]: (int(r["s"]), r["n"]) for r in g.collect()}
+        assert got == expected, f"n_parts={n_parts}"
 
 
 def test_unscale_is_exact_division(spark, sf_dir):
@@ -110,5 +111,43 @@ def test_unscale_is_exact_division(spark, sf_dir):
     assert repr(got) == repr(want)
 
 
-def test_salt_fanout_constant_sane():
-    assert N_SUM_SALT >= 256, "two-level overflow headroom needs real fan-out"
+def test_salt_fanout_overflow_headroom():
+    """The module-comment headroom table, as arithmetic (r17 verdict
+    #1 + ADVICE): with the partition-id salt, a (group, salt) partial
+    sums rows from exactly ONE task, so its worst-case value is
+    MAX_SPLIT_ROWS × the MAX per-row value — not the average, because
+    a long overflow is a silent wraparound — independent of SF, group
+    size, and value distribution. Every summed term must keep ≥8×
+    headroom against 2^63 under that bound. This is the test that
+    fails if someone re-fuses the charge product (max ~1.1e11/row)
+    instead of summing the split dp·tax term (max 8e9/row), or
+    swaps the structural bound for a value-hash salt."""
+    # max per-row value of every term the two-level queries sum
+    # (catalog bounds: price < 1e5, qty ≤ 50, disc ≤ 0.10, tax ≤ 0.08)
+    max_per_row = {
+        "quantity_e2": 50 * 100,
+        "extendedprice_e2": 10**7,
+        "discount_e2": 10,
+        "disc_price_e4": 10**9,          # price_e2 · 100
+        "charge_tax_e6": 8 * 10**9,      # dp_e4 · tax_cents(≤8)
+    }
+    for name, mx in max_per_row.items():
+        headroom = 2**63 / (MAX_SPLIT_ROWS * mx)
+        assert headroom >= 8, (
+            f"{name}: worst-case per-task partial headroom "
+            f"{headroom:.1f}× < 8× at MAX_SPLIT_ROWS={MAX_SPLIT_ROWS}"
+        )
+    # the fused charge product must NOT satisfy the bound (if it did,
+    # this test could silently stop guarding the split)
+    assert 2**63 / (MAX_SPLIT_ROWS * 1.1 * 10**11) < 8
+    # and the q1 source really does sum the split term, and the
+    # two-level helper really salts on the task partition id
+    import inspect
+
+    from map_reduce_showcase_spark.plans.queries_relational import (
+        q1_pricing_summary,
+        sum_cents_2level,
+    )
+
+    assert 'dp * cents("l_tax")' in inspect.getsource(q1_pricing_summary)
+    assert "spark_partition_id" in inspect.getsource(sum_cents_2level)
