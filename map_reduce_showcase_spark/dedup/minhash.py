@@ -79,11 +79,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     shingle frame — partial aggregation sits below the exchange, so
     Spark cannot reuse the signature groupBy's shuffle for a second
     aggregation over the same key."""
-    base = F.col("k") % F.lit(MOD)
+    # one parsed SQL string per aggregate instead of ~6 Column-API
+    # calls each (the simhash r17 trick): identical plan, ~70 fewer
+    # py4j round trips per build
     aggs = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
-        aggs.append(F.min((F.lit(a) * base + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}"))
+        aggs.append(
+            F.expr(f"min((({a} * (k % {MOD})) + {b}) % {MOD}) AS mh{i}")
+        )
     aggs.append(F.count(F.lit(1)).alias("sz"))
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -100,12 +104,13 @@ def band_rows(
     the raw candidate stream)."""
     n_bands = num_hashes // rows_per_band
     key_cols = [
-        F.concat_ws(
-            ",",
-            *[
-                F.col(f"mh{b * rows_per_band + j}").cast("string")
+        F.expr(
+            "concat_ws(','"
+            + "".join(
+                f", CAST(mh{b * rows_per_band + j} AS STRING)"
                 for j in range(rows_per_band)
-            ],
+            )
+            + ")"
         )
         for b in range(n_bands)
     ]
@@ -118,14 +123,13 @@ def band_rows(
 
 def _first_band_match() -> "F.Column":
     """True iff no band BEFORE the joined one also matched — the
-    exactly-once emission filter for banded candidate joins."""
-    return ~F.exists(
-        F.zip_with(
-            F.slice(F.col("a.bkeys"), 1, F.col("a.band")),
-            F.slice(F.col("b.bkeys"), 1, F.col("b.band")),
-            lambda x, y: x == y,
-        ),
-        lambda hit: hit,
+    exactly-once emission filter for banded candidate joins. ONE
+    parsed expression: the Column-API lambda form of the same tree
+    costs ~20 ms of py4j round trips per lambda to build (guide
+    §4-adjacent driver boundary; r18 build profile)."""
+    return F.expr(
+        "NOT exists(zip_with(slice(a.bkeys, 1, a.band), "
+        "slice(b.bkeys, 1, b.band), (x, y) -> x = y), hit -> hit)"
     )
 
 

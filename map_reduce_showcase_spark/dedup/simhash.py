@@ -35,7 +35,7 @@ def simhash_docs(
 
     tok = rebalance(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("word"),
     )
     # project the md5-based hash ONCE below the aggregate — the bit
     # expressions reference it 32 times, and referencing the raw

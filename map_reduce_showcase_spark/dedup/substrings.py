@@ -58,7 +58,7 @@ def gram_positions(
     explodes and shuffles is (int, int, long) rows."""
     docs = rebalance(docs)
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     )
     tk = F.col("_toks")
     # sequence(1, size-k+1) — guarded: sequence(1, 0) would count DOWN

@@ -189,7 +189,7 @@ def sim_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         t(spark, sf_dir, "embeddings")
-        .select(lsh_bucket(F.col("embedding"), hyperplane_signs()).alias("bucket"))
+        .select(lsh_bucket("embedding", hyperplane_signs()).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -241,13 +241,13 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
+        l2_norm("embedding").alias("q_norm"),
         F.col("label").alias("qlabel"),
     )
     c = emb.select(
         F.col("vec_id").alias("neg_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
+        l2_norm("embedding").alias("c_norm"),
         F.col("label").alias("neg_label"),
     )
     from pyspark.sql.window import Window
@@ -260,9 +260,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neg_id",
             "neg_label",
-            cosine_from_norms(
-                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos"),
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
@@ -331,7 +329,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.join(cells, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("_emb"),
-        l2_norm(F.col("embedding")).alias("_norm"),
+        l2_norm("embedding").alias("_norm"),
         "cell",
     )
     x = v.select(
@@ -350,7 +348,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, "cell")
         .filter(F.col("_xid") < F.col("drop_id"))
         .filter(
-            cosine_from_norms(F.col("_xe"), F.col("_ye"), F.col("_xn"), F.col("_yn"))
+            cosine_from_norms("_xe", "_ye", "_xn", "_yn")
             >= 0.45
         )
         .groupBy("cell")

@@ -99,12 +99,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r17 profile: the whole query was one 0.34 s task)."""
     from ..functions.util import rebalance
 
-    txt = F.col("text")
     return rebalance(t(spark, sf_dir, "documents")).select(
         "doc_id",
-        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
-        T.quality_score(txt).alias("quality"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
     )
 
 

@@ -54,10 +54,10 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
     cent_row = centroids.select(
         F.struct(
-            F.col("cid"), F.col("cv"), l2_norm(F.col("cv")).alias("cn")
+            F.col("cid"), F.col("cv"), l2_norm("cv").alias("cn")
         ).alias("c")
     ).agg(F.collect_list("c").alias("cs"))
-    vn = l2_norm(F.col("v"))
+    vn = l2_norm("v")
     best = F.array_max(
         F.transform(
             "cs",

@@ -29,12 +29,12 @@ def _scored(queries: DataFrame, candidates: DataFrame) -> DataFrame:
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
+        l2_norm("embedding").alias("q_norm"),
     )
     c = rebalance(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
+        l2_norm("embedding").alias("c_norm"),
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -42,9 +42,7 @@ def _scored(queries: DataFrame, candidates: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine_from_norms(
-                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos"),
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos"),
         )
     )
 
@@ -68,14 +66,14 @@ def cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
     a = vectors.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
-        l2_norm(F.col("embedding")).alias("n1"),
+        l2_norm("embedding").alias("n1"),
     )
     b = vectors.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
-        l2_norm(F.col("embedding")).alias("n2"),
+        l2_norm("embedding").alias("n2"),
     )
-    cos = cosine_from_norms(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
+    cos = cosine_from_norms("e1", "e2", "n1", "n2")
     return (
         a.crossJoin(b)
         .filter(F.col("v1") < F.col("v2"))

@@ -60,14 +60,12 @@ def ivf_assign(
         .select(
             "vec_id",
             F.col("embedding").alias("_emb"),
-            l2_norm(F.col("embedding")).alias("_norm"),
+            l2_norm("embedding").alias("_norm"),
         )
-        .crossJoin(F.broadcast(centroids.withColumn("_cnorm", l2_norm(F.col("centvec")))))
+        .crossJoin(F.broadcast(centroids.withColumn("_cnorm", l2_norm("centvec"))))
     )
     w = Window.partitionBy("vec_id").orderBy(
-        cosine_from_norms(
-            F.col("_emb"), F.col("centvec"), F.col("_norm"), F.col("_cnorm")
-        ).desc(),
+        cosine_from_norms("_emb", "centvec", "_norm", "_cnorm").desc(),
         F.col("label"),
     )
     return (
@@ -94,13 +92,13 @@ def topk_cosine_ivf(
     q = q_src.join(ivf_assign(q_src, centroids, nprobe), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
+        l2_norm("embedding").alias("q_norm"),
         "cell",
     )
     c = v.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
+        l2_norm("embedding").alias("c_norm"),
         "cell",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
@@ -110,9 +108,7 @@ def topk_cosine_ivf(
         .select(
             "query_id",
             "cand_id",
-            cosine_from_norms(
-                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos"),
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

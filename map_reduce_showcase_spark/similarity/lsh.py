@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_from_norms, dot, l2_norm
+from ..functions.vectors import cosine_from_norms, dot_sql, l2_norm
 
 DIM = 64
 #: 4 planes → 16 cells. For weakly-correlated vectors P(two vectors
@@ -50,40 +50,49 @@ def hyperplane_signs(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[floa
     ]
 
 
-def _plane_lit(plane: list[float]) -> Column:
-    """The ±1 plane as ONE parsed array literal — building it from
-    64 individual ``F.lit`` calls costs ~64 py4j round trips per
+def _plane_sql(plane: list[float]) -> str:
+    """The ±1 plane as ONE array-literal SQL fragment — building it
+    from 64 individual ``F.lit`` calls costs ~64 py4j round trips per
     plane (seconds per plan build on a py4j-slow driver); the parsed
     expression is identical."""
-    return F.expr("array(" + ",".join(f"{v:.1f}D" for v in plane) + ")")
+    return "array(" + ",".join(f"{v:.1f}D" for v in plane) + ")"
 
 
-def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
-    """Bucket id column: bit p = (emb · plane_p ≥ 0)."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        proj = dot(emb, _plane_lit(plane))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+def lsh_bucket(emb_sql: str, planes: list[list[float]]) -> Column:
+    """Bucket id column: bit p = (emb · plane_p ≥ 0). ``emb_sql`` is
+    SQL text (a column name), and the whole bucket — every plane's
+    dot-product fold included — is ONE parsed expression: the
+    Column-API form of the same tree cost 0.24 s of py4j round trips
+    per plan build (r18; ~40% of sim_topk_lsh's bench time was
+    building plans, not running them)."""
+    terms = " + ".join(
+        f"(CASE WHEN {dot_sql(emb_sql, _plane_sql(plane))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST((0 + {terms}) AS INT)")
 
 
 def banded_band_keys(
-    emb: Column, planes: list[list[float]], rows_per_band: int
+    emb_sql: str, planes: list[list[float]], rows_per_band: int
 ) -> list[Column]:
     """One join key per band: ``band_no * 2^r + bucket`` where the
     bucket is the band's ``r`` sign bits. AND-ing ``r`` planes per
     band sharpens precision; OR-ing across ``len(planes)/r`` bands
     restores recall — the classic S-curve, same shape as MinHash
-    banding but for cosine."""
+    banding but for cosine. One parsed expression per key (see
+    :func:`lsh_bucket`)."""
     n_bands = len(planes) // rows_per_band
     keys = []
     for b in range(n_bands):
-        bucket = F.lit(0)
-        for j in range(rows_per_band):
-            plane = planes[b * rows_per_band + j]
-            proj = dot(emb, _plane_lit(plane))
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        keys.append((F.lit(b * (1 << rows_per_band)) + bucket).cast("int"))
+        terms = " + ".join(
+            f"(CASE WHEN {dot_sql(emb_sql, _plane_sql(planes[b * rows_per_band + j]))}"
+            f" >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        keys.append(
+            F.expr(f"CAST(({b * (1 << rows_per_band)} + (0 + {terms})) AS INT)")
+        )
     return keys
 
 
@@ -113,7 +122,7 @@ def cosine_pairs_lsh(
     from ..functions.util import rebalance
 
     v = rebalance(vectors).select("vec_id", "embedding")
-    keys = banded_band_keys(F.col("embedding"), planes, rows_per_band)
+    keys = banded_band_keys("embedding", planes, rows_per_band)
     # Each row keeps its FULL band-key vector alongside the exploded
     # key so a colliding pair can check, in place, whether an EARLIER
     # band already matched ("emit from first colliding band"). That
@@ -127,13 +136,9 @@ def cosine_pairs_lsh(
         F.array(*keys).alias("bkeys"),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
     )
-    first_match = ~F.exists(
-        F.zip_with(
-            F.slice(F.col("a.bkeys"), 1, F.col("a.band")),
-            F.slice(F.col("b.bkeys"), 1, F.col("b.band")),
-            lambda x, y: x == y,
-        ),
-        lambda hit: hit,
+    first_match = F.expr(
+        "NOT exists(zip_with(slice(a.bkeys, 1, a.band), "
+        "slice(b.bkeys, 1, b.band), (x, y) -> x = y), hit -> hit)"
     )
     cand = (
         bucketed.alias("a")
@@ -146,14 +151,14 @@ def cosine_pairs_lsh(
     e1 = v.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("e1"),
-        l2_norm(F.col("embedding")).alias("n1"),
+        l2_norm("embedding").alias("n1"),
     )
     e2 = v.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("e2"),
-        l2_norm(F.col("embedding")).alias("n2"),
+        l2_norm("embedding").alias("n2"),
     )
-    cos = cosine_from_norms(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2"))
+    cos = cosine_from_norms("e1", "e2", "n1", "n2")
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
@@ -177,7 +182,7 @@ def topk_cosine_lsh(
     ``topk_cosine`` so tests can measure recall."""
     if planes is None:
         planes = hyperplane_signs()
-    bucket = lsh_bucket(F.col("embedding"), planes)
+    bucket = lsh_bucket("embedding", planes)
     probe_list = [bucket] + (
         [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))]
         if multiprobe
@@ -186,7 +191,7 @@ def topk_cosine_lsh(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
+        l2_norm("embedding").alias("q_norm"),
         F.explode(F.array(*probe_list)).alias("bucket"),
     )
     from ..functions.util import rebalance
@@ -194,7 +199,7 @@ def topk_cosine_lsh(
     c = rebalance(candidates).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
+        l2_norm("embedding").alias("c_norm"),
         bucket.alias("bucket"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
@@ -204,9 +209,7 @@ def topk_cosine_lsh(
         .select(
             "query_id",
             "cand_id",
-            cosine_from_norms(
-                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos"),
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm").alias("cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

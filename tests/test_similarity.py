@@ -140,3 +140,74 @@ def test_semantic_dedup_recall_vs_all_pairs(spark, sf_dir):
     assert exact, "ground truth must be non-empty at this threshold"
     recall = len(within) / len(exact)
     assert 0.15 <= recall <= 0.6, f"semantic-cell recall shifted: {recall:.3f}"
+
+
+def test_vector_expr_text_path(spark, sf_dir):
+    """The SQL-text fast path of the vector helpers (one parsed
+    F.expr instead of a py4j-built lambda tree — r18 driver-cost
+    fix) must be bit-equal to the Column-API lambda path, row for
+    row."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.functions.vectors import (
+        cosine_from_norms,
+        dot,
+        l2_norm,
+    )
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    both = emb.select(
+        l2_norm("embedding").alias("n_text"),
+        l2_norm(F.col("embedding")).alias("n_col"),
+        dot("embedding", "embedding").alias("d_text"),
+        dot(F.col("embedding"), F.col("embedding")).alias("d_col"),
+    )
+    for r in both.collect():
+        assert repr(r["n_text"]) == repr(r["n_col"])
+        assert repr(r["d_text"]) == repr(r["d_col"])
+    paired = emb.select(
+        F.col("embedding").alias("e1"),
+        F.col("embedding").alias("e2"),
+        l2_norm("embedding").alias("n1"),
+        l2_norm("embedding").alias("n2"),
+    ).select(
+        cosine_from_norms("e1", "e2", "n1", "n2").alias("c_text"),
+        cosine_from_norms(
+            F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+        ).alias("c_col"),
+    )
+    for r in paired.collect():
+        assert repr(r["c_text"]) == repr(r["c_col"])
+
+
+def test_tokens_expr_text_path(spark, sf_dir):
+    """Same pin for the tokenizer/quality-signal text path: the SQL
+    parser unescapes string literals, so the regex doubling in
+    tokens_sql must reproduce the Column path exactly."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_showcase_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        tokens,
+    )
+    from map_reduce_showcase_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(64)
+    both = docs.select(
+        tokens("text").alias("t_text"),
+        tokens(F.col("text")).alias("t_col"),
+        punct_ratio("text").alias("p_text"),
+        punct_ratio(F.col("text")).alias("p_col"),
+        stopword_ratio("text").alias("s_text"),
+        stopword_ratio(F.col("text")).alias("s_col"),
+        quality_score("text").alias("q_text"),
+        quality_score(F.col("text")).alias("q_col"),
+    )
+    for r in both.collect():
+        assert r["t_text"] == r["t_col"]
+        assert repr(r["p_text"]) == repr(r["p_col"])
+        assert repr(r["s_text"]) == repr(r["s_col"])
+        assert repr(r["q_text"]) == repr(r["q_col"])
