@@ -67,7 +67,9 @@ def hashed_shingle_rows(
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 12, with_shingles: bool = False
+) -> DataFrame:
     """Wide signature frame: (doc_id, mh0..mh{k-1}, sz) from
     (doc_id, k) hashed-shingle rows. One hash-aggregate; k mins
     computed map-side, so the shuffle carries k longs per
@@ -78,7 +80,11 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
     via ``shingle_sizes`` would re-scan and re-shuffle the whole
     shingle frame — partial aggregation sits below the exchange, so
     Spark cannot reuse the signature groupBy's shuffle for a second
-    aggregation over the same key."""
+    aggregation over the same key. With ``with_shingles`` the doc's
+    full shingle-hash ARRAY (``ks``) rides it too, for the
+    array-intersection verify (r18): the r17 plan re-aggregated this
+    frame once per downstream reference — both band-join sides and
+    both size joins, four passes over the shingle rows."""
     # one parsed SQL string per aggregate instead of ~6 Column-API
     # calls each (the simhash r17 trick): identical plan, ~70 fewer
     # py4j round trips per build
@@ -89,6 +95,8 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 12) -> DataFrame:
             F.expr(f"min((({a} * (k % {MOD})) + {b}) % {MOD}) AS mh{i}")
         )
     aggs.append(F.count(F.lit(1)).alias("sz"))
+    if with_shingles:
+        aggs.append(F.collect_list("k").alias("ks"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
